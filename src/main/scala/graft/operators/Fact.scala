@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import Dims.pyKey
+
+/** fato_vendas builders (SURVEY.md §3.3).
+  *
+  * The reference resolves every surrogate key with per-row point queries
+  * (~6 round trips per fact row, etl_completo.py:615-698); here each lookup
+  * is one broadcast hash join, so the fact build is a single scan of
+  * vendas⋈item_vendas with no shuffle except the final surrogate-key pass.
+  *
+  * Scale notes (100 TB): the fact side streams; all dim sides are broadcast.
+  * J1 (vendas⋈item_vendas) is the only big⋈big join — both sides are keyed
+  * on id_venda, so at scale the inputs should be bucketed/co-partitioned on
+  * id_venda (no hint needed here; AQE handles skew). The surrogate key uses
+  * the range-partitioned zipWithIndex path, never a global window.
+  */
+object Fact {
+
+  /** v1 — the EXECUTED fact loader (etl_completo.py:590-705).
+    *
+    * Semantics: J1 inner join; F13 tri-state date handling (sentinel/null ⇒
+    * row kept with sk_tempo NULL; well-shaped parseable ⇒ joined; malformed
+    * or unparseable ⇒ row DROPPED); J2–J6 left lookups with Python-truthy
+    * key guards; desconto hardwired 0 (P3, :600); measures F12/F14.
+    *
+    * The reference's string id `"{id_venda}_{id_prod}"` (:686) crashes
+    * PostgreSQL's INTEGER column (SURVEY §3.3) — the intent (unique grain
+    * per (venda, produto)) is carried by keeping both columns.
+    */
+  def fatoVendas(vendas: DataFrame, itemVendas: DataFrame, dimTempo: DataFrame,
+                 dimCliente: DataFrame, dimProduto: DataFrame, dimVendedor: DataFrame,
+                 dimLoja: DataFrame): DataFrame = {
+    // J1 — the one big⋈big join (etl_completo.py:598-604).
+    val base = vendas.select("id_venda", "data_venda", "id_cliente", "id_vendedor", "id_loja")
+      .join(itemVendas.select("id_venda", "id_produto", "qtd_vendida", "preco_venda"),
+        Seq("id_venda"), "inner")
+
+    // F13 (etl_completo.py:615-635): drop malformed rows, null the sentinels.
+    val dated = base
+      .filter(keepRowForDate(col("data_venda")))
+      .withColumn("__data_obj", parseMultiFormatDate(col("data_venda")))
+
+    val joined = dated
+      .join(broadcast(dimTempo.select(col("data_completa"), col("sk_tempo"))),
+        col("__data_obj") === col("data_completa"), "left")                      // J2
+      .join(broadcast(dimCliente.select(col("id_cliente").as("__cli_id"), col("sk_cliente"))),
+        pyKey(col("id_cliente")) === col("__cli_id"), "left")                    // J3
+      .join(broadcast(dimProduto.select(col("id_produto").as("__prod_id"), col("sk_produto"),
+        col("custo_unitario").as("__custo_dim"))),
+        pyKey(col("id_produto")) === col("__prod_id"), "left")                   // J4 + J8 payload
+      .join(broadcast(dimVendedor.select(col("id_vendedor").as("__vend_id"), col("sk_vendedor"))),
+        pyKey(col("id_vendedor")) === col("__vend_id"), "left")                  // J5
+      .join(broadcast(dimLoja.select(col("id_loja").as("__loja_id"), col("sk_loja"))),
+        pyKey(col("id_loja")) === col("__loja_id"), "left")                      // J6
+
+    // F12/F14 measures (etl_completo.py:665-683); desconto ≡ 0 (P3).
+    val qtd = positiveOrZero(col("qtd_vendida"))
+    val preco = positiveOrZero(col("preco_venda"))
+    val bruto = qtd * preco
+    // custo: NULL dim value or Python-falsy 0 both end at 0.0 (:675-680).
+    val custo = coalesce(col("__custo_dim"), lit(0.0))
+    val measured = joined.select(
+      col("id_venda"), col("id_produto"), col("data_venda"),
+      col("sk_tempo"), col("sk_cliente"), col("sk_produto"), col("sk_vendedor"), col("sk_loja"),
+      qtd.as("quantidade_vendida"),
+      preco.as("preco_unitario_venda"),
+      bruto.as("valor_total_item"),
+      lit(0.0).as("percentual_desconto"),
+      lit(0.0).as("valor_desconto"),
+      bruto.as("valor_final"),
+      custo.as("custo_unitario"),
+      (qtd * custo).as("custo_total_item"),
+      (bruto - qtd * custo).as("lucro_bruto"))
+
+    // SERIAL sk_venda in insert order = extract ORDER BY raw data_venda
+    // string, id_venda, id_produto (etl_completo.py:603).
+    Surrogate.zipWithIndexOrdered(measured, "sk_venda",
+        Seq(col("data_venda"), col("id_venda"), col("id_produto")))
+      .drop("data_venda")
+  }
+
+  /** v2 — the DEAD richer variant (etl_completo.py:810-934), kept in the
+    * inventory because it is the only consumer of the promo path (J7/J9,
+    * SURVEY §3.3). Differences from v1: no row is ever dropped for its date
+    * (:844-848 — parse intent, lookup miss ⇒ NULL); qtd guard defaults to 1
+    * not 0 (:886); discount comes from dim_promocao.percentual_desconto when
+    * truthy (:901-909).
+    */
+  def fatoVendasV2(vendas: DataFrame, itemVendas: DataFrame, dimTempo: DataFrame,
+                   dimCliente: DataFrame, dimProduto: DataFrame, dimVendedor: DataFrame,
+                   dimLoja: DataFrame, dimPromocao: DataFrame): DataFrame = {
+    val base = vendas.select("id_venda", "data_venda", "id_cliente", "id_vendedor", "id_loja")
+      .join(itemVendas.select("id_venda", "id_produto", "qtd_vendida", "preco_venda",
+        "id_promocao_aplicada"), Seq("id_venda"), "inner")
+      .withColumn("__data_obj", parseMultiFormatDate(col("data_venda")))
+
+    val joined = base
+      .join(broadcast(dimTempo.select(col("data_completa"), col("sk_tempo"))),
+        col("__data_obj") === col("data_completa"), "left")
+      .join(broadcast(dimCliente.select(col("id_cliente").as("__cli_id"), col("sk_cliente"))),
+        pyKey(col("id_cliente")) === col("__cli_id"), "left")
+      .join(broadcast(dimVendedor.select(col("id_vendedor").as("__vend_id"), col("sk_vendedor"))),
+        pyKey(col("id_vendedor")) === col("__vend_id"), "left")
+      .join(broadcast(dimLoja.select(col("id_loja").as("__loja_id"), col("sk_loja"))),
+        pyKey(col("id_loja")) === col("__loja_id"), "left")
+      .join(broadcast(dimProduto.select(col("id_produto").as("__prod_id"), col("sk_produto"),
+        col("custo_unitario").as("__custo_dim"))),
+        pyKey(col("id_produto")) === col("__prod_id"), "left")
+      .join(broadcast(dimPromocao.select(col("id_promocao").as("__promo_id"), col("sk_promocao"),
+        col("percentual_desconto").as("__promo_pct"))),
+        pyKey(col("id_promocao_aplicada")) === col("__promo_id"), "left")        // J7 + J9 payload
+
+    val qtd = when(col("qtd_vendida").isNotNull && col("qtd_vendida") > 0,
+      col("qtd_vendida").cast("int")).otherwise(1).cast("double")
+    val preco = positiveOrZero(col("preco_venda"))
+    val total = qtd * preco
+    val custo = coalesce(col("__custo_dim"), lit(0.0))
+    // Discount only when the promo percent is truthy (:907).
+    val pct = when(col("sk_promocao").isNotNull && coalesce(col("__promo_pct"), lit(0.0)) =!= 0.0,
+      col("__promo_pct")).otherwise(0.0)
+    val vDesc = when(pct =!= 0.0, total * (pct / 100)).otherwise(0.0)
+
+    val measured = joined.select(
+      col("id_venda"), col("id_produto"),
+      col("sk_tempo"), col("sk_cliente"), col("sk_vendedor"), col("sk_loja"),
+      col("sk_produto"), col("sk_promocao"),
+      qtd.as("quantidade_vendida"),
+      preco.as("preco_unitario_venda"),
+      total.as("valor_total_item"),
+      custo.as("custo_unitario"),
+      (qtd * custo).as("custo_total_item"),
+      (total - qtd * custo).as("lucro_bruto"),
+      pct.as("percentual_desconto"),
+      vDesc.as("valor_desconto"),
+      (total - vDesc).as("valor_final"))
+
+    Surrogate.zipWithIndexOrdered(measured, "sk_venda",
+      Seq(col("id_venda"), col("id_produto")))
+  }
+}

@@ -1,0 +1,494 @@
+package graft.sources
+
+import graft.functions.PyText
+
+/** DuckDB oracle SQL — the byte-for-byte semantic mirror of [[Crm]] (input
+  * derivations) and of graft.operators.Dims/Fact (DW builds), for the
+  * driver's differential correctness gate (SURVEY.md §5.2).
+  *
+  * Everything here is GENERATED from the same Scala literals the engine uses
+  * ([[PyText.RegionMap]], [[PyText.Capitals]], connectives...), so the two
+  * sides cannot drift silently.
+  *
+  * Python `str.title()` is replicated per space-token as
+  * `upper(first)||lower(rest)` — exact on this data domain (tokens never
+  * contain a letter that follows a non-letter; see PyText.title for the
+  * general rule).
+  */
+object OracleSql {
+
+  // ---- scalar expression builders -----------------------------------------
+
+  /** Python str.title() on the [[Crm]] data domain. */
+  def titleSql(e: String): String =
+    s"array_to_string(list_transform(string_split($e, ' '), x -> upper(x[1]) || lower(x[2:])), ' ')"
+
+  /** F1 clean_text core (falsy guard handled at call sites). */
+  def cleanSql(e: String): String =
+    titleSql(s"trim(regexp_replace($e, '\\s+', ' ', 'g'))")
+
+  def falsySql(e: String): String = s"($e IS NULL OR $e = '')"
+
+  /** falsy → default, else clean_text. */
+  def cleanOrSql(e: String, default: String): String =
+    s"CASE WHEN ${falsySql(e)} THEN '$default' ELSE ${cleanSql(e)} END"
+
+  /** F2 standardize_name applied to an ALREADY-cleaned (titled) name:
+    * re-titling is idempotent, so only the connective lowering remains.
+    * Exact except for a trailing connective (absent from the data domain).
+    */
+  def stdNameSql(e: String): String =
+    PyText.Conectores.toSeq.sorted.foldLeft(e) { (acc, c) =>
+      val t = c.substring(0, 1).toUpperCase + c.substring(1)
+      s"replace($acc, ' $t ', ' $c ')"
+    }
+
+  /** F3 standardize_region (falsy → 'N/A' handled by dim_localidade). */
+  def regionSql(e: String): String = {
+    val whens = PyText.RegionMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+    s"CASE lower(trim($e)) $whens ELSE ${titleSql(e)} END"
+  }
+
+  /** F4 is_capital as the 27-pair disjunction. */
+  def capitalSql(city: String, state: String): String = {
+    val pairs = PyText.Capitals.toSeq.sortBy(_._1)
+      .map { case (ct, uf) => s"($city = '$ct' AND $state = '$uf')" }.mkString(" OR ")
+    s"($pairs)"
+  }
+
+  /** F5 standardize_customer_category. */
+  def custCatSql(e: String): String =
+    s"""CASE WHEN ${falsySql(e)} THEN 'Não Definido'
+       | WHEN lower($e) LIKE '%vip%' OR lower($e) LIKE '%premium%' THEN 'Premium'
+       | WHEN lower($e) LIKE '%gold%' OR lower($e) LIKE '%ouro%' THEN 'Gold'
+       | WHEN lower($e) LIKE '%silver%' OR lower($e) LIKE '%prata%' THEN 'Silver'
+       | ELSE 'Padrão' END""".stripMargin.replace("\n", "")
+
+  /** F6 standardize_product_category. */
+  def prodCatSql(e: String): String =
+    s"CASE WHEN ${falsySql(e)} THEN 'Não Definido' ELSE ${titleSql(e)} END"
+
+  /** F7 classify_store_type. */
+  def storeTypeSql(e: String): String =
+    s"""CASE WHEN ${falsySql(e)} THEN 'Loja Padrão'
+       | WHEN lower($e) LIKE '%shopping%' OR lower($e) LIKE '%mall%' THEN 'Shopping'
+       | WHEN lower($e) LIKE '%centro%' THEN 'Centro'
+       | WHEN lower($e) LIKE '%outlet%' THEN 'Outlet'
+       | ELSE 'Loja Padrão' END""".stripMargin.replace("\n", "")
+
+  /** F8 classify_promotion_type. */
+  def promoTypeSql(e: String): String =
+    s"""CASE WHEN ${falsySql(e)} THEN 'Desconto Geral'
+       | WHEN lower($e) LIKE '%black%' THEN 'Black Friday'
+       | WHEN lower($e) LIKE '%natal%' THEN 'Natal'
+       | WHEN lower($e) LIKE '%liquidação%' THEN 'Liquidação'
+       | ELSE 'Desconto Geral' END""".stripMargin.replace("\n", "")
+
+  /** F9 percent extraction. */
+  def pctSql(e: String): String =
+    s"COALESCE(TRY_CAST(regexp_extract($e, '(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE), 0.0)"
+
+  /** Mirror of GraftFunctions.detRound — deterministic cross-engine round. */
+  def detRoundSql(e: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"floor(($e) * $f.0 + 0.5) / $f.0"
+  }
+
+  /** Mirror of GraftFunctions.stableSumScaled. */
+  def stableSumScaledSql(e: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"sum(floor(($e) * $f.0 + 0.5)) / $f.0"
+  }
+
+  /** Python-truthy FK key (0/NULL ⇒ no lookup). */
+  def pyKeySql(e: String): String = s"(CASE WHEN $e IS NULL OR $e = 0 THEN NULL ELSE $e END)"
+
+  val sentinelsSql = "('Data Inválida','N/A','NULL','')"
+  def isSentinelSql(e: String) = s"($e IS NULL OR $e IN $sentinelsSql)"
+  def dashShapeSql(e: String) =
+    s"(length($e) = 10 AND length($e) - length(replace($e, '-', '')) = 2)"
+  def slashShapeSql(e: String) =
+    s"(length($e) = 10 AND length($e) - length(replace($e, '/', '')) = 2)"
+  def isoParseSql(e: String) = s"CAST(try_strptime($e, '%Y-%m-%d') AS DATE)"
+  def brParseSql(e: String) = s"CAST(try_strptime($e, '%d/%m/%Y') AS DATE)"
+
+  /** F13 parse (null on sentinel / failure). */
+  def multiDateSql(e: String): String =
+    s"""CASE WHEN ${isSentinelSql(e)} THEN NULL
+       | WHEN ${dashShapeSql(e)} THEN ${isoParseSql(e)}
+       | WHEN ${slashShapeSql(e)} THEN ${brParseSql(e)}
+       | ELSE NULL END""".stripMargin.replace("\n", "")
+
+  /** F13 keep-row predicate. */
+  def keepRowSql(e: String): String =
+    s"""(${isSentinelSql(e)}
+       | OR (${dashShapeSql(e)} AND ${isoParseSql(e)} IS NOT NULL)
+       | OR (${slashShapeSql(e)} AND ${brParseSql(e)} IS NOT NULL))""".stripMargin.replace("\n", "")
+
+  /** P8 sentinel→null date (both formats attempted). */
+  def sentinelToNullDateSql(e: String): String =
+    s"""CASE WHEN ${isSentinelSql(e)} THEN NULL
+       | ELSE COALESCE(${isoParseSql(e)}, ${brParseSql(e)}) END""".stripMargin.replace("\n", "")
+
+  // ---- CRM input CTEs (mirror graft.sources.Crm) ---------------------------
+
+  val localidadeCte: (String, String) = "localidade" ->
+    """SELECT n_nationkey AS id_localidade,
+      | CASE WHEN n_nationkey = 2 THEN 'São Paulo'
+      |      WHEN n_nationkey = 14 THEN '  brasília  '
+      |      WHEN n_nationkey % 4 = 0 THEN '  ' || n_name
+      |      WHEN n_nationkey % 4 = 1 THEN lower(n_name)
+      |      WHEN n_nationkey % 4 = 3 THEN n_name || '  '
+      |      ELSE n_name END AS cidade,
+      | CASE WHEN n_nationkey = 2 THEN 'SP'
+      |      WHEN n_nationkey = 14 THEN 'df'
+      |      ELSE upper(substr(n_name, 1, 2)) END AS estado,
+      | CASE WHEN n_nationkey = 2 THEN 'são paulo'
+      |      WHEN n_nationkey = 24 THEN ' RIO GRANDE DO SUL '
+      |      WHEN n_nationkey = 7 THEN NULL
+      |      WHEN n_nationkey % 3 = 0 THEN lower(r_name)
+      |      WHEN n_nationkey % 3 = 1 THEN r_name || ' '
+      |      ELSE r_name END AS regiao
+      |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
+  val categoriaClienteCte: (String, String) = "categoria_cliente" ->
+    """SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS BIGINT) AS id_categoria_cliente,
+      | CASE WHEN c_mktsegment = 'BUILDING' THEN 'Clientes VIP building'
+      |      WHEN c_mktsegment = 'AUTOMOBILE' THEN 'categoria  gold'
+      |      WHEN c_mktsegment = 'MACHINERY' THEN ' Prata maquinas '
+      |      WHEN c_mktsegment = 'HOUSEHOLD' THEN NULL
+      |      ELSE c_mktsegment END AS nome_categoria_cliente,
+      | c_mktsegment AS _seg
+      |FROM (SELECT DISTINCT c_mktsegment FROM customer)""".stripMargin
+
+  val clienteCte: (String, String) = "cliente" ->
+    """SELECT c_custkey AS id_cliente,
+      | CASE WHEN c_custkey % 5 = 0 THEN lower(c_name)
+      |      WHEN c_custkey % 5 = 1 THEN '  ' || c_name || ' '
+      |      WHEN c_custkey % 5 = 2 THEN 'cliente da silva ' || CAST(c_custkey AS VARCHAR)
+      |      WHEN c_custkey % 5 = 3 THEN NULL
+      |      ELSE c_name END AS nome_cliente,
+      | CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE cc.id_categoria_cliente END AS id_categoria_cliente,
+      | CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE CAST(c_nationkey AS BIGINT) END AS id_localidade
+      |FROM customer JOIN categoria_cliente cc ON c_mktsegment = cc._seg""".stripMargin
+
+  val categoriaProdutoCte: (String, String) = "categoria_produto" ->
+    """SELECT CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS id_categoria_produto,
+      | CASE WHEN p_brand = 'Brand#11' THEN NULL
+      |      WHEN p_brand LIKE 'Brand#2%' THEN lower(p_brand)
+      |      WHEN p_brand LIKE 'Brand#3%' THEN '  ' || p_brand
+      |      ELSE p_brand END AS nome_categoria_produto,
+      | p_brand AS _brand
+      |FROM (SELECT DISTINCT p_brand FROM part)""".stripMargin
+
+  val produtoCte: (String, String) = "produto" ->
+    """SELECT p_partkey AS id_produto,
+      | CASE WHEN p_partkey % 7 = 0 THEN NULL
+      |      WHEN p_partkey % 7 = 3 THEN upper(p_name)
+      |      ELSE p_name END AS nome_produto,
+      | CASE WHEN p_partkey % 41 = 0 THEN NULL ELSE cp.id_categoria_produto END AS id_categoria_produto
+      |FROM part JOIN categoria_produto cp ON p_brand = cp._brand""".stripMargin
+
+  val fornecedoresCte: (String, String) = "fornecedores" ->
+    """SELECT s_suppkey AS id_fornecedor,
+      | CASE WHEN s_suppkey % 6 = 0 THEN NULL
+      |      WHEN s_suppkey % 6 = 1 THEN lower(s_name) || '  ltda'
+      |      WHEN s_suppkey % 6 = 2 THEN ' ' || s_name || ' de  comercio'
+      |      ELSE s_name END AS nome_fornecedor,
+      | n_name AS pais_origem
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin
+
+  val vendedorCte: (String, String) = "vendedor" ->
+    """SELECT s_suppkey AS id_vendedor,
+      | CASE WHEN s_suppkey % 4 = 0 THEN 'vendedor da  casa ' || CAST(s_suppkey AS VARCHAR)
+      |      WHEN s_suppkey % 4 = 1 THEN NULL
+      |      ELSE lower(s_name) END AS nome_vendedor
+      |FROM supplier""".stripMargin
+
+  val lojasCte: (String, String) = "lojas" ->
+    """SELECT l.id_localidade AS id_loja,
+      | CASE WHEN n.n_nationkey % 5 = 0 THEN 'Shopping ' || n.n_name
+      |      WHEN n.n_nationkey % 5 = 1 THEN n.n_name || ' centro'
+      |      WHEN n.n_nationkey % 5 = 2 THEN 'OUTLET ' || n.n_name
+      |      WHEN n.n_nationkey % 5 = 3 THEN NULL
+      |      ELSE 'Loja ' || n.n_name END AS nome_loja,
+      | 'Gerente ' || n.n_name AS gerente_loja,
+      | l.cidade, l.estado
+      |FROM localidade l JOIN nation n ON l.id_localidade = n.n_nationkey""".stripMargin
+
+  val promocoesCte: (String, String) = "promocoes" ->
+    """SELECT CAST(n_nationkey + 1 AS BIGINT) AS id_promocao,
+      | CASE WHEN n_nationkey = 13 THEN NULL
+      |      WHEN n_nationkey % 4 = 0 THEN 'black friday ' || n_name
+      |      WHEN n_nationkey % 4 = 1 THEN 'Promoção de  Natal'
+      |      WHEN n_nationkey % 4 = 2 THEN 'LIQUIDAÇÃO total ' || n_name
+      |      ELSE 'Oferta ' || n_name END AS nome_promocao,
+      | CASE WHEN n_nationkey % 5 = 0 THEN '10%'
+      |      WHEN n_nationkey % 5 = 1 THEN 'desconto de 12.5 por cento'
+      |      WHEN n_nationkey % 5 = 2 THEN 'sem desconto'
+      |      WHEN n_nationkey % 5 = 3 THEN NULL
+      |      ELSE '25.0%' END AS tipo_desconto,
+      | CASE WHEN n_nationkey % 4 = 0 THEN '2024-01-15'
+      |      WHEN n_nationkey % 4 = 1 THEN '15/03/2024'
+      |      WHEN n_nationkey % 4 = 2 THEN 'Data Inválida'
+      |      ELSE NULL END AS data_inicio,
+      | CASE WHEN n_nationkey % 3 = 0 THEN '2024-12-31'
+      |      WHEN n_nationkey % 3 = 1 THEN 'N/A'
+      |      ELSE '' END AS data_fim
+      |FROM nation""".stripMargin
+
+  val vendasCte: (String, String) = "vendas" ->
+    """SELECT o_orderkey AS id_venda,
+      | CASE WHEN o_orderkey % 10 = 5 THEN NULL
+      |      WHEN o_orderkey % 10 = 8 THEN 'Data Inválida'
+      |      WHEN o_orderkey % 10 = 9 THEN '2024-13-45'
+      |      WHEN o_orderkey % 10 IN (6, 7) THEN strftime(o_orderdate, '%d/%m/%Y')
+      |      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS data_venda,
+      | CASE WHEN o_orderkey % 31 = 0 THEN NULL ELSE o_custkey END AS id_cliente,
+      | o_orderkey % 7 + 1 AS id_vendedor,
+      | o_orderkey % 25 AS id_loja,
+      | o_totalprice AS valor_total
+      |FROM orders""".stripMargin
+
+  val itemVendasCte: (String, String) = "item_vendas" ->
+    """SELECT l_orderkey AS id_venda,
+      | l_partkey AS id_produto,
+      | CASE WHEN l_linenumber = 6 THEN 0
+      |      WHEN l_linenumber = 7 THEN -2
+      |      ELSE CAST(l_quantity AS INTEGER) END AS qtd_vendida,
+      | CASE WHEN l_partkey % 101 = 0 THEN -l_extendedprice ELSE l_extendedprice END AS preco_venda,
+      | CASE WHEN (l_orderkey + l_partkey) % 5 = 0 THEN CAST(l_partkey % 25 + 1 AS BIGINT) ELSE NULL END AS id_promocao_aplicada
+      |FROM lineitem""".stripMargin
+
+  /** All CRM CTEs in dependency order. */
+  val crmCtes: Seq[(String, String)] = Seq(
+    localidadeCte, categoriaClienteCte, clienteCte, categoriaProdutoCte, produtoCte,
+    fornecedoresCte, vendedorCte, lojasCte, promocoesCte, vendasCte, itemVendasCte)
+
+  // ---- DW dimension CTEs (mirror graft.operators.Dims) ---------------------
+
+  val dimLocalidadeCte: (String, String) = "dim_localidade" -> {
+    val cleaned =
+      s"""SELECT id_localidade,
+         | CASE WHEN ${falsySql("cidade")} THEN 'N/A' ELSE ${cleanSql("cidade")} END AS cidade,
+         | CASE WHEN ${falsySql("estado")} THEN 'N/A' ELSE ${cleanSql("estado")} END AS estado,
+         | regiao,
+         | CASE WHEN ${falsySql("regiao")} THEN 'N/A' ELSE ${regionSql("regiao")} END AS regiao_padronizada
+         |FROM (SELECT DISTINCT id_localidade, cidade, estado, regiao FROM localidade)""".stripMargin
+    s"""SELECT CAST(row_number() OVER (ORDER BY id_localidade) AS BIGINT) AS sk_localidade,
+       | id_localidade, cidade, estado, regiao, regiao_padronizada,
+       | ${capitalSql("cidade", "estado")} AS eh_capital
+       |FROM ($cleaned)""".stripMargin
+  }
+
+  val dimCategoriaClienteCte: (String, String) = "dim_categoria_cliente" ->
+    s"""SELECT CAST(row_number() OVER (ORDER BY id_categoria_cliente) AS BIGINT) AS sk_categoria_cliente,
+       | id_categoria_cliente, nome_categoria_cliente,
+       | ${custCatSql("nome_categoria_cliente")} AS categoria_padronizada
+       |FROM (SELECT id_categoria_cliente,
+       |        ${cleanOrSql("nome_categoria_cliente", "Não Definido")} AS nome_categoria_cliente
+       |      FROM categoria_cliente)""".stripMargin
+
+  val dimCategoriaProdutoCte: (String, String) = "dim_categoria_produto" ->
+    s"""SELECT CAST(row_number() OVER (ORDER BY id_categoria_produto) AS BIGINT) AS sk_categoria_produto,
+       | id_categoria_produto, nome_categoria_produto,
+       | ${prodCatSql("nome_categoria_produto")} AS categoria_padronizada
+       |FROM (SELECT id_categoria_produto,
+       |        ${cleanOrSql("nome_categoria_produto", "Não Definido")} AS nome_categoria_produto
+       |      FROM categoria_produto)""".stripMargin
+
+  val dimFornecedorCte: (String, String) = "dim_fornecedor" ->
+    s"""SELECT CAST(row_number() OVER (ORDER BY id_fornecedor) AS BIGINT) AS sk_fornecedor,
+       | id_fornecedor, nome_fornecedor,
+       | ${stdNameSql("nome_fornecedor")} AS nome_padronizado,
+       | CAST(NULL AS BIGINT) AS sk_localidade,
+       | 'ATIVO' AS status_fornecedor
+       |FROM (SELECT id_fornecedor,
+       |        ${cleanOrSql("nome_fornecedor", "Fornecedor N/A")} AS nome_fornecedor
+       |      FROM fornecedores)""".stripMargin
+
+  val dimClienteCte: (String, String) = "dim_cliente" ->
+    s"""SELECT CAST(row_number() OVER (ORDER BY id_cliente) AS BIGINT) AS sk_cliente,
+       | id_cliente, nome_cliente,
+       | ${stdNameSql("nome_cliente")} AS nome_padronizado,
+       | sk_categoria_cliente, sk_localidade,
+       | 'ATIVO' AS status_cliente
+       |FROM (SELECT c.id_cliente,
+       |        ${cleanOrSql("c.nome_cliente", "Cliente N/A")} AS nome_cliente,
+       |        cc.sk_categoria_cliente, dl.sk_localidade
+       |      FROM cliente c
+       |      LEFT JOIN dim_categoria_cliente cc
+       |        ON ${pyKeySql("c.id_categoria_cliente")} = cc.id_categoria_cliente
+       |      LEFT JOIN dim_localidade dl
+       |        ON ${pyKeySql("c.id_localidade")} = dl.id_localidade)""".stripMargin
+
+  /** A1 mirror: decimal-exact sum / count (see GraftFunctions.stableAvg2). */
+  val avgPriceCte: (String, String) = "avg_price" ->
+    """SELECT id_produto,
+      | CAST(sum(CAST(preco_venda AS DECIMAL(18,2))) AS DOUBLE) / count(preco_venda) AS preco_medio
+      |FROM item_vendas GROUP BY id_produto""".stripMargin
+
+  val dimProdutoCte: (String, String) = "dim_produto" ->
+    s"""SELECT CAST(row_number() OVER (ORDER BY id_produto) AS BIGINT) AS sk_produto,
+       | id_produto, nome_produto,
+       | ${stdNameSql("nome_produto")} AS nome_padronizado,
+       | sk_categoria_produto, preco_unitario,
+       | CASE WHEN preco_unitario > 0 THEN preco_unitario * 0.7 ELSE 0.0 END AS custo_unitario,
+       | CASE WHEN preco_unitario > 0
+       |      THEN (preco_unitario - CASE WHEN preco_unitario > 0 THEN preco_unitario * 0.7 ELSE 0.0 END) / preco_unitario * 100
+       |      ELSE 0.0 END AS margem_lucro,
+       | 'ATIVO' AS status_produto
+       |FROM (SELECT p.id_produto,
+       |        ${cleanOrSql("p.nome_produto", "Produto N/A")} AS nome_produto,
+       |        cp.sk_categoria_produto,
+       |        COALESCE(a.preco_medio, 0.0) AS preco_unitario
+       |      FROM produto p
+       |      LEFT JOIN dim_categoria_produto cp
+       |        ON ${pyKeySql("p.id_categoria_produto")} = cp.id_categoria_produto
+       |      LEFT JOIN avg_price a ON p.id_produto = a.id_produto)""".stripMargin
+
+  val dimVendedorCte: (String, String) = "dim_vendedor" ->
+    s"""SELECT CAST(row_number() OVER (ORDER BY id_vendedor) AS BIGINT) AS sk_vendedor,
+       | id_vendedor, nome_vendedor,
+       | ${stdNameSql("nome_vendedor")} AS nome_padronizado,
+       | CAST(NULL AS BIGINT) AS sk_localidade,
+       | 'ATIVO' AS status_vendedor
+       |FROM (SELECT id_vendedor,
+       |        ${cleanOrSql("nome_vendedor", "Vendedor N/A")} AS nome_vendedor
+       |      FROM vendedor)""".stripMargin
+
+  val dimLojaCte: (String, String) = "dim_loja" -> {
+    val locFirst =
+      """SELECT lc, le, sk_localidade FROM (
+        | SELECT lower(cidade) AS lc, lower(estado) AS le, sk_localidade,
+        |   row_number() OVER (PARTITION BY lower(cidade), lower(estado) ORDER BY sk_localidade) AS rn
+        | FROM dim_localidade) WHERE rn = 1""".stripMargin
+    s"""SELECT CAST(row_number() OVER (ORDER BY id_loja) AS BIGINT) AS sk_loja,
+       | id_loja, nome_loja,
+       | ${stdNameSql("nome_loja")} AS nome_padronizado,
+       | sk_localidade,
+       | ${storeTypeSql("nome_loja")} AS tipo_loja,
+       | 'ATIVA' AS status_loja
+       |FROM (SELECT l.id_loja,
+       |        ${cleanOrSql("l.nome_loja", "Loja N/A")} AS nome_loja,
+       |        lf.sk_localidade
+       |      FROM lojas l
+       |      LEFT JOIN ($locFirst) lf
+       |        ON (CASE WHEN ${falsySql("l.cidade")} OR ${falsySql("l.estado")} THEN NULL
+       |             ELSE lower(trim(l.cidade)) END) = lf.lc
+       |        AND lower(trim(l.estado)) = lf.le)""".stripMargin
+  }
+
+  val dimPromocaoCte: (String, String) = "dim_promocao" ->
+    s"""SELECT CAST(row_number() OVER (ORDER BY id_promocao) AS BIGINT) AS sk_promocao,
+       | id_promocao, nome_promocao,
+       | ${promoTypeSql("nome_promocao")} AS tipo_promocao,
+       | ${pctSql("tipo_desconto")} AS percentual_desconto,
+       | ${sentinelToNullDateSql("data_inicio")} AS data_inicio,
+       | ${sentinelToNullDateSql("data_fim")} AS data_fim,
+       | 'ATIVA' AS status_promocao
+       |FROM (SELECT id_promocao,
+       |        ${cleanOrSql("nome_promocao", "Promoção N/A")} AS nome_promocao,
+       |        tipo_desconto, data_inicio, data_fim
+       |      FROM promocoes)""".stripMargin
+
+  val dimTempoCte: (String, String) = "dim_tempo" -> {
+    val dayNames = graft.functions.GraftFunctions.NomesDiaSemana.zipWithIndex
+      .map { case (n, i) => s"WHEN ${i + 1} THEN '$n'" }.mkString(" ")
+    val monthNames = graft.functions.GraftFunctions.NomesMes.zipWithIndex
+      .map { case (n, i) => s"WHEN ${i + 1} THEN '$n'" }.mkString(" ")
+    s"""SELECT CAST(row_number() OVER (ORDER BY data_completa) AS BIGINT) AS sk_tempo,
+       | data_completa,
+       | CAST(year(data_completa) AS BIGINT) AS ano,
+       | CAST(month(data_completa) AS BIGINT) AS mes,
+       | CAST(day(data_completa) AS BIGINT) AS dia,
+       | CAST(quarter(data_completa) AS BIGINT) AS trimestre,
+       | CAST(CASE WHEN month(data_completa) <= 6 THEN 1 ELSE 2 END AS BIGINT) AS semestre,
+       | CAST(isodow(data_completa) AS BIGINT) AS dia_semana,
+       | CASE isodow(data_completa) $dayNames END AS nome_dia_semana,
+       | CASE month(data_completa) $monthNames END AS nome_mes,
+       | isodow(data_completa) IN (6, 7) AS eh_fim_semana
+       |FROM (SELECT CAST(d AS DATE) AS data_completa
+       |      FROM generate_series(DATE '2020-01-01', DATE '2025-12-31', INTERVAL 1 DAY) AS t(d))""".stripMargin
+  }
+
+  /** DW CTEs in dependency order (each may reference earlier ones). */
+  val dwCtes: Seq[(String, String)] = Seq(
+    dimLocalidadeCte, dimCategoriaClienteCte, dimCategoriaProdutoCte, dimFornecedorCte,
+    dimClienteCte, avgPriceCte, dimProdutoCte, dimVendedorCte, dimLojaCte, dimPromocaoCte,
+    dimTempoCte)
+
+  // ---- fato_vendas (mirror graft.operators.Fact.fatoVendas) ----------------
+
+  /** The v1 fact as a bare SELECT (usable as a CTE body or a query body —
+    * without the final ORDER BY). */
+  val fatoVendasBody: String = {
+    val qtd = "CASE WHEN iv.qtd_vendida IS NOT NULL AND iv.qtd_vendida > 0 THEN CAST(iv.qtd_vendida AS DOUBLE) ELSE 0.0 END"
+    val preco = "CASE WHEN iv.preco_venda IS NOT NULL AND iv.preco_venda > 0 THEN CAST(iv.preco_venda AS DOUBLE) ELSE 0.0 END"
+    s"""SELECT b.id_venda, b.id_produto, t.sk_tempo, dc.sk_cliente, dp.sk_produto,
+       |  dv.sk_vendedor, dl.sk_loja,
+       |  b.qtd AS quantidade_vendida,
+       |  b.preco AS preco_unitario_venda,
+       |  b.qtd * b.preco AS valor_total_item,
+       |  CAST(0.0 AS DOUBLE) AS percentual_desconto,
+       |  CAST(0.0 AS DOUBLE) AS valor_desconto,
+       |  b.qtd * b.preco AS valor_final,
+       |  COALESCE(dp.custo_unitario, 0.0) AS custo_unitario,
+       |  b.qtd * COALESCE(dp.custo_unitario, 0.0) AS custo_total_item,
+       |  b.qtd * b.preco - b.qtd * COALESCE(dp.custo_unitario, 0.0) AS lucro_bruto
+       |FROM (
+       |  SELECT v.id_venda, iv.id_produto, v.id_cliente, v.id_vendedor, v.id_loja,
+       |    $qtd AS qtd, $preco AS preco,
+       |    ${multiDateSql("v.data_venda")} AS data_obj
+       |  FROM vendas v JOIN item_vendas iv ON v.id_venda = iv.id_venda
+       |  WHERE ${keepRowSql("v.data_venda")}
+       |) b
+       |LEFT JOIN dim_tempo t ON b.data_obj = t.data_completa
+       |LEFT JOIN dim_cliente dc ON ${pyKeySql("b.id_cliente")} = dc.id_cliente
+       |LEFT JOIN dim_produto dp ON ${pyKeySql("b.id_produto")} = dp.id_produto
+       |LEFT JOIN dim_vendedor dv ON ${pyKeySql("b.id_vendedor")} = dv.id_vendedor
+       |LEFT JOIN dim_loja dl ON ${pyKeySql("b.id_loja")} = dl.id_loja""".stripMargin
+  }
+
+  /** q_fato_vendas body: cost-derived measures rounded (they flow from an
+    * engine-ordering-dependent AVG), natural-key ordered. */
+  val fatoVendasSelect: String =
+    s"""SELECT id_venda, id_produto, sk_tempo, sk_cliente, sk_produto, sk_vendedor, sk_loja,
+       | quantidade_vendida, preco_unitario_venda, valor_total_item,
+       | percentual_desconto, valor_desconto, valor_final,
+       | ${detRoundSql("custo_unitario", 4)} AS custo_unitario,
+       | ${detRoundSql("custo_total_item", 4)} AS custo_total_item,
+       | ${detRoundSql("lucro_bruto", 4)} AS lucro_bruto
+       |FROM ($fatoVendasBody)
+       |ORDER BY id_venda, id_produto""".stripMargin
+
+  /** q_report_summary (A2/A3): per-table counts + grand total. Needs the
+    * `counts` extra CTE (see [[withDw]]'s `extra` parameter). */
+  val reportSummaryCtes: Seq[(String, String)] = {
+    val dwNames = Seq("dim_localidade", "dim_categoria_cliente", "dim_categoria_produto",
+      "dim_fornecedor", "dim_cliente", "dim_produto", "dim_vendedor", "dim_loja",
+      "dim_promocao", "dim_tempo", "fato_vendas")
+    val unions = dwNames.map(n => s"SELECT '$n' AS tabela, count(*) AS registros FROM $n")
+      .mkString("\nUNION ALL ")
+    Seq("fato_vendas" -> fatoVendasBody, "counts" -> unions)
+  }
+
+  val reportSummarySelect: String =
+    """SELECT tabela, registros FROM (
+      | SELECT tabela, registros FROM counts
+      | UNION ALL
+      | SELECT 'TOTAL' AS tabela, CAST((SELECT sum(registros) FROM counts) AS BIGINT) AS registros
+      |) ORDER BY tabela""".stripMargin
+
+  /** Compose `WITH crm..., dw..., extra... body`. */
+  def withCrm(body: String, extra: Seq[(String, String)] = Nil): String = {
+    val ctes = (crmCtes ++ extra).map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+    s"WITH $ctes\n$body"
+  }
+
+  def withDw(body: String, extra: Seq[(String, String)] = Nil): String = {
+    val ctes = (crmCtes ++ dwCtes ++ extra).map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+    s"WITH $ctes\n$body"
+  }
+}

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query parquet
+written by graft.Verify, run the oracle SQL in DuckDB over the same testdata
+parquet tables and compare (column-name-sorted, row-sorted) values.
+
+Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING  {name} (no spark output)")
+            n_bad += 1
+            continue
+        try:
+            duck = con.execute(sql)
+            d_cols = [d[0] for d in duck.description]
+            d_rows = duck.fetchall()
+        except Exception as e:
+            print(f"ORAERR   {name}: {e}")
+            n_bad += 1
+            continue
+        sp = con.execute(f"SELECT * FROM read_parquet({files!r})")
+        s_cols = [d[0] for d in sp.description]
+        s_rows = sp.fetchall()
+        dc, dr = norm_rows(d_cols, d_rows)
+        sc, sr = norm_rows(s_cols, s_rows)
+        if dc != sc:
+            print(f"SCHEMA   {name}: spark={sc} duck={dc}")
+            n_bad += 1
+        elif dr != sr:
+            n_bad += 1
+            diffs = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+            print(f"ROWS     {name}: spark={len(sr)} duck={len(dr)} first_diffs={diffs[:3]}")
+            for i in diffs[:2]:
+                print(f"  spark[{i}]: {sr[i]}")
+                print(f"  duck [{i}]: {dr[i]}")
+            if len(sr) != len(dr):
+                only_s = set(sr) - set(dr)
+                only_d = set(dr) - set(sr)
+                for r in list(only_s)[:2]:
+                    print(f"  only-spark: {r}")
+                for r in list(only_d)[:2]:
+                    print(f"  only-duck : {r}")
+        else:
+            n_ok += 1
+            print(f"OK       {name} ({len(sr)} rows)")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
