@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{detRound, stableSum2}
+
+/** Event-time analytics over the `events` table (SURVEY.md §7.5 — the
+  * reference has no streaming/temporal surface, §2.7). Batch forms here;
+  * the Structured Streaming twins live in graft.streaming.EventsStream.
+  *
+  * Scale notes: hourly aggregates shuffle once on (hour, type);
+  * sessionization shuffles once on user_id — the per-user window sort is
+  * bounded by a user's own event count, never global.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type: counts, exact-decimal value
+    * sums, distinct users. `date_trunc` rather than `window()` so the
+    * column shape is plain (and oracle-expressible).
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hora"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        stableSum2(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Gap-based sessionization (30-min inactivity closes a session), the
+    * classic two-window form: lag → session-start flags → running sum as
+    * session id → per-session aggregates.
+    */
+  def sessions(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        stableSum2(col("value")).as("session_value"))
+  }
+
+  /** Per-user session rollup (the user-level view of [[sessions]]). */
+  def userSessionStats(events: DataFrame, gapSeconds: Long = 1800): DataFrame =
+    sessions(events, gapSeconds)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        detRound(sum(col("n_events")).cast("double") / count(lit(1)), 4)
+          .as("avg_session_events"))
+
+  /** Top-N event types per hour by count (deterministic tiebreak on type). */
+  def topTypesPerHour(events: DataFrame, n: Int = 2): DataFrame = {
+    val counts = events.groupBy(date_trunc("hour", col("ts")).as("hora"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("hora")).orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §7.5): treat image/audio/video as
+  * opaque `binary` columns with typed metadata, and run decode /
+  * feature-extract as per-partition batch functions.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
+  * [[stubDecode]] is a deterministic fake clearly marked as such. Everything
+  * around it (schema, batching, partitioning, output shape) is the real
+  * Spark plumbing a production decode (JNI codec / Pandas UDF in PySpark)
+  * would drop into.
+  */
+object Multimodal {
+
+  /** Synthesize an opaque binary payload column from text (UTF-8 bytes) —
+    * stands in for reading real image/audio bytes. */
+  def withPayload(docs: DataFrame, text: String): DataFrame =
+    docs.withColumn("payload", encode(col(text), "UTF-8"))
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** ??? REAL DECODE GOES HERE ??? — stub: derives fake width/height and an
+    * 8-dim "feature vector" from the bytes deterministically. A real
+    * implementation would decode the image and run feature extraction; the
+    * signature (bytes in, struct + vector out) is what matters.
+    */
+  def stubDecode(bytes: Array[Byte]): (String, Int, Int, Array[Double]) = {
+    val n = bytes.length
+    val fmt = (if (n == 0) 0 else java.lang.Byte.toUnsignedInt(bytes(0))) % 3 match {
+      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+    }
+    val width = 64 + (n % 512)
+    val height = 64 + ((n * 7) % 512)
+    val feature = Array.tabulate(8) { i =>
+      var h = 1125899906842597L
+      var j = i
+      while (j < n) { h = h * 31 + bytes(j); j += 97 }
+      (h % 1000L).toDouble / 1000.0
+    }
+    (fmt, width, height, feature)
+  }
+
+  /** Per-partition decode → metadata table. `mapPartitions` is the Scala
+    * analogue of `mapInPandas`: one batch of rows per partition flows
+    * through the (stubbed) codec without per-row UDF overhead. Partitioning
+    * is whatever the upstream source provides — at 100 TB, size input
+    * splits so a partition's payloads fit in executor memory.
+    */
+  def decodeMeta(spark: SparkSession, withPayloads: DataFrame, id: String): DataFrame = {
+    val rdd = withPayloads.select(col(id).cast("long"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val docId = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (fmt, w, h, feat) = stubDecode(bytes)
+        Row(docId, bytes.length.toLong, fmt, w, h, feat.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, mediaMetaSchema)
+  }
+
+  /** Frame/sample selection over a payload: take every `stride`-th byte as
+    * a "frame" (stub for video frame-sampling; same slicing plumbing). */
+  def sampleFrames(withPayloads: DataFrame, id: String, stride: Int): DataFrame =
+    withPayloads.select(col(id).as("doc_id"),
+      expr(s"transform(sequence(1, greatest(octet_length(payload), 1), $stride)," +
+        s" i -> get(payload, i - 1))").as("sampled_bytes"))
+}

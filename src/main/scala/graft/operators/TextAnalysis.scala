@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.detRound
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §7.5):
+  * token counting, quality scoring, language-ID heuristic, fingerprinting.
+  * Everything except the fingerprint is pure `functions._` expressions
+  * (codegen'd, oracle-expressible).
+  */
+object TextAnalysis {
+
+  /** Single-space-tokenized words. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** English stopword set used by the quality/lang heuristics. */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with", "as", "at", "by")
+  val StopwordsPt: Seq[String] =
+    Seq("de", "da", "do", "que", "e", "em", "um", "uma", "para", "com", "não", "os", "as", "no")
+  val StopwordsEs: Seq[String] =
+    Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "por", "con", "para", "es")
+
+  private def hitCount(ws: Column, set: Seq[String]): Column =
+    size(filter(ws, w => lower(w).isin(set: _*)))
+
+  /** BPE-ish token pattern: letter runs | digit runs | single other glyph. */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Token counting: whitespace tokens, regex (BPE-ish) tokens, distinct
+    * words, plus a chars-per-token ratio (a cheap tokenizer-cost estimate).
+    */
+  def tokenCounts(docs: DataFrame, id: String, text: String): DataFrame = {
+    val ws = words(col(text))
+    docs.select(col(id).as("doc_id"),
+      length(col(text)).cast("long").as("n_chars"),
+      size(ws).cast("long").as("n_words"),
+      size(array_distinct(ws)).cast("long").as("n_distinct_words"),
+      size(regexp_extract_all(col(text), lit(TokenPattern), lit(0))).cast("long").as("n_tokens"),
+      detRound(length(col(text)).cast("double") /
+        size(regexp_extract_all(col(text), lit(TokenPattern), lit(0))), 4).as("chars_per_token"))
+  }
+
+  /** Quality scoring from length / lexical-diversity / stopword signals —
+    * the standard cheap pre-filter in web-scale corpus cleaning.
+    */
+  def qualityScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val ws = words(col(text))
+    val nWords = size(ws).cast("double")
+    val distinctRatio = size(array_distinct(ws)).cast("double") / nWords
+    val stopRatio = hitCount(ws, StopwordsEn).cast("double") / nWords
+    val meanWordLen = (length(col(text)).cast("double") - (nWords - 1)) / nWords
+    val lengthScore = least(nWords / 100.0, lit(1.0))
+    docs.select(col(id).as("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      detRound(distinctRatio, 4).as("distinct_ratio"),
+      detRound(stopRatio, 4).as("stopword_ratio"),
+      detRound(meanWordLen, 4).as("mean_word_len"),
+      detRound(lengthScore * 0.3 + distinctRatio * 0.4 + stopRatio * 0.3, 4).as("quality_score"))
+  }
+
+  /** Language-ID heuristic: stopword-hit votes per language, deterministic
+    * argmax (ties break en > pt > es > unknown). A real pipeline would use
+    * character n-gram profiles; the plumbing (score → argmax per row over
+    * 100 TB) is identical.
+    */
+  def langId(docs: DataFrame, id: String, text: String): DataFrame = {
+    val ws = words(lower(col(text)))
+    val en = hitCount(ws, StopwordsEn)
+    val pt = hitCount(ws, StopwordsPt)
+    val es = hitCount(ws, StopwordsEs)
+    docs.select(col(id).as("doc_id"),
+      en.cast("long").as("score_en"), pt.cast("long").as("score_pt"), es.cast("long").as("score_es"),
+      when(en === 0 && pt === 0 && es === 0, "unknown")
+        .when(en >= pt && en >= es, "en")
+        .when(pt >= es, "pt")
+        .otherwise("es").as("lang_pred"))
+  }
+
+  /** Rabin–Karp-style rolling fingerprint: minimum of the polynomial hashes
+    * of all k-char windows (winnowing-lite). Deterministic Scala UDF — the
+    * hash recurrence is inherently sequential per document, but documents
+    * are independent so it parallelizes perfectly across the corpus.
+    */
+  def rollingFingerprint(text: String, k: Int = 8): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val s = text
+    if (s.length <= k) return polyHash(s, 0, s.length)
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    var h = polyHash(s, 0, k)
+    var minH = h
+    i = k
+    while (i < s.length) {
+      h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+
+  private def polyHash(s: String, from: Int, until: Int): Long = {
+    val B = 1000003L
+    var h = 0L
+    var i = from
+    while (i < until) { h = h * B + s.charAt(i); i += 1 }
+    h
+  }
+
+  val fingerprintUdf = udf((s: String) => rollingFingerprint(s))
+
+  def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"), fingerprintUdf(col(text)).as("fingerprint"))
+}

@@ -131,6 +131,30 @@ object OracleSql {
     s"""CASE WHEN ${isSentinelSql(e)} THEN NULL
        | ELSE COALESCE(${isoParseSql(e)}, ${brParseSql(e)}) END""".stripMargin.replace("\n", "")
 
+  // ---- §7.5 extension mirrors ----------------------------------------------
+
+  /** Sequential-fold cosine over float[] lists in double precision —
+    * verified bit-identical to Spark's aggregate(zip_with(...)) fold. */
+  def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x)+1), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  def inListSql(set: Seq[String]): String = set.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** q_ann_topk mirror (brute-force cosine top-k). */
+  def annTopKSql(k: Int, querySel: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS emb_q FROM embeddings WHERE $querySel),
+       |scored AS (SELECT q.query_id, e.vec_id,
+       |    ${detRoundSql(cosineSql("q.emb_q", "e.embedding"), 4)} AS cos
+       |  FROM embeddings e JOIN q ON q.query_id <> e.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---- CRM input CTEs (mirror graft.sources.Crm) ---------------------------
 
   val localidadeCte: (String, String) = "localidade" ->

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of graft.operators.Events (SURVEY.md §2.7 —
+  * additive capability; the reference is batch-only).
+  *
+  * The batch testdata parquet doubles as a bounded stream via
+  * `Trigger.AvailableNow`: identical plan shape to a live Kafka-style
+  * source, so the watermark/window/state logic is exercised for real.
+  */
+object EventsStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir")
+
+  /** Tumbling 1-hour event-time windows with a 2-hour watermark — the
+    * streaming form of Events.hourly. Late rows beyond the watermark are
+    * dropped; state is bounded by (watermark horizon / window) per type.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hora"), col("event_type"), col("n_events"), col("sum_value"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Long, session_value: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: a session
+    * closes after 30 min of inactivity (event-time timeout), emitting one
+    * row per completed session. State per key is O(1).
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.value))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  out += SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, value = s.value + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to completion over the bounded source and
+    * return the materialized result (memory sink, AvailableNow trigger).
+    */
+  def runToCompletion(spark: SparkSession, streaming: DataFrame, name: String,
+                      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
