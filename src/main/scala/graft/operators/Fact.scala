@@ -16,7 +16,7 @@ import Dims.pyKey
   * J1 (vendas⋈item_vendas) is the only big⋈big join — both sides are keyed
   * on id_venda, so at scale the inputs should be bucketed/co-partitioned on
   * id_venda (no hint needed here; AQE handles skew). The surrogate key uses
-  * the range-partitioned zipWithIndex path, never a global window.
+  * the range-partitioned ordered-unique path, never a global window.
   */
 object Fact {
 
@@ -78,7 +78,7 @@ object Fact {
 
     // SERIAL sk_venda in insert order = extract ORDER BY raw data_venda
     // string, id_venda, id_produto (etl_completo.py:603).
-    Surrogate.zipWithIndexOrdered(measured, "sk_venda",
+    Surrogate.orderedUniqueKey(measured, "sk_venda",
         Seq(col("data_venda"), col("id_venda"), col("id_produto")))
       .drop("data_venda")
   }
@@ -138,7 +138,7 @@ object Fact {
       vDesc.as("valor_desconto"),
       (total - vDesc).as("valor_final"))
 
-    Surrogate.zipWithIndexOrdered(measured, "sk_venda",
+    Surrogate.orderedUniqueKey(measured, "sk_venda",
       Seq(col("id_venda"), col("id_produto")))
   }
 }

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.LongType
 
 /** PostgreSQL `SERIAL` surrogate-key emulation (SURVEY.md §7.3).
   *
@@ -16,28 +16,58 @@ object Surrogate {
 
   /** Dense 1..N keys via a global window — single-partition shuffle, so this
     * is reserved for DIMENSION-sized inputs (≤ millions of rows). At 100 TB
-    * the dims are still small; the fact uses [[zipWithIndexOrdered]].
+    * the dims are still small; the fact uses [[orderedUniqueKey]].
     */
   def withSurrogateKey(df: DataFrame, skName: String, orderCols: Seq[Column]): DataFrame =
     df.withColumn(skName, row_number().over(Window.orderBy(orderCols: _*)).cast(LongType))
 
-  /** Scale path: dense 1..N in total `orderCols` order WITHOUT a
-    * single-partition window. `repartitionByRange` + `sortWithinPartitions`
-    * gives a total order across partitions; `zipWithIndex` then assigns
-    * contiguous global indices per partition in partition order (one extra
-    * job to count partition sizes — the classic two-pass offset scheme).
-    * Survives 1000-executor scale: the sort is a range-partitioned shuffle,
-    * never a single reducer.
+  /** Scale path for FACT-sized inputs: keys that are unique and increasing
+    * in total `orderCols` order, in ONE pass with no single-partition stage.
+    * `repartitionByRange` gives range partition i < range partition j ⇒ all
+    * rows of i sort before j; `monotonically_increasing_id` is
+    * `(partitionId << 33) + localOffset`, so ids follow the total order.
+    * Keys are NOT dense 1..N — the reference's SERIAL density is not
+    * observable downstream (nothing joins on the fact SK and the oracle
+    * never compares it, SURVEY §7.3); when density IS required use
+    * [[zipWithIndexOrdered]].
+    *
+    * Everything here is lazy — no job runs at plan-construction time.
     */
-  def zipWithIndexOrdered(df: DataFrame, skName: String, orderCols: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
+  def orderedUniqueKey(df: DataFrame, skName: String, orderCols: Seq[Column]): DataFrame = {
     val sorted =
       if (orderCols.isEmpty) df
       else df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
-    val withIdx = sorted.rdd.zipWithIndex.map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    spark.createDataFrame(withIdx, StructType(sorted.schema.fields :+ StructField(skName, LongType, nullable = false)))
+    sorted.withColumn(skName, (monotonically_increasing_id() + 1L).cast(LongType))
+  }
+
+  /** Dense 1..N in total `orderCols` order WITHOUT a single-partition
+    * window: the classic two-pass offset scheme, expressed lazily in
+    * DataFrame ops. Pass 1 (the `offsets` branch) counts rows per range
+    * partition and prefix-sums the counts (the window there runs over
+    * #partitions rows, not data rows); pass 2 ranks within each partition
+    * and adds the broadcast offset. Survives 1000-executor scale: no stage
+    * ever sees more than one partition's rows.
+    *
+    * Unlike `rdd.zipWithIndex` (whose constructor runs an eager job to
+    * compute start indices — it would execute the whole upstream pipeline at
+    * plan-CONSTRUCTION time), this stays a pure logical plan until an action
+    * runs. Cost: the upstream lineage is evaluated twice (offsets + main);
+    * cache upstream first if that matters.
+    */
+  def zipWithIndexOrdered(df: DataFrame, skName: String, orderCols: Seq[Column]): DataFrame = {
+    if (orderCols.isEmpty)
+      return df.withColumn(skName, (monotonically_increasing_id() + 1L).cast(LongType))
+    val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__offset"))
+    val localRank = row_number().over(Window.partitionBy(col("__pid")).orderBy(orderCols: _*))
+    sorted.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(skName, (col("__offset") + localRank).cast(LongType))
+      .drop("__pid", "__opid", "__offset")
   }
 
   /** First-match dedupe (reference P6/J13, etl_completo.py:565): keep the
