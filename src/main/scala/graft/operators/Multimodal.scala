@@ -69,9 +69,16 @@ object Multimodal {
   }
 
   /** Frame/sample selection over a payload: take every `stride`-th byte as
-    * a "frame" (stub for video frame-sampling; same slicing plumbing). */
+    * a "frame" (stub for video frame-sampling; same slicing plumbing).
+    *
+    * BINARY has no element accessor in Spark SQL (`get` requires ARRAY), so
+    * each sampled byte is sliced with `substring(payload, i, 1)` and decoded
+    * via hex → base-10 — all codegen'd built-ins, no UDF. Empty payload
+    * yields `[null]` (out-of-range slice), mirroring an out-of-bounds get.
+    */
   def sampleFrames(withPayloads: DataFrame, id: String, stride: Int): DataFrame =
     withPayloads.select(col(id).as("doc_id"),
       expr(s"transform(sequence(1, greatest(octet_length(payload), 1), $stride)," +
-        s" i -> get(payload, i - 1))").as("sampled_bytes"))
+        s" i -> cast(conv(hex(substring(payload, i, 1)), 16, 10) as int))")
+        .as("sampled_bytes"))
 }

@@ -35,13 +35,28 @@ object OracleSql {
 
   /** F2 standardize_name applied to an ALREADY-cleaned (titled) name:
     * re-titling is idempotent, so only the connective lowering remains.
-    * Exact except for a trailing connective (absent from the data domain).
+    * Word-wise (split → lower-if-connective-and-not-first → join), exactly
+    * mirroring PyText.standardizeName — handles consecutive and trailing
+    * connectives that a sequential space-delimited replace() would miss.
     */
-  def stdNameSql(e: String): String =
-    PyText.Conectores.toSeq.sorted.foldLeft(e) { (acc, c) =>
-      val t = c.substring(0, 1).toUpperCase + c.substring(1)
-      s"replace($acc, ' $t ', ' $c ')"
-    }
+  def stdNameSql(e: String): String = {
+    val conn = PyText.Conectores.toSeq.sorted.map(c => s"'$c'").mkString("(", ", ", ")")
+    s"""CASE WHEN len(string_split($e, ' ')) <= 1 THEN $e
+       | ELSE (string_split($e, ' '))[1] || ' ' ||
+       |   array_to_string(list_transform((string_split($e, ' '))[2:],
+       |     x -> CASE WHEN lower(x) IN $conn THEN lower(x) ELSE x END), ' ')
+       | END""".stripMargin.replace("\n", "")
+  }
+
+  /** Value of byte `i` (1-based) of a blob's hex dump — the DuckDB mirror of
+    * Spark `conv(hex(substring(payload, i, 1)), 16, 10)`. NULL out of range.
+    */
+  def byteAtSql(hexExpr: String, iExpr: String): String = {
+    def nib(pos: String) = s"(instr('0123456789ABCDEF', upper(substring($hexExpr, $pos, 1))) - 1)"
+    s"""(CASE WHEN 2 * ($iExpr) > length($hexExpr) THEN NULL
+       | ELSE ${nib(s"2 * ($iExpr) - 1")} * 16 + ${nib(s"2 * ($iExpr)")} END)""".stripMargin
+      .replace("\n", "")
+  }
 
   /** F3 standardize_region (falsy → 'N/A' handled by dim_localidade). */
   def regionSql(e: String): String = {

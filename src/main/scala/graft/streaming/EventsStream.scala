@@ -46,6 +46,16 @@ object EventsStream {
   /** Custom stateful sessionization via flatMapGroupsWithState: a session
     * closes after 30 min of inactivity (event-time timeout), emitting one
     * row per completed session. State per key is O(1).
+    *
+    * Semantics notes:
+    *  - The timeout timestamp is clamped to watermark+1: with unordered
+    *    input files (`maxFilesPerTrigger=1`) a user's last event can be
+    *    older than the already-advanced watermark, and an un-clamped
+    *    `setTimeoutTimestamp` would throw IllegalArgumentException.
+    *  - Sessions still open when a bounded (AvailableNow) run ends are NOT
+    *    emitted — the stream has no "end of time" marker, matching Spark's
+    *    append-mode semantics. A final batch flush over the state store
+    *    would be the production pattern for run-to-completion jobs.
     */
   def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -77,7 +87,8 @@ object EventsStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Ev
+
+/** Bounded-stream tests for the Structured Streaming twins (SURVEY §2.7).
+  *
+  * The clamp regression: with maxFilesPerTrigger=1 and a second file whose
+  * events are far OLDER than the first file's (files ordered by mod-time),
+  * the watermark has already advanced past last+gap when the old session is
+  * created — an unclamped setTimeoutTimestamp throws IllegalArgumentException
+  * (ADVICE r01). The clamped version completes and still emits the sessions
+  * that closed by gap within a batch.
+  */
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def writeEventsFile(dir: Path, name: String, modTime: Long, evs: Seq[Ev]): Unit = {
+    val tmp = Files.createTempDirectory("evw").toFile
+    evs.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dest = dir.resolve(name).toFile
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    assert(dest.setLastModified(modTime))
+  }
+
+  test("sessionize survives out-of-order files (watermark clamp) and emits gap-closed sessions") {
+    val dir = Files.createTempDirectory("events_stream")
+    // file1 (processed first): user 1 has two events >30min apart → the first
+    // session closes in-batch; watermark after batch1 = 20:00 - 2h = 18:00.
+    writeEventsFile(dir, "f1.parquet", 1000000L, Seq(
+      Ev(1, ts("2024-01-01 18:00:00"), 1L, "view", 1.0),
+      Ev(2, ts("2024-01-01 20:00:00"), 1L, "view", 2.0)))
+    // file2 (processed second, newer mod-time): user 2's events are far below
+    // the advanced watermark → unclamped timeout would throw.
+    writeEventsFile(dir, "f2.parquet", 2000000L, Seq(
+      Ev(3, ts("2024-01-01 10:00:00"), 2L, "click", 1.0),
+      Ev(4, ts("2024-01-01 10:05:00"), 2L, "click", 1.0)))
+
+    val src = EventsStream.readEventsStream(spark, dir.toString).as[Ev]
+    val out = EventsStream.runToCompletion(
+      spark, EventsStream.sessionize(src).toDF(), "sessions_test", OutputMode.Append())
+      .as[EventsStream.SessionOut].collect()
+
+    // user 1's first session (single event at 18:00) closed by the 20:00 gap.
+    assert(out.exists(s => s.user_id == 1L &&
+      s.session_start == ts("2024-01-01 18:00:00") && s.n_events == 1))
+    // open sessions at end-of-run are not emitted (documented semantics).
+    assert(!out.exists(_.user_id == 2L))
+  }
+
+  test("streaming hourlyCounts over a bounded source matches batch aggregation") {
+    val dir = Files.createTempDirectory("events_hourly")
+    val evs = (0 until 100).map { i =>
+      Ev(i.toLong, ts(f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00"), (i % 7).toLong,
+        if (i % 2 == 0) "view" else "click", i.toDouble)
+    }
+    writeEventsFile(dir, "all.parquet", 3000000L, evs)
+
+    val streamed = EventsStream.runToCompletion(
+      spark,
+      EventsStream.hourlyCounts(EventsStream.readEventsStream(spark, dir.toString)),
+      "hourly_test", OutputMode.Complete())
+      .orderBy("hora", "event_type").collect()
+
+    val batch = graft.operators.Events.hourly(evs.toDS().toDF())
+      .orderBy("hora", "event_type")
+      .select("hora", "event_type", "n_events")
+      .collect()
+
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) === b.getTimestamp(0))
+      assert(s.getString(1) === b.getString(1))
+      assert(s.getLong(2) === b.getLong(2))
+    }
+  }
+}
