@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the §7.5 vector/dedup hot paths.
+  *
+  * Rationale (SURVEY §2.8, "custom Expression beats UDF"): the expression-tree
+  * forms (`aggregate(zip_with(...))`, `array_intersect`+`array_union`)
+  * allocate intermediate arrays per ROW PAIR inside quadratic joins — the
+  * dominant cost in q_cosine_neardup/q_dedup_jaccard. These expressions do
+  * the same arithmetic in a tight primitive loop with `doGenCode`, keeping
+  * the whole pair pipeline inside WholeStageCodegen with zero allocation.
+  *
+  * Numeric contract: [[DotProductFP]] is the SAME sequential left-to-right
+  * double fold as `aggregate(zip_with(a, b, (x,y) => x.cast(double) *
+  * y.cast(double)), 0.0, _+_)` — bit-identical results, so the DuckDB oracle
+  * mirrors (`list_sum(list_transform(...))`) keep matching.
+  */
+object VectorExpressions {
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def checkNumericArrays(left: Expression, right: Expression): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"requires array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  /** Sequential-fold double dot product of two float/double arrays.
+    * Null result on length mismatch or any null element (mirroring the
+    * zip_with+aggregate null semantics).
+    */
+  case class DotProductFP(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = checkNumericArrays(left, right)
+    override def prettyName: String = "graft_dot"
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    private def get(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+      case FloatType => arr.getFloat(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (b.numElements() != n) return null
+      val (lt, rt) = (elemType(left), elemType(right))
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += get(a, i, lt) * get(b, i, rt)
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      def getter(arr: String, i: String, dt: DataType): String = dt match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      val (lt, rt) = (elemType(left), elemType(right))
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += (${getter(a, i, lt)}) * (${getter(b, i, rt)});
+           |  }
+           |  ${ev.value} = $s;
+           |}
+         """.stripMargin
+      })
+    }
+  }
+
+  /** Jaccard similarity of two SORTED, DISTINCT string arrays via a single
+    * merge pass: |A∩B| / (|A|+|B|-|A∩B|). Null if both arrays are empty or
+    * any element is null. Equals
+    * `size(array_intersect(a,b)) / size(array_union(a,b))` on sorted-distinct
+    * inputs, without building either intermediate array.
+    */
+  case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def ok(dt: DataType): Boolean = dt match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"requires array<string> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+    override def prettyName: String = "graft_sorted_jaccard"
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements()
+      val nb = b.numElements()
+      if (na + nb == 0) return null
+      var i = 0
+      var j = 0
+      var inter = 0
+      while (i < na && j < nb) {
+        if (a.isNullAt(i) || b.isNullAt(j)) return null
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      inter.toDouble / (na + nb - inter)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val c = ctx.freshName("c")
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |if ($na + $nb == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $i = 0, $j = 0, $inter = 0;
+           |  while ($i < $na && $j < $nb) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |    if ($c == 0) { $inter++; $i++; $j++; }
+           |    else if ($c < 0) { $i++; } else { $j++; }
+           |  }
+           |  if (!${ev.isNull}) {
+           |    ${ev.value} = ((double) $inter) / ($na + $nb - $inter);
+           |  }
+           |}
+         """.stripMargin
+      })
+  }
+
+  // ---- Column-level entry points ------------------------------------------
+
+  /** `Σ aᵢ·bᵢ` in sequential double precision (native, codegen'd). */
+  def dotFP(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductFP(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Jaccard of two sorted-distinct string arrays (native, codegen'd). */
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedJaccard(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.sortedJaccard
 
 /** Deduplication operators for large-scale training-data pipelines
   * (SURVEY.md §7.5 — beyond-parity extensions; no reference counterpart).
@@ -9,13 +10,35 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): nothing here compares all-pairs globally. Exact
   * dedup is one hash-shuffle on the key; near-dup methods go through
   * candidate generation (LSH bands / blocking) so the quadratic step only
-  * happens inside small buckets. All hashes are engine-deterministic
-  * (xxhash64 with fixed seed), never `Math.random`-seeded.
+  * happens inside small buckets, and candidates are deduplicated as BARE ID
+  * PAIRS before the (array-carrying) verification join — shuffling shingle
+  * sets through a distinct would dominate at scale.
+  *
+  * Hashing: all signatures derive from md5 (bit-identical in every engine),
+  * sliced to 60-bit longs — so the full minhash/simhash pipelines are
+  * mirrored by the DuckDB oracle (SparkEntry.oracleSql), not just
+  * rows-only-checked. `xxhash64` would be faster per call but is
+  * engine-private; the hash cost is amortized anyway by hashing each
+  * shingle/word ONCE and deriving the k minhash slots arithmetically
+  * (Kirsch–Mitzenmacher double hashing).
   */
 object Dedup {
 
   /** Normalized word array (single-space-tokenized, as-is casing). */
   def words(text: Column): Column = split(text, " ")
+
+  /** First 60 bits of md5 as a non-negative long — engine-portable hash.
+    * (15 hex chars < 2^60, so `conv` never wraps negative.)
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Second independent 60-bit md5 slice, reduced mod 1e9+7 so that
+    * `h1 + j·h2m` stays far below 2^63 for j < 64 on every engine
+    * (DuckDB throws on BIGINT overflow; Spark would silently wrap).
+    */
+  def hash60b(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("long") % 1000000007L
 
   /** Exact dedup by content: keep the smallest id per identical key.
     * One shuffle (hash aggregate); at 100 TB prefer this over
@@ -25,42 +48,47 @@ object Dedup {
     df.groupBy(key.as("text"))
       .agg(min(id).as("doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Word-set Jaccard similarity of two (distinct-element) arrays. */
+  /** Word-set Jaccard similarity of two (distinct-element) arrays
+    * (expression-tree form; the operators below use the allocation-free
+    * native [[sortedJaccard]] over pre-sorted arrays — same value).
+    */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Exactness-preserving size prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    * so a pair failing `min ≥ t·max` cannot reach threshold t and is
+    * skipped without touching the arrays.
+    */
+  private def sizeRatioOk(na: Column, nb: Column, t: Double): Column =
+    least(na, nb).cast("double") >= lit(t) * greatest(na, nb)
+
   /** Exact n-gram (word-set) Jaccard near-dup pairs within a blocking key.
     *
-    * The block join keeps the pair generation linear-ish: only docs sharing
-    * `blockKey` are compared. At 100 TB the block must be a real partitioner
-    * (e.g. lang × length-bucket × LSH band) — this is the semantics anchor
-    * the hashed methods are validated against.
+    * The block join keeps pair generation linear-ish: only docs sharing
+    * `blockKey` are compared, and the size-ratio bound prunes most pairs
+    * before the merge-pass jaccard. At 100 TB the block must be a real
+    * partitioner (e.g. lang × length-bucket × LSH band) — this operator is
+    * the semantics anchor the hashed methods are validated against.
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String, blockKey: String,
                    threshold: Double): DataFrame = {
     val prepared = docs.select(col(id).as("doc_id"), col(blockKey).as("block"),
-      array_distinct(words(col(text))).as("ws"))
-    val a = prepared.select(col("doc_id").as("doc_id_a"), col("block"), col("ws").as("ws_a"))
-    val b = prepared.select(col("doc_id").as("doc_id_b"), col("block"), col("ws").as("ws_b"))
-    a.join(b, Seq("block"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("jaccard", jaccard(col("ws_a"), col("ws_b")))
+      sort_array(array_distinct(words(col(text)))).as("ws"))
+      .withColumn("nw", size(col("ws")))
+    val a = prepared.select(col("doc_id").as("doc_id_a"), col("block"),
+      col("ws").as("ws_a"), col("nw").as("nw_a"))
+    val b = prepared.select(col("doc_id").as("doc_id_b"), col("block").as("block_b"),
+      col("ws").as("ws_b"), col("nw").as("nw_b"))
+    a.join(b,
+      col("block") === col("block_b") &&
+        col("doc_id_a") < col("doc_id_b") &&
+        sizeRatioOk(col("nw_a"), col("nw_b"), threshold))
+      .withColumn("jaccard", sortedJaccard(col("ws_a"), col("ws_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
 
   // ---- MinHash + LSH --------------------------------------------------------
-
-  /** k minhashes via double hashing h_j = h1 + j·h2 (Kirsch–Mitzenmacher):
-    * two xxhash64 evaluations per shingle, k mins — all codegen'd, no UDF.
-    */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val mins = (0 until k).map { j =>
-      array_min(transform(shingles, s =>
-        xxhash64(s) + lit(j.toLong) * xxhash64(concat(s, lit("#")))))
-    }
-    array(mins: _*)
-  }
 
   /** Word 3-shingles (whole text when shorter than 3 words). */
   def shingles3(text: Column): Column = {
@@ -70,65 +98,88 @@ object Dedup {
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
   }
 
+  /** k minhashes via Kirsch–Mitzenmacher double hashing `h_j = h1 + j·h2m`:
+    * each shingle is md5-hashed ONCE into (h1, h2m); the k slots are k
+    * cheap arithmetic mins over the precomputed hash arrays — no per-slot
+    * re-hashing.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val h1s = transform(shingles, s => hash60(s))
+    val h2s = transform(shingles, s => hash60b(s))
+    val mins = (0 until k).map { j =>
+      array_min(zip_with(h1s, h2s, (h1, h2) => h1 + lit(j.toLong) * h2))
+    }
+    array(mins: _*)
+  }
+
   /** MinHash-LSH near-dup pairs: signature → bands → bucket join →
     * exact-Jaccard verification on the candidates only.
     *
     * bands·rows = k. Pr[candidate] = 1-(1-j^rows)^bands — with k=32,
     * bands=8, rows=4 a 0.7-Jaccard pair is caught w.p. ~0.97 while the
     * quadratic work stays inside hash buckets. That is the 100 TB shape:
-    * explode is linear, the join is an equi-join on (band, hash).
+    * the explode is linear, the candidate join is an equi-join on
+    * (band, band_hash) over bare ids, and only verified candidates ever
+    * re-touch the shingle sets.
     */
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
     val rows = k / bands
-    val sig = docs.select(col(id).as("doc_id"),
-      array_distinct(shingles3(col(text))).as("sh"))
+    val prepared = docs.select(col(id).as("doc_id"),
+      sort_array(array_distinct(shingles3(col(text)))).as("sh"))
+    val banded = prepared
       .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sig.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          hash60(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "band_hash"))
+    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_id_b"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b")).distinct()
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .select("doc_id_a", "doc_id_b").distinct()
+    candidates
+      .join(prepared.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+      .join(prepared.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
 
   // ---- SimHash --------------------------------------------------------------
 
-  /** 64-bit SimHash from word frequencies, expression-only: explode words,
-    * per-word xxhash64, then 64 per-bit signed sums. The per-doc aggregate is
-    * a single hash-shuffle; bit k of the result is 1 iff the weighted vote is
-    * positive.
+  /** 60-bit SimHash from word frequencies, expression-only: explode words,
+    * per-word 60-bit md5 hash, then 60 per-bit signed sums. The per-doc
+    * aggregate is a single hash-shuffle; bit b of the result is 1 iff the
+    * weighted vote is positive. 60 bits (not 64) so the signature and its
+    * chunks stay non-negative longs on every engine.
     */
-  def simhash64(docs: DataFrame, id: String, text: String): DataFrame = {
+  val SimhashBits = 60
+
+  def simhash60(docs: DataFrame, id: String, text: String): DataFrame = {
     val exploded = docs.select(col(id).as("doc_id"), explode(words(col(text))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", hash60(col("w")))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"b$b")
     }
     val sums = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
+    val sig = (0 until SimhashBits).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce((a, c) => a.bitwiseOR(c))
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
+  /** SimHash near-dup pairs: band the 60-bit signature into 4×15-bit chunks
     * (any pair within Hamming distance 3 shares ≥1 exact chunk — pigeonhole),
-    * join on chunks, verify Hamming ≤ maxHamming.
+    * join on chunks over bare ids, verify Hamming ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash64(docs, id, text)
+    val sig = simhash60(docs, id, text)
     val chunked = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val l = chunked.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_id_a"), col("simhash").as("sig_a"))
     val rr = chunked.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_id_b"), col("simhash").as("sig_b"))

@@ -82,31 +82,43 @@ object TextAnalysis {
     * of all k-char windows (winnowing-lite). Deterministic Scala UDF — the
     * hash recurrence is inherently sequential per document, but documents
     * are independent so it parallelizes perfectly across the corpus.
+    *
+    * Arithmetic is mod 1e9+7 over Unicode CODE POINTS (not UTF-16 units):
+    * every intermediate stays far below 2^63, so the DuckDB oracle can
+    * recompute the identical per-window Horner hash with `list_reduce` over
+    * `unicode(...)` — wrap-on-overflow longs would be engine-private.
+    * The rolling update `(h − c·Bᵏ⁻¹)·B + cₙₑw (mod M)` equals the direct
+    * per-window Horner value, canonicalized to [0, M).
     */
+  val FingerprintBase = 1000003L
+  val FingerprintMod = 1000000007L
+
   def rollingFingerprint(text: String, k: Int = 8): Long = {
+    val B = FingerprintBase
+    val M = FingerprintMod
     if (text == null || text.isEmpty) return 0L
-    val s = text
-    if (s.length <= k) return polyHash(s, 0, s.length)
-    val B = 1000003L
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    if (n <= k) return polyHash(cps, 0, n)
     var pow = 1L
     var i = 0
-    while (i < k - 1) { pow *= B; i += 1 }
-    var h = polyHash(s, 0, k)
+    while (i < k - 1) { pow = pow * B % M; i += 1 }
+    var h = polyHash(cps, 0, k)
     var minH = h
     i = k
-    while (i < s.length) {
-      h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
+    while (i < n) {
+      h = Math.floorMod(Math.floorMod(h - cps(i - k) * pow % M, M) * B + cps(i), M)
       if (h < minH) minH = h
       i += 1
     }
     minH
   }
 
-  private def polyHash(s: String, from: Int, until: Int): Long = {
-    val B = 1000003L
+  /** Horner fold `h ← (h·B + cᵢ) mod M` — h stays in [0, M). */
+  private def polyHash(cps: Array[Int], from: Int, until: Int): Long = {
     var h = 0L
     var i = from
-    while (i < until) { h = h * B + s.charAt(i); i += 1 }
+    while (i < until) { h = (h * FingerprintBase + cps(i)) % FingerprintMod; i += 1 }
     h
   }
 

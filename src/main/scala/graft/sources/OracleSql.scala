@@ -158,6 +158,160 @@ object OracleSql {
 
   def inListSql(set: Seq[String]): String = set.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  // ---- md5-derived 60-bit hash mirrors (graft.operators.Dedup) -------------
+
+  /** Mirror of Dedup.hash60: first 15 md5 hex chars as a BIGINT. */
+  def hash60Sql(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Mirror of Dedup.hash60b. */
+  def hash60bSql(e: String): String =
+    s"(CAST('0x' || substr(md5($e), 16, 15) AS BIGINT) % 1000000007)"
+
+  /** Mirror of Dedup.shingles3 (word 3-shingles, whole text when short). */
+  def shingles3Sql(text: String): String = {
+    val ws = s"string_split($text, ' ')"
+    s"""CASE WHEN len($ws) < 3 THEN [$text]
+       | ELSE list_transform(range(0, len($ws) - 2),
+       |        i -> $ws[i + 1] || ' ' || $ws[i + 2] || ' ' || $ws[i + 3]) END""".stripMargin
+      .replace("\n", "")
+  }
+
+  /** Jaccard of two distinct-element lists (mirror of Dedup.jaccard /
+    * the native SortedJaccard — same integer sizes, same division). */
+  def listJaccardSql(a: String, b: String): String =
+    s"(len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b))))"
+
+  /** Full q_dedup_minhash mirror: shingles → (h1,h2m) per shingle →
+    * k=32 Kirsch–Mitzenmacher minhashes → 8 bands of 4 → band-hash bucket
+    * join → exact-Jaccard verification. Every hash is md5-derived, so this
+    * reproduces the engine's pipeline bit-for-bit.
+    */
+  def minhashLshSql(k: Int, bands: Int, threshold: Double): String = {
+    val rows = k / bands
+    s"""WITH d AS (SELECT doc_id, list_distinct(${shingles3Sql("text")}) AS sh FROM documents),
+       |hs AS (SELECT doc_id, sh,
+       |        list_transform(sh, s -> ${hash60Sql("s")}) AS h1,
+       |        list_transform(sh, s -> ${hash60bSql("s")}) AS h2 FROM d),
+       |sigs AS (SELECT doc_id, list_transform(range(0, $k),
+       |          j -> list_min(list_transform(range(1, len(h1) + 1),
+       |                 t -> h1[t] + j * h2[t]))) AS sig FROM hs),
+       |banded AS (SELECT doc_id, b,
+       |        ${hash60Sql(s"array_to_string(sig[b * $rows + 1 : b * $rows + $rows], ',')")} AS band_hash
+       |      FROM sigs, range(0, $bands) tb(b)),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+       |      FROM banded l JOIN banded r
+       |        ON l.b = r.b AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+       |pairs AS (SELECT doc_id_a, doc_id_b, ${listJaccardSql("da.sh", "db.sh")} AS jaccard
+       |      FROM cand JOIN d da ON doc_id_a = da.doc_id JOIN d db ON doc_id_b = db.doc_id)
+       |SELECT doc_id_a, doc_id_b, jaccard FROM pairs
+       |WHERE jaccard >= $threshold ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
+  /** Full q_dedup_simhash mirror: word counts → 60-bit md5 word hashes →
+    * per-bit signed votes → signature → 4×15-bit chunk bucket join →
+    * Hamming verification.
+    */
+  def simhashSql(maxHamming: Int): String =
+    s"""WITH wc AS (SELECT doc_id, w, count(*) AS cnt
+       |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |      GROUP BY doc_id, w),
+       |wh AS (SELECT doc_id, ${hash60Sql("w")} AS h, cnt FROM wc),
+       |bits AS (SELECT doc_id, b,
+       |        sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+       |      FROM wh, range(0, 60) tb(b) GROUP BY doc_id, b),
+       |sigs AS (SELECT doc_id,
+       |        CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+       |      FROM bits GROUP BY doc_id),
+       |chunked AS (SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS cv
+       |      FROM sigs, range(0, 4) tc(c)),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+       |        l.sig AS sig_a, r.sig AS sig_b
+       |      FROM chunked l JOIN chunked r
+       |        ON l.c = r.c AND l.cv = r.cv AND l.doc_id < r.doc_id)
+       |SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $maxHamming
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** Mirror of TextAnalysis.rollingFingerprint: min over all k-codepoint
+    * windows of the Horner poly hash mod 1e9+7 (the rolling recurrence and
+    * the direct per-window Horner are the same value in [0, M)).
+    */
+  def fingerprintSql(text: String, k: Int): String = {
+    def poly(s: String) =
+      s"""list_reduce(list_transform(string_split($s, ''),
+         |  c -> CAST(unicode(c) AS BIGINT)),
+         |  (a, b) -> (a * ${graft.operators.TextAnalysis.FingerprintBase}
+         |             + b) % ${graft.operators.TextAnalysis.FingerprintMod})""".stripMargin
+        .replace("\n", "")
+    s"""CAST(CASE WHEN $text IS NULL OR $text = '' THEN 0
+       | WHEN length($text) <= $k THEN ${poly(text)}
+       | ELSE list_min(list_transform(range(1, length($text) - $k + 2),
+       |        j -> ${poly(s"substring($text, j, $k)")})) END AS BIGINT)""".stripMargin
+      .replace("\n", "")
+  }
+
+  /** Mirror of Similarity.planeCoeff as a SQL scalar in terms of a 1-based
+    * element index expression `i` (Spark's dim index d = i - 1). */
+  private def planeCoeffSql(p: Int): String =
+    s"""((CAST('0x' || substr(md5('plane$p#' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT)
+       | % 1000000) / 1000000.0 - 0.5)""".stripMargin.replace("\n", "")
+
+  /** Mirror of Similarity.srpBucket: nBits sign-of-projection bits. */
+  def srpBucketSql(e: String, nBits: Int): String = {
+    val bits = (0 until nBits).map { p =>
+      val proj = s"list_sum(list_transform($e, (x, i) -> x::DOUBLE * ${planeCoeffSql(p)}))"
+      s"(CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** q_ann_lsh mirror: SRP buckets + 1-bit-flip multi-probe + per-bucket
+    * cosine top-k. */
+  def annLshSql(k: Int, querySel: String, nBits: Int): String =
+    s"""WITH cb AS (SELECT vec_id, embedding, ${srpBucketSql("embedding", nBits)} AS bucket
+       |      FROM embeddings),
+       |qb AS (SELECT vec_id AS query_id, embedding AS emb_q,
+       |        ${srpBucketSql("embedding", nBits)} AS qbucket
+       |      FROM embeddings WHERE $querySel),
+       |probes AS (SELECT query_id, emb_q,
+       |        CASE WHEN f = -1 THEN qbucket
+       |             ELSE xor(qbucket, (1::BIGINT << f)) END AS bucket
+       |      FROM qb, range(-1, $nBits) tf(f)),
+       |scored AS (SELECT p.query_id, c.vec_id,
+       |        ${detRoundSql(cosineSql("p.emb_q", "c.embedding"), 4)} AS cos
+       |      FROM cb c JOIN probes p ON c.bucket = p.bucket AND p.query_id <> c.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |      FROM scored)
+       |SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q_ann_ivf mirror: deterministic centroid sample → nearest-centroid cell
+    * assignment → nprobe nearest cells per query → in-cell cosine top-k. */
+  def annIvfSql(k: Int, querySel: String, centroidEvery: Int, nprobe: Int): String =
+    s"""WITH c0 AS (SELECT vec_id AS cent_id, embedding AS emb_cent
+       |      FROM embeddings WHERE vec_id % $centroidEvery = 0),
+       |assign AS (SELECT vec_id, emb_c, cell FROM (
+       |      SELECT e.vec_id, e.embedding AS emb_c, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM embeddings e, c0) WHERE rn = 1),
+       |probes AS (SELECT query_id, emb_q, cell FROM (
+       |      SELECT q.vec_id AS query_id, q.embedding AS emb_q, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("q.embedding", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM (SELECT * FROM embeddings WHERE $querySel) q, c0) WHERE rn <= $nprobe),
+       |scored AS (SELECT p.query_id, a.vec_id,
+       |        ${detRoundSql(cosineSql("p.emb_q", "a.emb_c"), 4)} AS cos
+       |      FROM assign a JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |      FROM scored)
+       |SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   /** q_ann_topk mirror (brute-force cosine top-k). */
   def annTopKSql(k: Int, querySel: String): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS emb_q FROM embeddings WHERE $querySel),

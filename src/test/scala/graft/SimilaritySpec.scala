@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN variants against the brute-force anchor on a small deterministic
+  * corpus: every LSH/IVF hit must carry the same cosine the brute-force
+  * assigns, and recall of the top-1 neighbor should be non-trivial.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(123)
+    (0L until 200L).map { i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+  }
+  private lazy val queries = corpus.filter($"vec_id" % 20 === 0)
+
+  test("bruteForceTopK: k rows per query, cosine in [-1, 1], rank ordered") {
+    val r = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .orderBy($"query_id", $"rank").collect()
+    assert(r.length === 10 * 5)
+    r.foreach { row =>
+      assert(row.getDouble(3) >= -1.0001 && row.getDouble(3) <= 1.0001)
+    }
+    r.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK results are a subset of per-bucket exact scores with same cosines") {
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 200)
+      .select($"query_id", $"vec_id", $"cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(corpus, queries, dim = dim, k = 5).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bf.contains(key))
+      assert(bf(key) === r.getDouble(3)) // same quantized cosine
+    }
+  }
+
+  test("ivfTopK returns scored results consistent with brute force") {
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 200)
+      .select($"query_id", $"vec_id", $"cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5, centroidEvery = 20, nprobe = 2)
+      .collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(bf(( r.getLong(0), r.getLong(2))) === r.getDouble(3))
+    }
+  }
+}
