@@ -98,40 +98,41 @@ object Dedup {
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
   }
 
-  /** k minhashes via Kirsch–Mitzenmacher double hashing `h_j = h1 + j·h2m`:
-    * each shingle is md5-hashed ONCE into (h1, h2m); the k slots are k
-    * cheap arithmetic mins over the precomputed hash arrays — no per-slot
-    * re-hashing.
-    */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val h1s = transform(shingles, s => hash60(s))
-    val h2s = transform(shingles, s => hash60b(s))
-    val mins = (0 until k).map { j =>
-      array_min(zip_with(h1s, h2s, (h1, h2) => h1 + lit(j.toLong) * h2))
-    }
-    array(mins: _*)
-  }
-
   /** MinHash-LSH near-dup pairs: signature → bands → bucket join →
     * exact-Jaccard verification on the candidates only.
     *
     * bands·rows = k. Pr[candidate] = 1-(1-j^rows)^bands — with k=32,
     * bands=8, rows=4 a 0.7-Jaccard pair is caught w.p. ~0.97 while the
-    * quadratic work stays inside hash buckets. That is the 100 TB shape:
-    * the explode is linear, the candidate join is an equi-join on
-    * (band, band_hash) over bare ids, and only verified candidates ever
-    * re-touch the shingle sets.
+    * quadratic work stays inside hash buckets.
+    *
+    * The signature is computed RELATIONALLY, not with array lambdas:
+    * explode shingles to rows, md5 each shingle once in a flat projection,
+    * then the k slots are `min(h1 + j·h2m)` aggregates (Kirsch–Mitzenmacher)
+    * in ONE map-side-combinable shuffle. Higher-order-function forms
+    * (k × array_min(zip_with(...))) blow up the Catalyst tree when the
+    * optimizer inlines the shared hash arrays — planning alone went to
+    * minutes — and re-evaluate the hash lambda per slot; the relational
+    * shape keeps everything in flat whole-stage codegen and is also the
+    * right 100 TB plan (min combines map-side, explode is linear).
     */
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
     val rows = k / bands
     val prepared = docs.select(col(id).as("doc_id"),
       sort_array(array_distinct(shingles3(col(text)))).as("sh"))
-    val banded = prepared
-      .withColumn("sig", minhashSignature(col("sh"), k))
+    val hashed = prepared
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("m", md5(col("s")))
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          hash60(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(col("m"), 16, 15), 16, 10).cast("long") % 1000000007L).as("h2"))
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(min(col("h1") + lit(0L) * col("h2")).as("mh0"),
+        (1 until k).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j")): _*)
+    val banded = sig
+      .select(col("doc_id"), posexplode(array((0 until bands).map { b =>
+        hash60(concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+      }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_id_b"))

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{detRound, stableSum2, stableSumScaled}
+
+/** General OLAP operator coverage beyond the reference's ETL surface:
+  * grouping sets/rollup, pivot, running windows, exact percentiles, set
+  * operations, multi-join pricing-summary (TPC-H Q3 shape), and event-time
+  * AS-OF join. Each is a thin, idiomatic Spark plan — Catalyst handles
+  * pushdown/broadcast — with a DuckDB mirror in SparkEntry.oracleSql.
+  */
+object Olap {
+
+  /** ROLLUP(l_returnflag, l_linestatus) with subtotal + grand-total rows.
+    * One shuffle; Spark expands the grouping sets map-side.
+    */
+  def rollupQuantities(lineitem: DataFrame): DataFrame =
+    lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(stableSum2(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Hour × event-type counts pivoted to one column per type. Explicit value
+    * list keeps the schema static (required at 100 TB — a dynamic pivot
+    * would scan once just to enumerate columns); empty cells coalesce to 0
+    * to match conditional-aggregation semantics.
+    */
+  def pivotEventCounts(events: DataFrame, types: Seq[String]): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hora"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("hora") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+
+  /** Per-customer running order totals: cumulative sum (exact decimal —
+    * float running sums are association-order-dependent across engines),
+    * sequence number, and previous order price. One shuffle on o_custkey.
+    */
+  def runningTotals(orders: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(cum).cast("double")
+        .as("running_total"),
+      row_number().over(order).cast("long").as("order_seq"),
+      lag(col("o_totalprice"), 1).over(order).as("prev_price"))
+  }
+
+  /** Exact linear-interpolation percentiles per group (Spark `percentile`,
+    * not `percentile_approx` — approx sketches are engine-specific and
+    * uncheckable). detRound(4) quantizes away last-ULP interpolation
+    * differences between engines.
+    */
+  def pricePercentiles(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        detRound(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        detRound(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        detRound(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("n_rows"))
+
+  /** INTERSECT / EXCEPT / UNION over customer activity in two years,
+    * tagged into one relation. Distinct set semantics on both engines.
+    */
+  def customerYearSetOps(orders: DataFrame, yearA: Int, yearB: Int): DataFrame = {
+    def custsIn(y: Int) =
+      orders.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val a = custsIn(yearA)
+    val b = custsIn(yearB)
+    a.intersect(b).select(lit("both").as("tag"), col("o_custkey"))
+      .unionAll(a.except(b).select(lit(s"only_$yearA").as("tag"), col("o_custkey")))
+      .unionAll(b.except(a).select(lit(s"only_$yearB").as("tag"), col("o_custkey")))
+  }
+
+  /** TPC-H Q3-shaped pricing summary: segment-filtered customers (broadcast
+    * — the filtered dim is tiny) ⋈ date-filtered orders ⋈ date-filtered
+    * lineitem, revenue per order, top-k by quantized revenue with
+    * deterministic tiebreak. Filters sit directly on the scans so parquet
+    * pushdown + AQE broadcast planning both apply.
+    */
+  def pricingSummary(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                     segment: String, cutoff: String, k: Int): DataFrame = {
+    val cut = to_timestamp(lit(cutoff))
+    val c = customer.filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+    val o = orders.filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = lineitem.filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(detRound(stableSumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Event-time AS-OF join, windowed-union formulation: for every `targetType`
+    * event, the timestamp of the latest `priorType` event of the same user at
+    * or before it. One shuffle on user_id; per-user sorted scan — the
+    * Spark-native shape of `ASOF JOIN` (no per-row range probe). At equal
+    * timestamps the prior-type row sorts first, so a same-instant prior
+    * matches (mirrors `v.ts <= c.ts`).
+    */
+  def asofPriorEvent(events: DataFrame, priorType: String, targetType: String): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(priorType, targetType))
+      .withColumn("__is_prior", col("event_type") === priorType)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("__is_prior").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("prior_ts",
+        last(when(col("__is_prior"), col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === targetType)
+      .select(col("event_id"), col("user_id"), col("ts"), col("prior_ts"))
+  }
+}

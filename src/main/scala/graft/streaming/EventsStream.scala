@@ -27,6 +27,22 @@ object EventsStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir")
 
+  /** Stream the driver's events.parquet (TIMESTAMP(NANOS), which Spark 4
+    * refuses natively): read nanos as long, floor to micros — identical to
+    * the batch-side events reader and to the oracle engine's coercion.
+    * No maxFilesPerTrigger: one AvailableNow batch, so nothing is ever
+    * behind the watermark and the result equals the batch aggregate.
+    */
+  def readEventsStreamNanos(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(eventsSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.readStream.schema(nanosSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Tumbling 1-hour event-time windows with a 2-hour watermark — the
     * streaming form of Events.hourly. Late rows beyond the watermark are
     * dropped; state is bounded by (watermark horizon / window) per type.
@@ -34,7 +50,8 @@ object EventsStream {
   def hourlyCounts(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.GraftFunctions.stableSum2(col("value")).as("sum_value"))
       .select(col("w.start").as("hora"), col("event_type"), col("n_events"), col("sum_value"))
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
