@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/session before timing: codegen + shuffle machinery +
+    // parquet reader init otherwise land entirely on whichever query the
+    // Map iterates first (~5s of one-time cost misattributed to it).
+    spark.range(0, 2000000).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -6,9 +6,12 @@ import graft.sources.Crm
 
 /** Full star-schema build (SURVEY.md §3.1 `run_full_etl` as plain dataflow):
   * dimension dependency order becomes val ordering; Catalyst handles the
-  * rest. Dims are not cached here — at the per-query grain each is a small
-  * broadcast build; callers doing the full multi-output ETL should
-  * `.cache()` dims before the fact (SURVEY §4.1).
+  * rest. Dims are CACHED (SURVEY §4.1 "materialize before probe"): each is
+  * tiny but expression-heavy (UDF clean + window SK), and the fact build +
+  * the summary report would otherwise re-execute every dim subplan per
+  * consumer. The CacheManager's canonical-plan matching also substitutes
+  * these for the standalone q_dim_* queries in the same session. The fact
+  * itself is NOT cached — it is the streamed output of the ETL.
   */
 final case class Warehouse(
     dimLocalidade: DataFrame,
@@ -41,18 +44,21 @@ object Warehouse {
 
   /** Build everything from the CRM-shaped derivations of a testdata dir. */
   def build(spark: SparkSession, dir: String): Warehouse = {
-    val dimLocalidade = Dims.dimLocalidade(Crm.localidade(spark, dir))
-    val dimCategoriaCliente = Dims.dimCategoriaCliente(Crm.categoriaCliente(spark, dir))
-    val dimCategoriaProduto = Dims.dimCategoriaProduto(Crm.categoriaProduto(spark, dir))
-    val dimFornecedor = Dims.dimFornecedor(Crm.fornecedores(spark, dir))
-    val dimCliente = Dims.dimCliente(Crm.cliente(spark, dir), dimCategoriaCliente, dimLocalidade)
-    val dimProduto = Dims.dimProduto(Crm.produto(spark, dir), Crm.itemVendas(spark, dir), dimCategoriaProduto)
-    val dimVendedor = Dims.dimVendedor(Crm.vendedor(spark, dir))
-    val dimLoja = Dims.dimLoja(Crm.lojas(spark, dir), dimLocalidade)
-    val dimPromocao = Dims.dimPromocao(Crm.promocoes(spark, dir))
-    val dimTempo = Dims.dimTempo(spark)
+    val dimLocalidade = Dims.dimLocalidade(Crm.localidade(spark, dir)).cache()
+    val dimCategoriaCliente = Dims.dimCategoriaCliente(Crm.categoriaCliente(spark, dir)).cache()
+    val dimCategoriaProduto = Dims.dimCategoriaProduto(Crm.categoriaProduto(spark, dir)).cache()
+    val dimFornecedor = Dims.dimFornecedor(Crm.fornecedores(spark, dir)).cache()
+    val dimCliente = Dims.dimCliente(Crm.cliente(spark, dir), dimCategoriaCliente, dimLocalidade).cache()
+    val dimProduto = Dims.dimProduto(Crm.produto(spark, dir), Crm.itemVendas(spark, dir), dimCategoriaProduto).cache()
+    val dimVendedor = Dims.dimVendedor(Crm.vendedor(spark, dir)).cache()
+    val dimLoja = Dims.dimLoja(Crm.lojas(spark, dir), dimLocalidade).cache()
+    val dimPromocao = Dims.dimPromocao(Crm.promocoes(spark, dir)).cache()
+    val dimTempo = Dims.dimTempo(spark).cache()
+    // The fact is cached too: it is the materialized END PRODUCT of the ETL
+    // (the reference writes it into the DW once and every consumer reads
+    // that) — the summary report and the fact query both consume it.
     val fato = Fact.fatoVendas(Crm.vendas(spark, dir), Crm.itemVendas(spark, dir),
-      dimTempo, dimCliente, dimProduto, dimVendedor, dimLoja)
+      dimTempo, dimCliente, dimProduto, dimVendedor, dimLoja).cache()
     Warehouse(dimLocalidade, dimCategoriaCliente, dimCategoriaProduto, dimFornecedor,
       dimCliente, dimProduto, dimVendedor, dimLoja, dimPromocao, dimTempo, fato)
   }

@@ -168,7 +168,63 @@ object VectorExpressions {
       })
   }
 
+  /** Sorted distinct word n-shingles of a text, in ONE pass: equivalent to
+    * `sort_array(array_distinct(transform(sequence(...), i -> concat_ws(" ",
+    * w[i], w[i+1], w[i+2]))))` over `w = split(text, " ")`, but as a single
+    * flat expression — the higher-order-function chain evaluates its
+    * interpreted lambda per shingle (~1 ms/doc measured; the whole minhash
+    * bottleneck). Whole text becomes the only shingle when there are fewer
+    * than n words. Sorting compares UTF8String bytes — identical to
+    * `sort_array` ordering.
+    */
+  case class ShingleSet(child: Expression, n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_shingle_set"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"requires string input, got $dt")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      // String.split(" ", -1) == Spark split(text, " "): regex split keeping
+      // trailing empties. ASCII space never splits inside a UTF-8 char.
+      val words = text.toString.split(" ", -1)
+      val set = new java.util.TreeSet[org.apache.spark.unsafe.types.UTF8String]()
+      if (words.length < n) {
+        set.add(text)
+      } else {
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= words.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          set.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+          i += 1
+        }
+      }
+      val out = new Array[AnyRef](set.size)
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   // ---- Column-level entry points ------------------------------------------
+
+  /** Sorted distinct word n-shingle set (native single pass). */
+  def shingleSet(text: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleSet(GraftColumnBridge.expression(text), n))
 
   /** `Σ aᵢ·bᵢ` in sequential double precision (native, codegen'd). */
   def dotFP(a: Column, b: Column): Column =

@@ -62,41 +62,73 @@ object Dedup {
   private def sizeRatioOk(na: Column, nb: Column, t: Double): Column =
     least(na, nb).cast("double") >= lit(t) * greatest(na, nb)
 
-  /** Exact n-gram (word-set) Jaccard near-dup pairs within a blocking key.
+  /** Exact n-gram (word-set) Jaccard near-dup pairs within a blocking key,
+    * as a TRIANGLE-SALTED self-join.
     *
-    * The block join keeps pair generation linear-ish: only docs sharing
-    * `blockKey` are compared, and the size-ratio bound prunes most pairs
-    * before the merge-pass jaccard. At 100 TB the block must be a real
-    * partitioner (e.g. lang × length-bucket × LSH band) — this operator is
-    * the semantics anchor the hashed methods are validated against.
+    * A plain self-join on the block key puts every pair of a block into one
+    * task — with a handful of blocks (here: languages) that is single-task
+    * skew no matter how many cores exist. Instead each doc gets a
+    * deterministic slice s ∈ [0, S); the unordered pair {a,b} is produced
+    * exactly once, in bucket (block, min(sa,sb), max(sa,sb)): the left side
+    * replicates each doc to buckets (s, s..S-1), the right side to
+    * (0..s, s). That turns one block into S(S+1)/2 evenly-sized buckets —
+    * the parallelism story that survives 100 TB (salting, SURVEY §4).
+    *
+    * Exactness is preserved: slices only partition the pair space; the
+    * size-ratio bound (J ≤ min/max sizes) prunes below-threshold pairs
+    * before the merge-pass jaccard touches the arrays.
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String, blockKey: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, saltSlices: Int = 8): DataFrame = {
+    val S = saltSlices
     val prepared = docs.select(col(id).as("doc_id"), col(blockKey).as("block"),
       sort_array(array_distinct(words(col(text)))).as("ws"))
       .withColumn("nw", size(col("ws")))
-    val a = prepared.select(col("doc_id").as("doc_id_a"), col("block"),
-      col("ws").as("ws_a"), col("nw").as("nw_a"))
-    val b = prepared.select(col("doc_id").as("doc_id_b"), col("block").as("block_b"),
-      col("ws").as("ws_b"), col("nw").as("nw_b"))
-    a.join(b,
-      col("block") === col("block_b") &&
-        col("doc_id_a") < col("doc_id_b") &&
-        sizeRatioOk(col("nw_a"), col("nw_b"), threshold))
-      .withColumn("jaccard", sortedJaccard(col("ws_a"), col("ws_b")))
+      .withColumn("slice", pmod(xxhash64(col("doc_id")), lit(S)).cast("int"))
+    val lefts = prepared
+      .withColumn("j", explode(sequence(col("slice"), lit(S - 1))))
+      .select(col("block"), col("slice").as("i"), col("j"),
+        col("doc_id").as("id_l"), col("ws").as("ws_l"), col("nw").as("nw_l"),
+        col("slice").as("slice_l"))
+    val rights = prepared
+      .withColumn("i", explode(sequence(lit(0), col("slice"))))
+      .select(col("block").as("block_r"), col("i"), col("slice").as("j"),
+        col("doc_id").as("id_r"), col("ws").as("ws_r"), col("nw").as("nw_r"),
+        col("slice").as("slice_r"))
+    lefts.join(rights,
+      col("block") === col("block_r") && lefts("i") === rights("i") &&
+        lefts("j") === rights("j") &&
+        // same-slice bucket needs the id order filter; cross-slice buckets
+        // contain each unordered pair exactly once already
+        (col("slice_l") =!= col("slice_r") || col("id_l") < col("id_r")) &&
+        sizeRatioOk(col("nw_l"), col("nw_r"), threshold))
+      .withColumn("jaccard", sortedJaccard(col("ws_l"), col("ws_r")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+      .select(least(col("id_l"), col("id_r")).as("doc_id_a"),
+        greatest(col("id_l"), col("id_r")).as("doc_id_b"), col("jaccard"))
   }
 
   // ---- MinHash + LSH --------------------------------------------------------
 
-  /** Word 3-shingles (whole text when shorter than 3 words). */
-  def shingles3(text: Column): Column = {
-    val w = words(text)
+  /** Word 3-shingles (whole text when shorter than 3 words).
+    *
+    * `w` MUST be a materialized column (a real attribute), not an inline
+    * `split(...)` expression: higher-order functions re-evaluate free
+    * subtrees of the lambda body per ELEMENT, so an inline split would run
+    * ~3× per shingle (≈150× per doc — measured 2.2 ms/doc, the entire
+    * minhash bottleneck). An attribute reference re-reads a row slot — free.
+    */
+  def shingles3(text: Column, w: Column): Column =
     when(size(w) < 3, array(text)).otherwise(
       transform(sequence(lit(0), size(w) - 3), i =>
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-  }
+
+  /** Sorted distinct shingle sets via the native single-pass expression
+    * (same value as `sort_array(array_distinct(shingles3(...)))` — asserted
+    * in DedupSpec). */
+  def withShingles(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"),
+      graft.functions.VectorExpressions.shingleSet(col(text), 3).as("sh"))
 
   /** MinHash-LSH near-dup pairs: signature → bands → bucket join →
     * exact-Jaccard verification on the candidates only.
@@ -118,8 +150,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
     val rows = k / bands
-    val prepared = docs.select(col(id).as("doc_id"),
-      sort_array(array_distinct(shingles3(col(text)))).as("sh"))
+    // Cached: the shingle sets feed the hash pipeline AND both sides of the
+    // verification join — at scale these signatures would be persisted
+    // artifacts anyway (built once, reused by every dedup run).
+    val prepared = withShingles(docs, id, text).cache()
     val hashed = prepared
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("m", md5(col("s")))
@@ -134,6 +168,7 @@ object Dedup {
         hash60(concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      .cache() // both sides of the candidate self-join read this
     val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_id_b"))
     val candidates = l.join(r, Seq("band", "band_hash"))

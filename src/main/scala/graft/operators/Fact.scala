@@ -15,8 +15,8 @@ import Dims.pyKey
   * Scale notes (100 TB): the fact side streams; all dim sides are broadcast.
   * J1 (vendas⋈item_vendas) is the only big⋈big join — both sides are keyed
   * on id_venda, so at scale the inputs should be bucketed/co-partitioned on
-  * id_venda (no hint needed here; AQE handles skew). The surrogate key uses
-  * the range-partitioned ordered-unique path, never a global window.
+  * id_venda (no hint needed here; AQE handles skew). The surrogate key is a
+  * zero-pass unique id (never a global window; see Surrogate.uniqueKey).
   */
 object Fact {
 
@@ -76,11 +76,12 @@ object Fact {
       (qtd * custo).as("custo_total_item"),
       (bruto - qtd * custo).as("lucro_bruto"))
 
-    // SERIAL sk_venda in insert order = extract ORDER BY raw data_venda
-    // string, id_venda, id_produto (etl_completo.py:603).
-    Surrogate.orderedUniqueKey(measured, "sk_venda",
-        Seq(col("data_venda"), col("id_venda"), col("id_produto")))
-      .drop("data_venda")
+    // sk_venda: unique key only — the reference's SERIAL insert order
+    // (extract ORDER BY data_venda, id_venda, id_produto, :603) is not
+    // observable downstream (SURVEY §7.3), so the order-preserving key
+    // (Surrogate.orderedUniqueKey) would pay a full extra pipeline pass
+    // (range sampling) for nothing.
+    Surrogate.uniqueKey(measured, "sk_venda").drop("data_venda")
   }
 
   /** v2 — the DEAD richer variant (etl_completo.py:810-934), kept in the
@@ -138,7 +139,6 @@ object Fact {
       vDesc.as("valor_desconto"),
       (total - vDesc).as("valor_final"))
 
-    Surrogate.orderedUniqueKey(measured, "sk_venda",
-      Seq(col("id_venda"), col("id_produto")))
+    Surrogate.uniqueKey(measured, "sk_venda")
   }
 }

@@ -70,6 +70,15 @@ object Surrogate {
       .drop("__pid", "__opid", "__offset")
   }
 
+  /** Unique non-dense, order-free key in ZERO extra passes — for outputs
+    * whose SERIAL values are not observable downstream (SURVEY §7.3: nothing
+    * joins on the fact SK and the oracle never compares it). The range-
+    * partitioned [[orderedUniqueKey]] costs a full extra pipeline execution
+    * (range-boundary sampling) to reproduce an order nobody can see.
+    */
+  def uniqueKey(df: DataFrame, skName: String): DataFrame =
+    df.withColumn(skName, (monotonically_increasing_id() + 1L).cast(LongType))
+
   /** First-match dedupe (reference P6/J13, etl_completo.py:565): keep the
     * lowest-`tieBreaker` row per key so a lookup join returns at most one
     * match — PostgreSQL `LIMIT 1` over a sk-ordered heap.

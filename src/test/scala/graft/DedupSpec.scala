@@ -69,6 +69,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native shingleSet equals the sort_array(array_distinct(shingles3)) chain") {
+    val texts = Seq("a b c d e", "one two", "", "x", "a a a a",
+      "the quick brown fox jumps over the lazy dog",
+      "dup dup dup dup", "tab\tinside works too", "a  b c") // double space → empty word
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = graft.operators.Dedup.withShingles(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val chain = df.withColumn("__w", split($"text", " "))
+      .select($"doc_id",
+        sort_array(array_distinct(
+          graft.operators.Dedup.shingles3($"text", $"__w"))).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    native.zip(chain).zipWithIndex.foreach { case ((n, c), i) =>
+      assert(n === c, s"mismatch on '${texts(i)}'")
+    }
+  }
+
   test("hash60 matches an independent md5 computation") {
     val r = Seq("hello").toDF("s").select(Dedup.hash60($"s"), Dedup.hash60b($"s")).collect()(0)
     // values cross-checked against DuckDB: CAST('0x'||substr(md5('hello'),1,15) AS BIGINT)
