@@ -26,6 +26,18 @@ final case class Warehouse(
     dimTempo: DataFrame,
     fatoVendas: DataFrame) {
 
+  /** The ETL "load" step (reference: per-row INSERTs into PostgreSQL DW
+    * tables, etl_completo.py §S7/S8): one atomic parquet directory per DW
+    * table. Parquet + min-max statistics take the role of the reference's 21
+    * post-load b-tree indices (SURVEY §2.1 S9); at 100 TB the fact would
+    * additionally be written `partitionBy` a date-derived column — not done
+    * here because the testdata fact is a single small table.
+    */
+  def write(outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+
   def tables: Seq[(String, DataFrame)] = Seq(
     "dim_localidade" -> dimLocalidade,
     "dim_categoria_cliente" -> dimCategoriaCliente,

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.Files
+
+/** End-to-end star-schema build on sf0.001 (SURVEY §5.2): build → write →
+  * re-read → the §5.1 count-report invariants hold.
+  */
+class WarehouseSpec extends SparkSpec {
+
+  test("full ETL: build, write parquet sink, re-read with consistent counts") {
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("dw_out").toString
+    w.write(out)
+
+    val counts = w.tables.map { case (name, df) => name -> df.count() }.toMap
+    // re-read every sink table and compare
+    w.tables.foreach { case (name, _) =>
+      val reread = spark.read.parquet(s"$out/$name").count()
+      assert(reread === counts(name), s"sink count mismatch for $name")
+    }
+    // dim_tempo is the generated 2020-01-01..2025-12-31 range (2,192 rows —
+    // reference etl_completo.py:776-777)
+    assert(counts("dim_tempo") === 2192L)
+    assert(counts("fato_vendas") > 0L)
+    // every dimension SK is dense 1..N
+    w.tables.filter(_._1.startsWith("dim_")).foreach { case (name, df) =>
+      val skCol = df.columns.find(_.startsWith("sk_")).get
+      val sks = df.select(skCol).collect().map(_.getLong(0)).sorted
+      assert(sks.toSeq === (1L to sks.length), s"$name SKs not dense 1..N")
+    }
+    // fact SK unique
+    val fato = w.fatoVendas
+    assert(fato.select("sk_venda").distinct().count() === counts("fato_vendas"))
+  }
+}
