@@ -644,6 +644,57 @@ object OracleSql {
        |LEFT JOIN dim_loja dl ON ${pyKeySql("b.id_loja")} = dl.id_loja""".stripMargin
   }
 
+  /** fato_vendas v2 (mirror of Fact.fatoVendasV2 — the reference's dead-code
+    * richer variant, SURVEY §3.3): no date-based row drops, qtd guard
+    * defaults to 1, promo lookup (J7) + discount math (J9/F9). */
+  val fatoVendasV2Body: String = {
+    val qtd = "CASE WHEN iv.qtd_vendida IS NOT NULL AND iv.qtd_vendida > 0 THEN CAST(iv.qtd_vendida AS DOUBLE) ELSE 1.0 END"
+    val preco = "CASE WHEN iv.preco_venda IS NOT NULL AND iv.preco_venda > 0 THEN CAST(iv.preco_venda AS DOUBLE) ELSE 0.0 END"
+    s"""SELECT b.id_venda, b.id_produto, t.sk_tempo, dc.sk_cliente, dv.sk_vendedor,
+       |  dl.sk_loja, dp.sk_produto, pr.sk_promocao,
+       |  b.qtd AS quantidade_vendida,
+       |  b.preco AS preco_unitario_venda,
+       |  b.qtd * b.preco AS valor_total_item,
+       |  COALESCE(dp.custo_unitario, 0.0) AS custo_unitario,
+       |  b.qtd * COALESCE(dp.custo_unitario, 0.0) AS custo_total_item,
+       |  b.qtd * b.preco - b.qtd * COALESCE(dp.custo_unitario, 0.0) AS lucro_bruto,
+       |  b.pct AS percentual_desconto,
+       |  CASE WHEN b.pct <> 0.0 THEN b.qtd * b.preco * (b.pct / 100) ELSE 0.0 END AS valor_desconto,
+       |  b.qtd * b.preco
+       |    - CASE WHEN b.pct <> 0.0 THEN b.qtd * b.preco * (b.pct / 100) ELSE 0.0 END AS valor_final
+       |FROM (
+       |  SELECT v.id_venda, iv.id_produto, v.id_cliente, v.id_vendedor, v.id_loja,
+       |    iv.id_promocao_aplicada,
+       |    $qtd AS qtd, $preco AS preco,
+       |    ${multiDateSql("v.data_venda")} AS data_obj,
+       |    COALESCE((SELECT CASE WHEN pr2.sk_promocao IS NOT NULL
+       |                            AND COALESCE(pr2.percentual_desconto, 0.0) <> 0.0
+       |                          THEN pr2.percentual_desconto ELSE 0.0 END
+       |              FROM dim_promocao pr2
+       |              WHERE ${pyKeySql("iv.id_promocao_aplicada")} = pr2.id_promocao), 0.0) AS pct
+       |  FROM vendas v JOIN item_vendas iv ON v.id_venda = iv.id_venda
+       |) b
+       |LEFT JOIN dim_tempo t ON b.data_obj = t.data_completa
+       |LEFT JOIN dim_cliente dc ON ${pyKeySql("b.id_cliente")} = dc.id_cliente
+       |LEFT JOIN dim_produto dp ON ${pyKeySql("b.id_produto")} = dp.id_produto
+       |LEFT JOIN dim_vendedor dv ON ${pyKeySql("b.id_vendedor")} = dv.id_vendedor
+       |LEFT JOIN dim_loja dl ON ${pyKeySql("b.id_loja")} = dl.id_loja
+       |LEFT JOIN dim_promocao pr ON ${pyKeySql("b.id_promocao_aplicada")} = pr.id_promocao""".stripMargin
+  }
+
+  val fatoVendasV2Select: String =
+    s"""SELECT id_venda, id_produto, sk_tempo, sk_cliente, sk_vendedor, sk_loja,
+       | sk_produto, sk_promocao,
+       | quantidade_vendida, preco_unitario_venda, valor_total_item,
+       | ${detRoundSql("custo_unitario", 4)} AS custo_unitario,
+       | ${detRoundSql("custo_total_item", 4)} AS custo_total_item,
+       | ${detRoundSql("lucro_bruto", 4)} AS lucro_bruto,
+       | percentual_desconto,
+       | ${detRoundSql("valor_desconto", 4)} AS valor_desconto,
+       | ${detRoundSql("valor_final", 4)} AS valor_final
+       |FROM ($fatoVendasV2Body)
+       |ORDER BY id_venda, id_produto""".stripMargin
+
   /** q_fato_vendas body: cost-derived measures rounded (they flow from an
     * engine-ordering-dependent AVG), natural-key ordered. */
   val fatoVendasSelect: String =
