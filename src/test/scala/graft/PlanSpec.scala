@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan assertions (the ".explain and iterate" discipline, encoded):
+  * filters reach the parquet scans, dimension joins broadcast, and nothing
+  * degenerates into a cartesian product where an equi-join is expected.
+  * Run at sf0.001 — plan shape, not data volume, is under test (AQE may
+  * choose broadcast for either side at this scale; the assertions only pin
+  * properties that must hold at ANY scale).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_scan_project pushes the filter into the parquet scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,1000.0)]"), p.take(2000))
+    // column pruning: the scan must not read all 8 customer columns
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double,c_mktsegment:string>"))
+  }
+
+  test("q_olap_pricing: segment+date filters pushed, joins are hash joins") {
+    val p = plan("q_olap_pricing")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("LessThan(o_orderdate"))
+    assert(p.contains("GreaterThan(l_shipdate"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_fato_vendas: every dimension lookup is a broadcast hash join") {
+    val p = plan("q_fato_vendas")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 5, s"expected >=5 broadcast dim lookups, got $nBroadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_dedup_minhash: candidate generation is an equi shuffle join, not a nested loop") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q1_agg: aggregation splits into partial (map-side) + final hash aggregate") {
+    // (WholeStageCodegen markers only appear in AQE's final plan after
+    // execution; the partial/final split is the scale-bearing property.)
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum"), "map-side combine missing")
+  }
+}
