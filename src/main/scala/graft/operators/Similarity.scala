@@ -127,6 +127,26 @@ object Similarity {
       .select(col("vec_id_a"), col("vec_id_b"), col("cos"))
   }
 
+  /** Per-label embedding centroid, fully relational and cross-engine exact:
+    * element values are quantized to 1e-6 BEFORE summing (integer sums are
+    * associative — raw float sums depend on aggregation order and diverge
+    * across engines), then divided back. Shape: posexplode → (label, pos)
+    * partial+final sum — one map-side-combinable shuffle; the centroid
+    * array is reassembled by sorting (pos, mean) structs.
+    */
+  def labelCentroids(emb: DataFrame, quantScale: Double = 1e6): DataFrame = {
+    val perPos = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("col").cast("double") * quantScale + 0.5)).as("s"),
+        count(lit(1)).as("n"))
+    perPos.groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => detRound(x.getField("s") / quantScale / x.getField("n"), 6)).as("centroid"),
+        max(col("n")).as("n_vectors"))
+  }
+
   /** Deterministic IVF (inverted-file) ANN — the production scale path when
     * buckets must be balanced: a fixed centroid sample partitions the corpus
     * into cells (the "index build"); a query scans only its `nprobe` nearest

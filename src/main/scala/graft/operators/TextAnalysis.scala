@@ -124,6 +124,27 @@ object TextAnalysis {
 
   val fingerprintUdf = udf((s: String) => rollingFingerprint(s))
 
+  /** TF-rarity top terms per document (TF-IDF with `N/df` rarity instead of
+    * `log(N/df)` — log's last-ULP varies across libm implementations, while
+    * integer-ratio scores are cross-engine exact). Three shuffles: term
+    * counts, document frequencies (broadcast back — the vocabulary is small
+    * relative to the corpus), per-doc top-k window.
+    */
+  def topTermsByTfRarity(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(id).as("doc_id"), explode(words(col(text))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        detRound(col("tf") * col("n_docs").cast("double") / col("df"), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("doc_id"), fingerprintUdf(col(text)).as("fingerprint"))
 }
