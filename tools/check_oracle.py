@@ -7,6 +7,7 @@ Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
 """
 import sys, json, glob, os
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -23,10 +24,19 @@ def norm_cell(v):
 
 
 def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    # Mirror the DRIVER's comparator exactly: pandas frame, columns sorted by
+    # name, rows sorted with DataFrame.sort_values over all columns.  This is
+    # deliberately NOT a tolerant Python-tuple sort — array-typed cells must
+    # crash here exactly as they crash in the driver (numpy.ndarray is
+    # unhashable), so a local "N ok" means the same thing as the driver's.
+    df = pd.DataFrame(rows, columns=cols)
+    df = df[sorted(df.columns)]
+    if len(df.columns) > 0:
+        df = df.sort_values(by=list(df.columns))
+    out = [tuple(norm_cell(v) for v in row)
+           for row in df.itertuples(index=False, name=None)]
     out.sort()
-    return [c for c in sorted(cols)], out
+    return list(df.columns), out
 
 
 def main(outdir, sfdir):
