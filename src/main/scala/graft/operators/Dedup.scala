@@ -174,12 +174,22 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b").distinct()
-    candidates
+    val result = candidates
       .join(prepared.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
       .join(prepared.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+      .cache()
+    // Materialize the (small, LSH-pruned) pair set eagerly, then release the
+    // two build-side caches — repeated invocations in a long-lived session
+    // would otherwise accumulate orphaned storage entries (r2 advice). The
+    // returned DataFrame is itself cached: it is the operator's persisted
+    // artifact, and its lifecycle belongs to the caller (unpersist when done).
+    result.count()
+    prepared.unpersist()
+    banded.unpersist()
+    result
   }
 
   // ---- SimHash --------------------------------------------------------------

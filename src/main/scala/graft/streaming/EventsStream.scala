@@ -34,6 +34,11 @@ object EventsStream {
     * behind the watermark and the result equals the batch aggregate.
     */
   def readEventsStreamNanos(spark: SparkSession, path: String): DataFrame = {
+    // SESSION-WIDE side effect (r2 advice): every later parquet read of a
+    // TIMESTAMP(NANOS) column in this session sees it as LongType too. That
+    // is intentional here — the batch reader (SparkEntry.events) applies the
+    // same flag + div-1000 coercion, so both paths agree — but a caller
+    // mixing nanos and native-timestamp parquet in one session must unset it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val nanosSchema = StructType(eventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = LongType)
@@ -56,9 +61,22 @@ object EventsStream {
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
+  /** start/last are MICROSECONDS since epoch: `Timestamp.getTime` is
+    * ms-grained and would silently truncate sub-millisecond event times
+    * (r2 advice — Spark's encoder preserves micros in the nanos field).
+    */
   case class SessionState(start: Long, last: Long, n: Long, value: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         n_events: Long, session_value: Double)
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
 
   /** Custom stateful sessionization via flatMapGroupsWithState: a session
     * closes after 30 min of inactivity (event-time timeout), emitting one
@@ -76,6 +94,7 @@ object EventsStream {
     */
   def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
@@ -85,16 +104,16 @@ object EventsStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.value))
+            Iterator(SessionOut(user, microsToTs(s.start), s.n, s.value))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
             var cur = state.getOption
             val out = Seq.newBuilder[SessionOut]
             for (e <- sorted) {
-              val t = e.ts.getTime
+              val t = toMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last > gapMs =>
-                  out += SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.value)
+                case Some(s) if t - s.last > gapUs =>
+                  out += SessionOut(user, microsToTs(s.start), s.n, s.value)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
                   cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, value = s.value + e.value))
@@ -104,8 +123,11 @@ object EventsStream {
             }
             cur.foreach { s =>
               state.update(s)
+              // the GroupState timeout API is ms-grained; round the micros
+              // deadline UP so a timeout never fires early
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(Math.floorDiv(s.last + gapUs + 999L, 1000L),
+                  state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
