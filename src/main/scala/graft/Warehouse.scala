@@ -38,6 +38,31 @@ final case class Warehouse(
       df.write.mode("overwrite").parquet(s"$outDir/$name")
     }
 
+  /** Idempotent load (S7 — the reference's `INSERT … ON CONFLICT DO NOTHING`,
+    * etl_completo.py:172-177 et al.): rows whose natural key already exists
+    * in the target are skipped, only new keys are appended, so a re-run over
+    * the same inputs is a no-op. Per table: one key-columns-only read of the
+    * target (parquet column pruning — the existing data is never rewritten)
+    * + one left-anti join + an append. At 100 TB that is a key-scan and an
+    * append, never a rewrite; a true upsert (`MERGE … WHEN MATCHED UPDATE`)
+    * needs a transactional table format, which the reference does not use
+    * either.
+    */
+  def writeIdempotent(outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      val target = s"$outDir/$name"
+      val spark = df.sparkSession
+      val path = new org.apache.hadoop.fs.Path(target)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) df.write.mode("overwrite").parquet(target)
+      else {
+        val keys = Warehouse.naturalKeys(name)
+        val existing = spark.read.parquet(target)
+          .select(keys.map(org.apache.spark.sql.functions.col): _*)
+        df.join(existing, keys, "left_anti").write.mode("append").parquet(target)
+      }
+    }
+
   def tables: Seq[(String, DataFrame)] = Seq(
     "dim_localidade" -> dimLocalidade,
     "dim_categoria_cliente" -> dimCategoriaCliente,
@@ -53,6 +78,24 @@ final case class Warehouse(
 }
 
 object Warehouse {
+
+  /** Natural (conflict) keys = the reference's PRIMARY KEYs
+    * (sql/create_tables.sql:15,22,27,32,37,45,53,59,68,81,95): dimensions on
+    * their business id, the item-grain fact on (id_venda, id_produto);
+    * dim_tempo keys on the calendar date itself.
+    */
+  val naturalKeys: Map[String, Seq[String]] = Map(
+    "dim_localidade" -> Seq("id_localidade"),
+    "dim_categoria_cliente" -> Seq("id_categoria_cliente"),
+    "dim_categoria_produto" -> Seq("id_categoria_produto"),
+    "dim_fornecedor" -> Seq("id_fornecedor"),
+    "dim_cliente" -> Seq("id_cliente"),
+    "dim_produto" -> Seq("id_produto"),
+    "dim_vendedor" -> Seq("id_vendedor"),
+    "dim_loja" -> Seq("id_loja"),
+    "dim_promocao" -> Seq("id_promocao"),
+    "dim_tempo" -> Seq("data_completa"),
+    "fato_vendas" -> Seq("id_venda", "id_produto"))
 
   /** One Warehouse per (session, dir): `build` is called by several queries
     * (`q_fato_vendas`, `q_report_summary`, `entry`) in one session; without

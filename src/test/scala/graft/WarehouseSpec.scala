@@ -32,4 +32,26 @@ class WarehouseSpec extends SparkSpec {
     val fato = w.fatoVendas
     assert(fato.select("sk_venda").distinct().count() === counts("fato_vendas"))
   }
+
+  test("idempotent load (S7): re-run appends nothing, partial target is topped up") {
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("dw_idem").toString
+
+    // pre-seed one table with a strict subset — the reference's "DW already
+    // has some of these keys" scenario
+    w.dimLocalidade.limit(10).write.parquet(s"$out/dim_localidade")
+
+    w.writeIdempotent(out)
+    val first = w.tables.map { case (n, _) =>
+      n -> spark.read.parquet(s"$out/$n").count()
+    }.toMap
+    // the pre-seeded table was topped up to the full row set, not duplicated
+    assert(first("dim_localidade") === w.dimLocalidade.count())
+
+    w.writeIdempotent(out) // full re-run against the existing DW
+    w.tables.foreach { case (n, _) =>
+      assert(spark.read.parquet(s"$out/$n").count() === first(n),
+        s"$n changed on idempotent re-run")
+    }
+  }
 }
