@@ -102,6 +102,11 @@ object Crm {
           .otherwise(col("c_mktsegment")).as("nome_categoria_cliente"),
         col("c_mktsegment").as("_seg"))
 
+  /** Full CRM cliente schema (sql/create_tables.sql:58-65) including the
+    * declared-but-unused `idade`/`genero` (SURVEY §1.3) — the reference's
+    * extraction projects them away (etl_completo.py:306-310), so dim_cliente
+    * never carries them, but a CRM reader must expose them.
+    */
   def cliente(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
     val cat = categoriaCliente(spark, dir)
@@ -114,6 +119,11 @@ object Crm {
             concat(lit("cliente da silva "), col("c_custkey").cast("string")))
           .when(col("c_custkey") % 5 === 3, lit(null))
           .otherwise(col("c_name")).as("nome_cliente"),
+        when(col("c_custkey") % 11 === 0, lit(null))
+          .otherwise((col("c_custkey") % 60 + 18).cast("long")).as("idade"),
+        when(col("c_custkey") % 3 === 0, lit("F"))
+          .when(col("c_custkey") % 3 === 1, lit("M"))
+          .otherwise(lit(null)).as("genero"),
         when(col("c_custkey") % 50 === 0, lit(null))
           .otherwise(col("id_categoria_cliente")).as("id_categoria_cliente"),
         when(col("c_custkey") % 37 === 0, lit(null))

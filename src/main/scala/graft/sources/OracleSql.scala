@@ -362,6 +362,10 @@ object OracleSql {
       |      WHEN c_custkey % 5 = 2 THEN 'cliente da silva ' || CAST(c_custkey AS VARCHAR)
       |      WHEN c_custkey % 5 = 3 THEN NULL
       |      ELSE c_name END AS nome_cliente,
+      | CASE WHEN c_custkey % 11 = 0 THEN NULL
+      |      ELSE CAST(c_custkey % 60 + 18 AS BIGINT) END AS idade,
+      | CASE WHEN c_custkey % 3 = 0 THEN 'F'
+      |      WHEN c_custkey % 3 = 1 THEN 'M' ELSE NULL END AS genero,
       | CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE cc.id_categoria_cliente END AS id_categoria_cliente,
       | CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE CAST(c_nationkey AS BIGINT) END AS id_localidade
       |FROM customer JOIN categoria_cliente cc ON c_mktsegment = cc._seg""".stripMargin

@@ -80,6 +80,19 @@ class SourcesSpec extends SparkSpec {
     assert(cust.agg(sum(col("c_custkey"))).collect().head.get(0).toString.toLong === 5050L)
   }
 
+  test("cliente models the full CRM schema incl. declared-but-unused idade/genero") {
+    val cli = graft.sources.Crm.cliente(spark, "/root/testdata/sf0.001")
+    assert(cli.columns.toSeq === Seq("id_cliente", "nome_cliente", "idade", "genero",
+      "id_categoria_cliente", "id_localidade"))
+    // the reference's extraction projects them away (etl_completo.py:306-310)
+    val dim = graft.operators.Dims.dimCliente(cli,
+      graft.operators.Dims.dimCategoriaCliente(
+        graft.sources.Crm.categoriaCliente(spark, "/root/testdata/sf0.001")),
+      graft.operators.Dims.dimLocalidade(
+        graft.sources.Crm.localidade(spark, "/root/testdata/sf0.001")))
+    assert(!dim.columns.contains("idade") && !dim.columns.contains("genero"))
+  }
+
   test("Crm derivations run unchanged against the JDBC source") {
     val loc = graft.sources.Crm.localidade(spark, jdbcUrl)
     assert(loc.columns.toSeq === Seq("id_localidade", "cidade", "estado", "regiao"))
