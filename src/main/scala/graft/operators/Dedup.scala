@@ -236,4 +236,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_id_a"), col("doc_id_b"), col("hamming").cast("int").as("hamming"))
   }
+
+  // ---- Cluster / canonical assignment ---------------------------------------
+
+  /** Connected components over a near-duplicate pair list: every document
+    * gets `cluster_id` = the minimum doc id reachable through pairs, so the
+    * canonical keeper per cluster is the row with `doc_id == cluster_id` —
+    * the step that turns pairwise dedup output into per-document keep/drop
+    * decisions in a training-data pipeline.
+    *
+    * Algorithm: iterative min-label propagation (the standard distributed CC
+    * scheme — each round is one edge join + one min-aggregate, both plain
+    * shuffles on the id). Rounds needed = graph diameter, which for
+    * near-dup clusters (LSH-verified near-cliques) is tiny; the driver-side
+    * loop only orchestrates — each iteration is fully distributed, and the
+    * convergence probe is an `isEmpty` on the changed-label set. Labels are
+    * checkpoint-cached per round so lineage stays O(1) deep instead of
+    * O(iterations).
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                          aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("comp"))
+      val updated = labels.union(neighborMin)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .cache()
+      updated.count() // materialize before dropping the previous round's cache
+      val changed = !updated.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("comp").as("cluster_id"))
+  }
 }

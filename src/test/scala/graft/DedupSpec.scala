@@ -112,4 +112,15 @@ class DedupSpec extends SparkSpec {
       assert(TextAnalysis.rollingFingerprint(s) === direct(s, 8), s"mismatch on '$s'")
     }
   }
+
+  test("connectedComponents propagates min label across multi-hop chains") {
+    val nodes = (1L to 10L).toDF("doc_id")
+    // a 4-chain (needs >1 propagation round), a 2-clique, and isolated nodes
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .toDF("doc_id_a", "doc_id_b")
+    val comps = Dedup.connectedComponents(nodes, "doc_id", pairs, "doc_id_a", "doc_id_b")
+      .orderBy($"doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 9L, 10L -> 9L))
+  }
 }

@@ -42,6 +42,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q_skew_join: salted join stays an equi hash/merge join on (key, salt)") {
+    val p = plan("q_skew_join")
+    assert(p.contains("__psalt"), "salt column missing from the join keys")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q1_agg: aggregation splits into partial (map-side) + final hash aggregate") {
     // (WholeStageCodegen markers only appear in AQE's final plan after
     // execution; the partial/final split is the scale-bearing property.)
