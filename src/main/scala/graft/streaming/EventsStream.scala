@@ -136,15 +136,28 @@ object EventsStream {
 
   /** Run a streaming DataFrame to completion over the bounded source and
     * return the materialized result (memory sink, AvailableNow trigger).
+    *
+    * Shuffle partitions are lowered for the stream's lifetime: a streaming
+    * query pins its STATE partition count at first start, and every state
+    * partition pays a store load/commit per micro-batch — with the keyspace
+    * here (event types, ≤thousands of users) 8 partitions cut that fixed
+    * overhead 4× vs. the session's batch setting with no loss of map-side
+    * parallelism. At production volume pick ~(peak keys × state row size /
+    * executor memory budget) instead.
     */
   def runToCompletion(spark: SparkSession, streaming: DataFrame, name: String,
-                      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = streaming.writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                      outputMode: OutputMode = OutputMode.Complete(),
+                      statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = streaming.writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
