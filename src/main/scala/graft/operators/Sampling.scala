@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling (SURVEY.md §7.5 extension).
+  *
+  * Training-data pipelines need samples and train/eval splits that are
+  * REPRODUCIBLE across reruns, engines and cluster layouts — `rand()` (seeded
+  * per-partition) changes with partitioning, so the decision here is a pure
+  * function of the row's key: keep iff the first 60 bits of md5(key) fall
+  * below fraction·2^60. md5 is bit-identical everywhere, which also makes
+  * every sample oracle-checkable. Stateless per row — no shuffle, scales
+  * embarrassingly.
+  */
+object Sampling {
+
+  val HashSpace: Long = 1L << 60
+
+  /** The cut point for a fraction, as the literal both engines compare to. */
+  def cut(fraction: Double): Long = (fraction * HashSpace).toLong
+
+  /** Keep-predicate: deterministic Bernoulli(fraction) on the key. */
+  def keep(key: Column, fraction: Double): Column =
+    Dedup.hash60(key.cast("string")) < lit(cut(fraction))
+
+  def sample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(keep(key, fraction))
+
+  /** Disjoint, exhaustive train/eval tag — the md5 interval [0, cut) is the
+    * train side, so the split survives reruns and incremental appends. */
+  def trainEvalSplit(df: DataFrame, key: Column, trainFraction: Double,
+                     splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol,
+      when(keep(key, trainFraction), lit("train")).otherwise(lit("eval")))
+}

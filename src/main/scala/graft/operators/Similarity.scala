@@ -147,6 +147,32 @@ object Similarity {
         max(col("n")).as("n_vectors"))
   }
 
+  /** LSH-bucketed near-duplicate pairs — the scale path for
+    * [[cosineNearDupPairs]]: candidate pairs only form INSIDE an SRP bucket,
+    * so the quadratic step runs over ~n²/2^nBits pairs instead of n²/2. The
+    * price is recall < 1 (a near-dup pair split across buckets is missed —
+    * raise recall with band-OR over several independent bucket sets);
+    * everything that IS emitted carries the exact cosine. No multi-probe
+    * here: the bucket set must be a pure function of the vector so the pair
+    * appears exactly once and the oracle can mirror it.
+    */
+  def lshNearDupPairs(corpus: DataFrame, dim: Int, threshold: Double,
+                      nBits: Int = 8): DataFrame = {
+    val withB = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"),
+      srpBucket(col("embedding"), dim, nBits).as("bucket"))
+    val a = withB.select(col("bucket"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = withB.select(col("bucket"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos",
+        detRound(dotFP(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cos"))
+  }
+
   /** Deterministic IVF (inverted-file) ANN — the production scale path when
     * buckets must be balanced: a fixed centroid sample partitions the corpus
     * into cells (the "index build"); a query scans only its `nprobe` nearest

@@ -286,6 +286,16 @@ object OracleSql {
        |SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q_cosine_neardup_lsh mirror: same-bucket pairs with exact cosine. */
+  def lshNearDupSql(threshold: Double, nBits: Int): String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${srpBucketSql("embedding", nBits)} AS bucket
+       |      FROM embeddings)
+       |SELECT vec_id_a, vec_id_b, cos FROM (
+       |  SELECT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b,
+       |    ${detRoundSql(cosineSql("a.embedding", "b2.embedding"), 4)} AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |WHERE cos >= $threshold ORDER BY vec_id_a, vec_id_b""".stripMargin
+
   /** q_ann_ivf mirror: deterministic centroid sample → nearest-centroid cell
     * assignment → nprobe nearest cells per query → in-cell cosine top-k. */
   def annIvfSql(k: Int, querySel: String, centroidEvery: Int, nprobe: Int): String =

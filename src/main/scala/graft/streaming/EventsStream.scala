@@ -134,6 +134,29 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream interval join: each purchase joins the same user's views
+    * from the preceding 10 minutes. Both sides are watermarked so Spark can
+    * bound the join state (a view is droppable once the watermark passes
+    * `vts + 10 min`; a purchase once it passes `pts`) — the state-eviction
+    * contract that makes stream-stream joins feasible at all. Over one
+    * AvailableNow batch every in-range pair emits, so the result equals the
+    * batch interval join — which is exactly what the oracle checks.
+    */
+  def purchaseViewJoin(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("u"), col("ts").as("pts"))
+      .withWatermark("pts", "2 hours")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "2 hours")
+    purchases.join(views,
+      col("u") === col("user_id") &&
+        col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "inner")
+      .select(col("event_id"), col("u").as("user_id"), col("pts"), col("vts"))
+  }
+
   /** Run a streaming DataFrame to completion over the bounded source and
     * return the materialized result (memory sink, AvailableNow trigger).
     *
