@@ -256,24 +256,39 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both directions in ONE pass over the pair lineage: a union of two
+    // selects would evaluate the (possibly expensive) pair computation twice
+    // before the cache materializes
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).cache()
+    var cached = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).cache()
+    var labels = cached
+    // Pregel-style frontier: only nodes whose label CHANGED last round send
+    // messages, so round 1 touches every edge once and later rounds only the
+    // (rapidly shrinking, soon broadcast-sized) active boundary. One Spark
+    // action per round: the changed-count aggregate doubles as the cache
+    // materializer and the convergence probe.
+    var frontier = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("comp"))
-      val updated = labels.union(neighborMin)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
+      val mins = edges.join(frontier, col("dst") === col("id"))
+        .groupBy(col("src").as("mid")).agg(min(col("comp")).as("cand"))
+      val updated = labels.join(mins, col("id") === col("mid"), "left")
+        .select(col("id"),
+          when(col("cand") < col("comp"), col("cand")).otherwise(col("comp")).as("comp"),
+          (col("cand") < col("comp")).as("__chg"))
         .cache()
-      updated.count() // materialize before dropping the previous round's cache
-      val changed = !updated.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = updated
-      converged = !changed
+      val nChanged = updated
+        .agg(sum(when(col("__chg"), 1L).otherwise(0L))).collect()(0).getLong(0)
+      cached.unpersist()
+      cached = updated
+      labels = updated.select("id", "comp")
+      frontier = updated.filter(col("__chg")).select("id", "comp")
+      converged = nChanged == 0
       iter += 1
     }
     edges.unpersist()
