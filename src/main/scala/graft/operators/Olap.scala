@@ -73,6 +73,43 @@ object Olap {
       .unionAll(b.except(a).select(lit(s"only_$yearB").as("tag"), col("o_custkey")))
   }
 
+  /** Bag-semantics (ALL) variant of [[customerYearSetOps]]: INTERSECT ALL /
+    * EXCEPT ALL keep multiplicities — a customer with 3 orders in each year
+    * appears 3× in `both`. Same shuffle shape as the set versions (hash on
+    * the key with count bookkeeping instead of distinct).
+    */
+  def customerYearSetOpsAll(orders: DataFrame, yearA: Int, yearB: Int): DataFrame = {
+    def custsIn(y: Int) =
+      orders.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val a = custsIn(yearA)
+    val b = custsIn(yearB)
+    a.intersectAll(b).select(lit("both").as("tag"), col("o_custkey"))
+      .unionAll(a.exceptAll(b).select(lit(s"only_$yearA").as("tag"), col("o_custkey")))
+      .unionAll(b.exceptAll(a).select(lit(s"only_$yearB").as("tag"), col("o_custkey")))
+  }
+
+  /** Time-series gap-fill: a dense hour × event_type spine (generated, not
+    * scanned), left-joined observations, zero-filled counts and
+    * forward-filled values (`last` IGNORE NULLS over an unbounded-preceding
+    * frame). The window partitions by the series key, so at scale each
+    * series fills independently — no global ordering anywhere.
+    */
+  def hourlyGapFill(events: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{detRound, stableSum2}
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hora"), col("event_type"))
+      .agg(count(lit(1)).as("n"), stableSum2(col("value")).as("v"))
+    val hours = hourly.agg(min(col("hora")).as("lo"), max(col("hora")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hora"))
+    val spine = hours.crossJoin(broadcast(events.select(col("event_type")).distinct()))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hora"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("hora", "event_type"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("carried_value", detRound(last(col("v"), ignoreNulls = true).over(w), 4))
+      .select("hora", "event_type", "n_events", "carried_value")
+  }
+
   /** TPC-H Q3-shaped pricing summary: segment-filtered customers (broadcast
     * — the filtered dim is tiny) ⋈ date-filtered orders ⋈ date-filtered
     * lineitem, revenue per order, top-k by quantized revenue with
