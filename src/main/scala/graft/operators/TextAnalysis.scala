@@ -45,19 +45,30 @@ object TextAnalysis {
   /** Quality scoring from length / lexical-diversity / stopword signals —
     * the standard cheap pre-filter in web-scale corpus cleaning.
     */
+  /** quality_score as one column expression — lets callers (Curation) fuse
+    * scoring into an existing projection instead of joining a scored copy
+    * of the corpus back to itself. */
+  def qualityScoreCol(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws).cast("double")
+    val distinctRatio = size(array_distinct(ws)).cast("double") / nWords
+    val stopRatio = hitCount(ws, StopwordsEn).cast("double") / nWords
+    val lengthScore = least(nWords / 100.0, lit(1.0))
+    detRound(lengthScore * 0.3 + distinctRatio * 0.4 + stopRatio * 0.3, 4)
+  }
+
   def qualityScore(docs: DataFrame, id: String, text: String): DataFrame = {
     val ws = words(col(text))
     val nWords = size(ws).cast("double")
     val distinctRatio = size(array_distinct(ws)).cast("double") / nWords
     val stopRatio = hitCount(ws, StopwordsEn).cast("double") / nWords
     val meanWordLen = (length(col(text)).cast("double") - (nWords - 1)) / nWords
-    val lengthScore = least(nWords / 100.0, lit(1.0))
     docs.select(col(id).as("doc_id"),
       size(ws).cast("long").as("n_words"),
       detRound(distinctRatio, 4).as("distinct_ratio"),
       detRound(stopRatio, 4).as("stopword_ratio"),
       detRound(meanWordLen, 4).as("mean_word_len"),
-      detRound(lengthScore * 0.3 + distinctRatio * 0.4 + stopRatio * 0.3, 4).as("quality_score"))
+      qualityScoreCol(col(text)).as("quality_score"))
   }
 
   /** Language-ID heuristic: stopword-hit votes per language, deterministic
@@ -65,17 +76,25 @@ object TextAnalysis {
     * character n-gram profiles; the plumbing (score → argmax per row over
     * 100 TB) is identical.
     */
-  def langId(docs: DataFrame, id: String, text: String): DataFrame = {
-    val ws = words(lower(col(text)))
+  /** lang_pred as one column expression — see [[qualityScoreCol]]. */
+  def langPredCol(text: Column): Column = {
+    val ws = words(lower(text))
     val en = hitCount(ws, StopwordsEn)
     val pt = hitCount(ws, StopwordsPt)
     val es = hitCount(ws, StopwordsEs)
+    when(en === 0 && pt === 0 && es === 0, "unknown")
+      .when(en >= pt && en >= es, "en")
+      .when(pt >= es, "pt")
+      .otherwise("es")
+  }
+
+  def langId(docs: DataFrame, id: String, text: String): DataFrame = {
+    val ws = words(lower(col(text)))
     docs.select(col(id).as("doc_id"),
-      en.cast("long").as("score_en"), pt.cast("long").as("score_pt"), es.cast("long").as("score_es"),
-      when(en === 0 && pt === 0 && es === 0, "unknown")
-        .when(en >= pt && en >= es, "en")
-        .when(pt >= es, "pt")
-        .otherwise("es").as("lang_pred"))
+      hitCount(ws, StopwordsEn).cast("long").as("score_en"),
+      hitCount(ws, StopwordsPt).cast("long").as("score_pt"),
+      hitCount(ws, StopwordsEs).cast("long").as("score_es"),
+      langPredCol(col(text)).as("lang_pred"))
   }
 
   /** Rabin–Karp-style rolling fingerprint: minimum of the polynomial hashes
