@@ -61,4 +61,26 @@ object Events {
     counts.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
   }
+
+  /** Ordered funnel: stage k counts users whose first qualifying stage-k
+    * event happens AT OR AFTER their first qualifying stage-(k-1) event.
+    * Each stage is one filtered aggregate + one equi-join against the
+    * (shrinking, user-keyed) reached set — no windows, no per-user event
+    * ordering shuffle; the per-stage frontier is the only state.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    var reached: DataFrame = null
+    stages.zipWithIndex.map { case (stage, i) =>
+      val ev = events.filter(col("event_type") === stage)
+        .select(col("user_id"), col("ts"))
+      reached =
+        if (i == 0) ev.groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        else ev.join(reached.select(col("user_id"), col("t").as("__prev")), Seq("user_id"))
+          .filter(col("ts") >= col("__prev"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      reached.groupBy().agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("stage"), lit(stage).as("event_type"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
 }
