@@ -68,6 +68,23 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaMetaSchema)
   }
 
+  /** Resize planning over decoded metadata: target dimensions fitting within
+    * `maxSide`, aspect preserved, INTEGER arithmetic only (`div`) so the
+    * result is bit-identical on every engine. The actual pixel resample is
+    * the decode stub's sibling — this is the dimension computation every
+    * image pipeline schedules by, fused as a flat codegen projection.
+    */
+  def resizeMeta(meta: DataFrame, maxSide: Int = 224): DataFrame =
+    meta
+      .withColumn("__g", greatest(col("width"), col("height")))
+      .withColumn("out_width",
+        when(col("__g") <= maxSide, col("width"))
+          .otherwise(expr(s"CAST(width AS BIGINT) * $maxSide div __g")).cast("int"))
+      .withColumn("out_height",
+        when(col("__g") <= maxSide, col("height"))
+          .otherwise(expr(s"CAST(height AS BIGINT) * $maxSide div __g")).cast("int"))
+      .drop("__g")
+
   /** Frame/sample selection over a payload: take every `stride`-th byte as
     * a "frame" (stub for video frame-sampling; same slicing plumbing).
     *

@@ -48,6 +48,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_curation: scoring fused into the scan — at most 2 document reads") {
+    val p = plan("q_curation")
+    val nScans = "Scan parquet".r.findAllIn(p).length
+    assert(nScans <= 2, s"curation should be scoring pass + keeper aggregate, got $nScans scans")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_gapfill: generated spine, type cross is broadcast, observation join is hash") {
+    val p = plan("q_gapfill")
+    // hours × distinct types: the only product is a broadcast nested loop
+    // against the tiny type side — never a cartesian shuffle product
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("q1_agg: aggregation splits into partial (map-side) + final hash aggregate") {
     // (WholeStageCodegen markers only appear in AQE's final plan after
     // execution; the partial/final split is the scale-bearing property.)
