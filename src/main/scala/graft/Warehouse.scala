@@ -38,6 +38,17 @@ final case class Warehouse(
       df.write.mode("overwrite").parquet(s"$outDir/$name")
     }
 
+  /** The 100 TB fact layout: partitioned by sale year (`ano_particao`), so
+    * time-windowed consumers prune whole partitions at the file listing —
+    * the role the reference's date-keyed b-tree index plays. On the small
+    * testdata this is demonstration (WarehouseSpec asserts the pruned scan);
+    * at scale add a second level (month) and size partitions to ≥128 MB
+    * files.
+    */
+  def writeFactPartitioned(outDir: String): Unit =
+    fatoVendas.write.mode("overwrite")
+      .partitionBy("ano_particao").parquet(s"$outDir/fato_vendas_part")
+
   /** Idempotent load (S7 — the reference's `INSERT … ON CONFLICT DO NOTHING`,
     * etl_completo.py:172-177 et al.): rows whose natural key already exists
     * in the target are skipped, only new keys are appended, so a re-run over

@@ -81,7 +81,13 @@ object Fact {
     // observable downstream (SURVEY §7.3), so the order-preserving key
     // (Surrogate.orderedUniqueKey) would pay a full extra pipeline pass
     // (range sampling) for nothing.
-    Surrogate.uniqueKey(measured, "sk_venda").drop("data_venda")
+    // ano_particao: the physical partition column for the 100 TB layout
+    // (Warehouse.writeFactPartitioned) — year of the sale date, 0 for the
+    // kept-with-null-date rows so they land in one well-known partition.
+    Surrogate.uniqueKey(measured, "sk_venda")
+      .withColumn("ano_particao",
+        coalesce(year(parseMultiFormatDate(col("data_venda"))).cast("long"), lit(0L)))
+      .drop("data_venda")
   }
 
   /** v2 — the DEAD richer variant (etl_completo.py:810-934), kept in the

@@ -134,6 +134,24 @@ object EventsStream {
       }
   }
 
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup: running (content → canonical id, copies) state
+    * over a document stream — the streaming twin of `Dedup.exactDedup`.
+    * Complete-mode aggregation: state is one row per distinct content key
+    * (bound it with a watermark + content hash partitioning in production);
+    * over a bounded AvailableNow run the result equals the batch dedup,
+    * which is the oracle.
+    */
+  def streamingExactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
   /** Stream-stream interval join: each purchase joins the same user's views
     * from the preceding 10 minutes. Both sides are watermarked so Spark can
     * bound the join state (a view is droppable once the watermark passes

@@ -33,6 +33,19 @@ class WarehouseSpec extends SparkSpec {
     assert(fato.select("sk_venda").distinct().count() === counts("fato_vendas"))
   }
 
+  test("partitioned fact write: year filter prunes partitions at the scan") {
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("dw_part").toString
+    w.writeFactPartitioned(out)
+    val read = spark.read.parquet(s"$out/fato_vendas_part")
+    assert(read.count() === w.fatoVendas.count())
+    val filtered = read.filter(org.apache.spark.sql.functions.col("ano_particao") === 1996L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ano_particao"),
+      plan.take(1500))
+    assert(filtered.count() > 0)
+  }
+
   test("idempotent load (S7): re-run appends nothing, partial target is topped up") {
     val w = Warehouse.build(spark, "/root/testdata/sf0.001")
     val out = Files.createTempDirectory("dw_idem").toString
