@@ -63,8 +63,12 @@ object Fact {
     val bruto = qtd * preco
     // custo: NULL dim value or Python-falsy 0 both end at 0.0 (:675-680).
     val custo = coalesce(col("__custo_dim"), lit(0.0))
+    // ano_particao: the physical partition column for the 100 TB layout
+    // (Warehouse.writeFactPartitioned) — year of the already-parsed sale
+    // date, 0 for kept-with-null-date rows so they land in one well-known
+    // partition.
     val measured = joined.select(
-      col("id_venda"), col("id_produto"), col("data_venda"),
+      col("id_venda"), col("id_produto"),
       col("sk_tempo"), col("sk_cliente"), col("sk_produto"), col("sk_vendedor"), col("sk_loja"),
       qtd.as("quantidade_vendida"),
       preco.as("preco_unitario_venda"),
@@ -74,20 +78,15 @@ object Fact {
       bruto.as("valor_final"),
       custo.as("custo_unitario"),
       (qtd * custo).as("custo_total_item"),
-      (bruto - qtd * custo).as("lucro_bruto"))
+      (bruto - qtd * custo).as("lucro_bruto"),
+      coalesce(year(col("__data_obj")).cast("long"), lit(0L)).as("ano_particao"))
 
     // sk_venda: unique key only — the reference's SERIAL insert order
     // (extract ORDER BY data_venda, id_venda, id_produto, :603) is not
     // observable downstream (SURVEY §7.3), so the order-preserving key
     // (Surrogate.orderedUniqueKey) would pay a full extra pipeline pass
     // (range sampling) for nothing.
-    // ano_particao: the physical partition column for the 100 TB layout
-    // (Warehouse.writeFactPartitioned) — year of the sale date, 0 for the
-    // kept-with-null-date rows so they land in one well-known partition.
     Surrogate.uniqueKey(measured, "sk_venda")
-      .withColumn("ano_particao",
-        coalesce(year(parseMultiFormatDate(col("data_venda"))).cast("long"), lit(0L)))
-      .drop("data_venda")
   }
 
   /** v2 — the DEAD richer variant (etl_completo.py:810-934), kept in the
