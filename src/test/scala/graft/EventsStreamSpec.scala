@@ -80,4 +80,42 @@ class EventsStreamSpec extends SparkSpec {
       assert(s.getLong(2) === b.getLong(2))
     }
   }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val dir = Files.createTempDirectory("events_ssj")
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1L, "purchase", 5.0), // joins view@10:00
+      Ev(3, ts("2024-01-01 09:40:00"), 1L, "view", 1.0),     // >10min before → no
+      Ev(4, ts("2024-01-01 10:04:00"), 2L, "view", 1.0),
+      Ev(5, ts("2024-01-01 10:06:00"), 2L, "purchase", 9.0), // joins view@10:04
+      Ev(6, ts("2024-01-01 12:00:00"), 3L, "purchase", 2.0)) // no views → dropped
+    writeEventsFile(dir, "all.parquet", 4000000L, evs)
+
+    val out = EventsStream.runToCompletion(
+      spark,
+      EventsStream.purchaseViewJoin(EventsStream.readEventsStream(spark, dir.toString)),
+      "ssj_test", OutputMode.Append())
+      .orderBy("event_id", "vts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3)))
+    assert(out.toSeq === Seq(2L -> ts("2024-01-01 10:00:00"),
+      5L -> ts("2024-01-01 10:04:00")))
+  }
+
+  test("streaming exact dedup equals batch dedup over a bounded run") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("docs_stream")
+    val docs = Seq((1L, "aa", "en", "s", 2L), (2L, "bb", "en", "s", 2L),
+      (3L, "aa", "en", "s", 2L), (4L, "aa", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/d")
+
+    val src = spark.readStream.schema(EventsStream.documentsSchema)
+      .parquet(dir.toString + "/d")
+    val out = EventsStream.runToCompletion(
+      spark, EventsStream.streamingExactDedup(src), "sdedup_test")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("aa", 1L, 3L), ("bb", 2L, 1L)))
+  }
 }
