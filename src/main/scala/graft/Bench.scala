@@ -22,10 +22,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness records only the last ~2000 chars of output. Per-query
+    // times are rounded to 3 decimals to keep the line short, and the
+    // headline metric/value go LAST so that even if the line's head is
+    // truncated by that window, the total is still visible.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${r3(total)}}"""
+    // Also persist the full result next to the build (harness tail keeps
+    // only ~2000 chars of stdout; the file preserves every per-query time).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line.getBytes("UTF-8"))
+    catch { case _: Exception => () }
+    println(line)
     spark.stop()
   }
 }

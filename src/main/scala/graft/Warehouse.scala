@@ -61,16 +61,44 @@ final case class Warehouse(
     */
   def writeIdempotent(outDir: String): Unit =
     tables.foreach { case (name, df) =>
+      import org.apache.spark.sql.functions.{col, lit, max, coalesce}
       val target = s"$outDir/$name"
       val spark = df.sparkSession
       val path = new org.apache.hadoop.fs.Path(target)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(path)) df.write.mode("overwrite").parquet(target)
+      val keys = Warehouse.naturalKeys(name)
+      // ON CONFLICT DO NOTHING also fires WITHIN one load: a batch carrying
+      // the same PK twice keeps only the first insert. The fact grain
+      // (id_venda, id_produto) genuinely repeats in the source (lineitem
+      // re-lists a part within an order), so the idempotent target holds
+      // exactly one row per natural key — first-wins per key, with the
+      // run's sk as the deterministic-within-run tiebreak. Dimension
+      // natural keys are unique by construction (PK sources), no-op there.
+      val batch = Warehouse.regeneratedSks.get(name) match {
+        case Some(sk) => operators.Surrogate.firstMatch(df, keys.map(col), Seq(col(sk)))
+        case None => df
+      }
+      if (!fs.exists(path)) batch.write.mode("overwrite").parquet(target)
       else {
-        val keys = Warehouse.naturalKeys(name)
         val existing = spark.read.parquet(target)
-          .select(keys.map(org.apache.spark.sql.functions.col): _*)
-        df.join(existing, keys, "left_anti").write.mode("append").parquet(target)
+        val delta = batch.join(existing.select(keys.map(col): _*), keys, "left_anti")
+        // Surrogate keys that are generated fresh per run (the fact's
+        // sk_venda comes from monotonically_increasing_id) could collide
+        // with sks already in a partially-written target — exactly the
+        // interrupted-load scenario idempotent load exists for (r3 advice).
+        // Re-base the appended sks above max(existing): delta sks are ≥ 1,
+        // so old + max(existing) is both unique within the delta and
+        // strictly greater than every existing sk. Dimension sks are
+        // deterministic (row_number over the natural-key order) and need no
+        // re-basing. The max() is a single-scalar aggregate of one pruned
+        // parquet column — not a driver-side data loop.
+        val appended = Warehouse.regeneratedSks.get(name) match {
+          case Some(sk) =>
+            val maxSk = existing.agg(coalesce(max(col(sk)), lit(0L))).collect()(0).getLong(0)
+            delta.withColumn(sk, col(sk) + lit(maxSk))
+          case None => delta
+        }
+        appended.write.mode("append").parquet(target)
       }
     }
 
@@ -108,6 +136,12 @@ object Warehouse {
     "dim_tempo" -> Seq("data_completa"),
     "fato_vendas" -> Seq("id_venda", "id_produto"))
 
+  /** Tables whose surrogate key is generated fresh per run (not derivable
+    * from the natural-key order) and must therefore be re-based above the
+    * target's max on idempotent top-up appends.
+    */
+  val regeneratedSks: Map[String, String] = Map("fato_vendas" -> "sk_venda")
+
   /** One Warehouse per (session, dir): `build` is called by several queries
     * (`q_fato_vendas`, `q_report_summary`, `entry`) in one session; without
     * memoization each call re-runs the analyzer over all 11 plans and re-asks
@@ -117,9 +151,15 @@ object Warehouse {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Warehouse]()
 
   /** Build everything from the CRM-shaped derivations of a testdata dir
-    * (memoized per session+dir; a fresh session rebuilds). */
-  def build(spark: SparkSession, dir: String): Warehouse =
+    * (memoized per session+dir; a fresh session rebuilds). Entries whose
+    * SparkContext has stopped are purged on each call, so a long-lived
+    * driver that cycles sessions does not retain dead sessions and their
+    * cached plans forever (r3 advice).
+    */
+  def build(spark: SparkSession, dir: String): Warehouse = {
+    built.keySet.removeIf(k => k._1.sparkContext.isStopped)
     built.computeIfAbsent((spark, dir), _ => buildUncached(spark, dir))
+  }
 
   private def buildUncached(spark: SparkSession, dir: String): Warehouse = {
     val dimLocalidade = Dims.dimLocalidade(Crm.localidade(spark, dir)).cache()

@@ -146,6 +146,13 @@ object Dedup {
     * minutes — and re-evaluate the hash lambda per slot; the relational
     * shape keeps everything in flat whole-stage codegen and is also the
     * right 100 TB plan (min combines map-side, explode is linear).
+    *
+    * NOTE: this operator is EAGER — it runs the full LSH job at call time
+    * (one `count()` materializes the pruned pair set so the two build-side
+    * caches can be released immediately; at scale the signatures are
+    * persisted artifacts with the same build-once lifecycle). The returned
+    * DataFrame is cached and owned by the caller (`unpersist` when done);
+    * merely constructing it for plan inspection executes the job.
     */
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
@@ -292,6 +299,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // Unconverged labels are WRONG (non-minimal cluster ids), not
+    // approximate — fail loudly rather than silently diverge (r3 advice).
+    // Near-dup clusters are LSH-verified near-cliques, so hitting this
+    // means maxIter was set far below the (pathological) graph diameter.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations; " +
+          "raise maxIter (rounds needed = graph diameter)")
     labels.select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
 }

@@ -33,4 +33,18 @@ object Sampling {
                      splitCol: String = "split"): DataFrame =
     df.withColumn(splitCol,
       when(keep(key, trainFraction), lit("train")).otherwise(lit("eval")))
+
+  /** Stratified deterministic sampling: each stratum value gets its own
+    * Bernoulli fraction (the domain-rebalancing step of corpus curation —
+    * e.g. downsample the dominant language, keep the rare ones whole).
+    * Rows whose stratum is not in the map are DROPPED. Still one stateless
+    * per-row predicate — no shuffle, no per-group pass.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       fractions: Map[String, Double]): DataFrame = {
+    val pred = fractions.toSeq.sortBy(_._1).map { case (s, f) =>
+      stratum === lit(s) && keep(key, f)
+    }.reduce(_ || _)
+    df.filter(pred)
+  }
 }

@@ -166,4 +166,57 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("doc_id"), fingerprintUdf(col(text)).as("fingerprint"))
+
+  /** Benchmark-contamination check: per corpus document, the fraction of
+    * its word 3-shingles that also occur in a benchmark/eval set — the
+    * decontamination step every serious training-data pipeline runs before
+    * training (n-gram overlap against held-out benchmarks).
+    *
+    * Scale design: the benchmark shingle set is small (benchmarks are
+    * thousands of docs, the corpus is the 100 TB side) — hashed once,
+    * deduped, and used as the build side of a semi join keyed on the 60-bit
+    * md5 of the shingle, so the corpus streams through one explode + one
+    * hash semi join + one per-doc count. No corpus self-join anywhere.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, id: String, text: String,
+                    flagThreshold: Double = 0.5): DataFrame = {
+    val corpusSh = corpus.select(col(id).as("doc_id"),
+      graft.functions.VectorExpressions.shingleSet(col(text), 3).as("sh"))
+    val benchHashes = benchmark
+      .select(explode(graft.functions.VectorExpressions.shingleSet(col(text), 3)).as("s"))
+      .select(Dedup.hash60(col("s")).as("h")).distinct()
+    val matched = corpusSh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
+      .join(benchHashes, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    corpusSh.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("overlap_ratio",
+        detRound(col("n_matched").cast("double") / col("n_shingles"), 4))
+      .withColumn("contaminated", col("overlap_ratio") >= flagThreshold)
+  }
+
+  /** Repetition score: duplicate-bigram fraction per document — the cheap
+    * boilerplate/spam signal (template pages repeat the same word pairs).
+    * `1 − distinct_bigrams / total_bigrams`; single-word docs score 0.
+    * Flat per-row projection over a materialized word array (the lambda
+    * reads an attribute, not a recomputed split — the HOF re-evaluation
+    * trap).
+    */
+  def repetitionScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val withW = docs.select(col(id).as("doc_id"), words(col(text)).as("__w"))
+    val bigrams = transform(sequence(lit(0), size(col("__w")) - 2), i =>
+      concat_ws(" ", element_at(col("__w"), i + 1), element_at(col("__w"), i + 2)))
+    withW.select(col("doc_id"),
+      when(size(col("__w")) < 2, lit(0L))
+        .otherwise(size(bigrams)).cast("long").as("n_bigrams"),
+      when(size(col("__w")) < 2, lit(0L))
+        .otherwise(size(array_distinct(bigrams))).cast("long").as("n_distinct_bigrams"),
+      when(size(col("__w")) < 2, lit(0.0))
+        .otherwise(detRound(lit(1.0) -
+          size(array_distinct(bigrams)).cast("double") / size(bigrams), 4))
+        .as("repetition_ratio"))
+  }
 }

@@ -175,30 +175,46 @@ object EventsStream {
       .select(col("event_id"), col("u").as("user_id"), col("pts"), col("vts"))
   }
 
-  /** Run a streaming DataFrame to completion over the bounded source and
-    * return the materialized result (memory sink, AvailableNow trigger).
+  /** Build a streaming DataFrame against a DEDICATED session clone, run it
+    * to completion over the bounded source, and return the materialized
+    * result (memory sink, AvailableNow trigger).
     *
-    * Shuffle partitions are lowered for the stream's lifetime: a streaming
-    * query pins its STATE partition count at first start, and every state
-    * partition pays a store load/commit per micro-batch — with the keyspace
-    * here (event types, ≤thousands of users) 8 partitions cut that fixed
+    * Shuffle partitions are lowered for the stream: a streaming query pins
+    * its STATE partition count at first start, and every state partition
+    * pays a store load/commit per micro-batch — with the keyspace here
+    * (event types, ≤thousands of users) 8 partitions cut that fixed
     * overhead 4× vs. the session's batch setting with no loss of map-side
     * parallelism. At production volume pick ~(peak keys × state row size /
     * executor memory budget) instead.
+    *
+    * The override lives only in the clone (`newSession` shares the
+    * SparkContext but has its own SQL conf): batch queries planned
+    * concurrently on the caller's session keep their own setting, and
+    * concurrent `runToCompletion` calls cannot race on a shared
+    * save/restore (r3 advice). This also keeps side-effecting source flags
+    * (e.g. `nanosAsLong` from [[readEventsStreamNanos]]) out of the
+    * caller's session. The `build` callback must construct the whole
+    * stream from the session it is given.
     */
-  def runToCompletion(spark: SparkSession, streaming: DataFrame, name: String,
+  def runToCompletion(spark: SparkSession, name: String,
                       outputMode: OutputMode = OutputMode.Complete(),
-                      statePartitions: Int = 8): DataFrame = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = streaming.writeStream
-        .format("memory").queryName(name)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+                      statePartitions: Int = 8)(build: SparkSession => DataFrame): DataFrame = {
+    val s = spark.newSession()
+    // carry over the caller's runtime SQL conf (timezone, ANSI mode, …);
+    // static/non-settable entries are skipped
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v) catch { case _: Exception => () }
+    }
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = build(s).writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the memory sink registers its table in the clone's (session-scoped)
+    // catalog — read it from there; the returned DataFrame is an ordinary
+    // local relation usable from any session sharing the context
+    s.table(name)
   }
 }

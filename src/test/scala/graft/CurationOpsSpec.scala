@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.{Privacy, Sampling, TextAnalysis}
+
+/** Round-4 corpus-curation operators: PII redaction, contamination check,
+  * repetition score, stratified sampling.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii masks emails before numbers and counts both") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@mail.example.org or 5551234"),
+      (2L, "no pii here, just 123 pennies"),
+      (3L, "a@b.io and 0000 and 99999")
+    ).toDF("id", "t")
+    val out = Privacy.redactPii(df, col("id"), col("t"))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 1L, 1L, "reach me at <EMAIL> or <NUM>")))
+    // 3-digit run stays; email digits are not double-counted
+    assert(out(1) === ((2L, 0L, 0L, "no pii here, just 123 pennies")))
+    assert(out(2) === ((3L, 1L, 2L, "<EMAIL> and <NUM> and <NUM>")))
+  }
+
+  test("contamination flags docs whose shingles overlap the benchmark") {
+    val corpus = Seq(
+      (1L, "a b c d e"),      // shares shingles with benchmark doc
+      (2L, "x y z w q")       // disjoint
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, bench, "doc_id", "text", 0.5)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    // doc 1: shingles {abc, bcd, cde}; bench has {abc, bcd} → 2/3 ≥ 0.5
+    assert(out(0) === ((1L, 3L, 2L, true)))
+    assert(out(1) === ((2L, 3L, 0L, false)))
+  }
+
+  test("repetitionScore measures duplicate-bigram fraction") {
+    val df = Seq(
+      (1L, "a b a b a b"), // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "a b c d"),     // all distinct
+      (3L, "single")       // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScore(df, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((1L, 5L, 2L, 0.6)))
+    assert(out(1) === ((2L, 3L, 3L, 0.0)))
+    assert(out(2) === ((3L, 0L, 0L, 0.0)))
+  }
+
+  test("stratifiedSample applies per-stratum fractions and drops unlisted strata") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, col("id"), col("lang"),
+      Map("en" -> 0.5)).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.forall(_._2 == "en"), "unlisted stratum must be dropped")
+    // deterministic: exact same set on a re-run
+    val again = Sampling.stratifiedSample(df, col("id"), col("lang"),
+      Map("en" -> 0.5)).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet === again.toSet)
+    // roughly half of the 200 en rows survive (md5 is uniform)
+    assert(out.length > 60 && out.length < 140, s"got ${out.length}")
+  }
+}

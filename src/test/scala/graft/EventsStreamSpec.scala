@@ -42,10 +42,11 @@ class EventsStreamSpec extends SparkSpec {
       Ev(3, ts("2024-01-01 10:00:00"), 2L, "click", 1.0),
       Ev(4, ts("2024-01-01 10:05:00"), 2L, "click", 1.0)))
 
-    val src = EventsStream.readEventsStream(spark, dir.toString).as[Ev]
-    val out = EventsStream.runToCompletion(
-      spark, EventsStream.sessionize(src).toDF(), "sessions_test", OutputMode.Append())
-      .as[EventsStream.SessionOut].collect()
+    val out = EventsStream.runToCompletion(spark, "sessions_test", OutputMode.Append()) { ss =>
+      import ss.implicits._
+      EventsStream.sessionize(
+        EventsStream.readEventsStream(ss, dir.toString).as[Ev]).toDF()
+    }.as[EventsStream.SessionOut].collect()
 
     // user 1's first session (single event at 18:00) closed by the 20:00 gap.
     assert(out.exists(s => s.user_id == 1L &&
@@ -62,11 +63,9 @@ class EventsStreamSpec extends SparkSpec {
     }
     writeEventsFile(dir, "all.parquet", 3000000L, evs)
 
-    val streamed = EventsStream.runToCompletion(
-      spark,
-      EventsStream.hourlyCounts(EventsStream.readEventsStream(spark, dir.toString)),
-      "hourly_test", OutputMode.Complete())
-      .orderBy("hora", "event_type").collect()
+    val streamed = EventsStream.runToCompletion(spark, "hourly_test", OutputMode.Complete()) { ss =>
+      EventsStream.hourlyCounts(EventsStream.readEventsStream(ss, dir.toString))
+    }.orderBy("hora", "event_type").collect()
 
     val batch = graft.operators.Events.hourly(evs.toDS().toDF())
       .orderBy("hora", "event_type")
@@ -92,11 +91,9 @@ class EventsStreamSpec extends SparkSpec {
       Ev(6, ts("2024-01-01 12:00:00"), 3L, "purchase", 2.0)) // no views → dropped
     writeEventsFile(dir, "all.parquet", 4000000L, evs)
 
-    val out = EventsStream.runToCompletion(
-      spark,
-      EventsStream.purchaseViewJoin(EventsStream.readEventsStream(spark, dir.toString)),
-      "ssj_test", OutputMode.Append())
-      .orderBy("event_id", "vts").collect()
+    val out = EventsStream.runToCompletion(spark, "ssj_test", OutputMode.Append()) { ss =>
+      EventsStream.purchaseViewJoin(EventsStream.readEventsStream(ss, dir.toString))
+    }.orderBy("event_id", "vts").collect()
       .map(r => (r.getLong(0), r.getTimestamp(3)))
     assert(out.toSeq === Seq(2L -> ts("2024-01-01 10:00:00"),
       5L -> ts("2024-01-01 10:04:00")))
@@ -110,11 +107,10 @@ class EventsStreamSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/d")
 
-    val src = spark.readStream.schema(EventsStream.documentsSchema)
-      .parquet(dir.toString + "/d")
-    val out = EventsStream.runToCompletion(
-      spark, EventsStream.streamingExactDedup(src), "sdedup_test")
-      .orderBy(col("doc_id")).collect()
+    val out = EventsStream.runToCompletion(spark, "sdedup_test") { ss =>
+      EventsStream.streamingExactDedup(
+        ss.readStream.schema(EventsStream.documentsSchema).parquet(dir.toString + "/d"))
+    }.orderBy(col("doc_id")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq(("aa", 1L, 3L), ("bb", 2L, 1L)))
   }

@@ -67,4 +67,35 @@ class WarehouseSpec extends SparkSpec {
         s"$n changed on idempotent re-run")
     }
   }
+
+  test("idempotent fact top-up keeps sk_venda unique (interrupted-load scenario)") {
+    import org.apache.spark.sql.functions.col
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("dw_idem_fact").toString
+
+    // pre-seed fato_vendas with a partial write — as if a prior load died
+    // mid-append. The seeded sks come from the same monotonically-increasing
+    // generator a fresh run would use, so un-rebased appends WOULD collide.
+    // (Seed rows are key-deduped like any writeIdempotent batch would be.)
+    operators.Surrogate.firstMatch(w.fatoVendas,
+      Seq(col("id_venda"), col("id_produto")), Seq(col("sk_venda")))
+      .limit(200).write.parquet(s"$out/fato_vendas")
+    assert(spark.read.parquet(s"$out/fato_vendas").count() === 200L)
+
+    w.writeIdempotent(out)
+    val full = spark.read.parquet(s"$out/fato_vendas")
+    // ON CONFLICT parity: the target holds exactly one row per natural key
+    // — the source grain (id_venda, id_produto) is NOT unique (lineitem can
+    // repeat a part within an order), and PostgreSQL would skip those too.
+    val expected = w.fatoVendas.select("id_venda", "id_produto").distinct().count()
+    assert(full.count() === expected, "fact not topped up to one row per natural key")
+    assert(full.select("id_venda", "id_produto").distinct().count() === expected)
+    // critically, the surrogate key is still unique across the seeded +
+    // appended populations
+    assert(full.select("sk_venda").distinct().count() === expected,
+      "sk_venda collided between seeded and topped-up rows")
+
+    w.writeIdempotent(out) // and a second full re-run is still a no-op
+    assert(spark.read.parquet(s"$out/fato_vendas").count() === expected)
+  }
 }
