@@ -15,8 +15,22 @@ object Bench {
     // Warm the JVM/session before timing: codegen + shuffle machinery +
     // parquet reader init otherwise land entirely on whichever query the
     // Map iterates first (~5s of one-time cost misattributed to it).
+    // Generic operator machinery only — never the benchmark queries
+    // themselves: aggregate codegen, parquet reader, WindowExec, broadcast
+    // hash join, and the Scala-UDF eval path each compile distinct
+    // generated-code shapes on first touch.
     spark.range(0, 2000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val tiny = spark.range(0, 1000).toDF("id")
+      tiny.withColumn("rn", row_number().over(Window.orderBy(col("id"))))
+        .agg(sum(col("rn"))).collect()
+      tiny.join(broadcast(spark.range(0, 100).toDF("id")), "id").count()
+      val warmUdf = udf((s: String) => if (s == null) "" else s.trim)
+      tiny.select(warmUdf(col("id").cast("string"))).agg(count(lit(1))).collect()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

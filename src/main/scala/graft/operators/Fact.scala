@@ -33,7 +33,24 @@ object Fact {
     */
   def fatoVendas(vendas: DataFrame, itemVendas: DataFrame, dimTempo: DataFrame,
                  dimCliente: DataFrame, dimProduto: DataFrame, dimVendedor: DataFrame,
-                 dimLoja: DataFrame): DataFrame = {
+                 dimLoja: DataFrame): DataFrame =
+    // sk_venda: unique key only — the reference's SERIAL insert order
+    // (extract ORDER BY data_venda, id_venda, id_produto, :603) is not
+    // observable downstream (SURVEY §7.3), so the order-preserving key
+    // (Surrogate.orderedUniqueKey) would pay a full extra pipeline pass
+    // (range sampling) for nothing.
+    Surrogate.uniqueKey(
+      fatoVendasNoSk(vendas, itemVendas, dimTempo, dimCliente, dimProduto,
+        dimVendedor, dimLoja), "sk_venda")
+
+  /** The fact pipeline WITHOUT the surrogate key — every column here is a
+    * deterministic function of the inputs, so this variant is also legal in
+    * a STREAMING plan (monotonically_increasing_id is not), where it powers
+    * the incremental stream-static fact load.
+    */
+  def fatoVendasNoSk(vendas: DataFrame, itemVendas: DataFrame, dimTempo: DataFrame,
+                     dimCliente: DataFrame, dimProduto: DataFrame, dimVendedor: DataFrame,
+                     dimLoja: DataFrame): DataFrame = {
     // J1 — the one big⋈big join (etl_completo.py:598-604).
     val base = vendas.select("id_venda", "data_venda", "id_cliente", "id_vendedor", "id_loja")
       .join(itemVendas.select("id_venda", "id_produto", "qtd_vendida", "preco_venda"),
@@ -81,12 +98,7 @@ object Fact {
       (bruto - qtd * custo).as("lucro_bruto"),
       coalesce(year(col("__data_obj")).cast("long"), lit(0L)).as("ano_particao"))
 
-    // sk_venda: unique key only — the reference's SERIAL insert order
-    // (extract ORDER BY data_venda, id_venda, id_produto, :603) is not
-    // observable downstream (SURVEY §7.3), so the order-preserving key
-    // (Surrogate.orderedUniqueKey) would pay a full extra pipeline pass
-    // (range sampling) for nothing.
-    Surrogate.uniqueKey(measured, "sk_venda")
+    measured
   }
 
   /** v2 — the DEAD richer variant (etl_completo.py:810-934), kept in the

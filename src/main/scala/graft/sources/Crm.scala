@@ -220,7 +220,13 @@ object Crm {
     * NULL, sentinel (kept w/ null sk) and a well-shaped-but-invalid date
     * (dropped). id_loja includes 0 — Python-falsy, skipped lookup. */
   def vendas(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "orders").select(
+    vendasFrom(table(spark, dir, "orders"))
+
+  /** The vendas derivation over any orders-shaped relation — shared by the
+    * batch reader above and the streaming fact load (the same projection
+    * over `readStream`), so both paths are provably identical. */
+  def vendasFrom(orders: DataFrame): DataFrame =
+    orders.select(
       col("o_orderkey").as("id_venda"),
       when(col("o_orderkey") % 10 === 5, lit(null))
         .when(col("o_orderkey") % 10 === 8, lit("Data Inválida"))
