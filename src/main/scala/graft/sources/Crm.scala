@@ -19,13 +19,19 @@ object Crm {
 
   /** Raw-table access, dispatched on the locator: a `jdbc:` URL reads the
     * named table over JDBC (reference parity — etl_completo.py:16-30 reads
-    * the CRM from PostgreSQL via psycopg2); anything else is a parquet
-    * directory (the driver testdata, and the default). Every derivation
-    * below — and therefore every SparkEntry query — works against either
-    * source unchanged.
+    * the CRM from PostgreSQL via psycopg2); a `csv:` prefix reads
+    * `<name>.csv` files (the landing format real CRM dumps arrive in —
+    * header + inferred schema; no pushdown or min-max pruning, so at scale
+    * CSV is an INGESTION format only: land, convert to parquet, then run);
+    * anything else is a parquet directory (the driver testdata, and the
+    * default). Every derivation below — and therefore every SparkEntry
+    * query — works against any source unchanged.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (dir.startsWith("jdbc:")) jdbcTable(spark, dir, name)
+    else if (dir.startsWith("csv:"))
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"${dir.stripPrefix("csv:")}/$name.csv")
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Numeric split column per raw table: with it, the JDBC scan fans out as

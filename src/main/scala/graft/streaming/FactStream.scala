@@ -31,9 +31,11 @@ object FactStream {
     StructField("o_orderpriority", StringType)))
 
   /** Run the incremental fact load over the bounded source to completion
-    * (AvailableNow + memory sink) and return the materialized rows. The
-    * result equals the batch fact build minus the surrogate key — which is
-    * exactly what the DuckDB oracle checks.
+    * (AvailableNow + PARQUET sink — the DW-append shape; a memory sink
+    * would collect the whole fact to the driver, a non-starter at scale)
+    * and return a reader over the appended output. The result equals the
+    * batch fact build minus the surrogate key — which is exactly what the
+    * DuckDB oracle checks.
     *
     * Runs directly on the caller's session: with no stateful operator there
     * is no state-partition pinning to isolate (contrast
@@ -50,9 +52,11 @@ object FactStream {
       graft.sources.Crm.vendasFrom(orders),
       graft.sources.Crm.itemVendas(spark, dir),
       dimTempo, dimCliente, dimProduto, dimVendedor, dimLoja)
-    val q = stream.writeStream.format("memory").queryName(name)
+    val out = java.nio.file.Files.createTempDirectory(name).toString
+    val q = stream.writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
       .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(s"$out/data")
   }
 }

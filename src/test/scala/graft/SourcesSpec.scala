@@ -98,4 +98,22 @@ class SourcesSpec extends SparkSpec {
     assert(loc.columns.toSeq === Seq("id_localidade", "cidade", "estado", "regiao"))
     assert(loc.count() === 8)
   }
+
+  test("CSV landing-format read through the Crm.table locator dispatch") {
+    // dump nation+region from the parquet testdata as CSV "landing files",
+    // then run a real derivation against the csv: locator
+    val dir = Files.createTempDirectory("crm_csv").toString
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .coalesce(1).write.option("header", "true").csv(s"$dir/$t.csv")
+    }
+    val viaCsv = graft.sources.Crm.localidade(spark, s"csv:$dir")
+      .select("id_localidade", "cidade").orderBy("id_localidade").collect()
+    val viaParquet = graft.sources.Crm.localidade(spark, "/root/testdata/sf0.001")
+      .select("id_localidade", "cidade").orderBy("id_localidade").collect()
+    assert(viaCsv.length === viaParquet.length)
+    viaCsv.zip(viaParquet).foreach { case (c, p) =>
+      assert(c.getString(1) === p.getString(1))
+    }
+  }
 }
