@@ -70,4 +70,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert(p.contains("partial_sum"), "map-side combine missing")
   }
+
+  test("q_scd2: every window is partitioned by the natural key (no global window)") {
+    val p = plan("q_scd2")
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "unpartitioned window in the SCD2 plan")
+    // all three window ops (lag, row_number, lead) run per key partition
+    assert(p.contains("partitionBy" ) || p.contains("PartitionSpec") || p.contains("key#"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_contamination: benchmark overlap is a semi join on the shingle hash, no self-join") {
+    val p = plan("q_contamination")
+    assert(p.contains("LeftSemi"), "expected a left-semi join against the benchmark hashes")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q_pii_redact: pure projection — no shuffle except the final sort") {
+    val p = plan("q_pii_redact")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"), "redaction must stay a flat per-row projection")
+  }
+
+  test("q_scd2_lookup: temporal probe is an equi hash join with a range condition") {
+    val p = plan("q_scd2_lookup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "temporal lookup degenerated into a product join: " + p.take(2000))
+  }
 }
