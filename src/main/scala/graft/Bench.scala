@@ -48,9 +48,12 @@ object Bench {
       s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${r3(total)}}"""
     // Also persist the full result next to the build (harness tail keeps
     // only ~2000 chars of stdout; the file preserves every per-query time).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line.getBytes("UTF-8"))
-    catch { case _: Exception => () }
+    // Anchored to the JVM working directory explicitly, and a write failure
+    // is reported rather than silently dropped (ADVICE r4).
+    val benchOut = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(benchOut, line.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"warning: could not persist $benchOut: $e") }
     println(line)
     spark.stop()
   }

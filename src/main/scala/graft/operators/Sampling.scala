@@ -44,7 +44,7 @@ object Sampling {
                        fractions: Map[String, Double]): DataFrame = {
     val pred = fractions.toSeq.sortBy(_._1).map { case (s, f) =>
       stratum === lit(s) && keep(key, f)
-    }.reduce(_ || _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
     df.filter(pred)
   }
 }

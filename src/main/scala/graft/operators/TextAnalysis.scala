@@ -194,7 +194,8 @@ object TextAnalysis {
       .join(matched, Seq("doc_id"), "left")
       .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
       .withColumn("overlap_ratio",
-        detRound(col("n_matched").cast("double") / col("n_shingles"), 4))
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(detRound(col("n_matched").cast("double") / col("n_shingles"), 4)))
       .withColumn("contaminated", col("overlap_ratio") >= flagThreshold)
   }
 

@@ -45,18 +45,37 @@ object FactStream {
                       dimTempo: DataFrame, dimCliente: DataFrame, dimProduto: DataFrame,
                       dimVendedor: DataFrame, dimLoja: DataFrame,
                       name: String): DataFrame = {
+    // FileStreamSource only reads files — the parquet-directory layout. The
+    // csv:/jdbc: locators Crm.table accepts for batch have no streaming file
+    // source, so reject them here instead of silently globbing nothing.
+    require(!dir.contains(":") || dir.startsWith("/") || dir.startsWith("parquet:"),
+      s"incrementalFact streams from a parquet directory; got locator '$dir'")
+    val base = dir.stripPrefix("parquet:")
     // glob: FileStreamSource wants a directory base path (same trick as the
     // events stream readers)
-    val orders = spark.readStream.schema(ordersSchema).parquet(s"$dir/orders*")
+    val orders = spark.readStream.schema(ordersSchema).parquet(s"$base/orders*")
     val stream = graft.operators.Fact.fatoVendasNoSk(
       graft.sources.Crm.vendasFrom(orders),
       graft.sources.Crm.itemVendas(spark, dir),
       dimTempo, dimCliente, dimProduto, dimVendedor, dimLoja)
-    val out = java.nio.file.Files.createTempDirectory(name).toString
+    val out = java.nio.file.Files.createTempDirectory(name)
+    registerCleanup(out)
     val q = stream.writeStream.format("parquet")
       .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
       .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.read.parquet(s"$out/data")
   }
+
+  /** Temp fact copies + checkpoints are deleted on JVM exit — repeated
+    * verify/bench/test runs in one JVM would otherwise accumulate a full
+    * fact copy per call (ADVICE r4). */
+  private def registerCleanup(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      import java.util.Comparator
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
 }

@@ -38,6 +38,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1) === ((2L, 3L, 0L, false)))
   }
 
+  test("contamination on a <3-word doc: whole text is the single shingle, never NaN") {
+    // ShingleSet falls back to the whole text when words < n, so n_shingles
+    // is ≥1 for any non-null text — the ratio denominator can't be 0 here.
+    // The when(n_shingles===0, 0.0) guard covers the defensive remainder.
+    val corpus = Seq((1L, "too short")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.contamination(corpus, bench, "doc_id", "text", 0.5).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      === ((1L, 0L, 0.0, false)))
+  }
+
   test("repetitionScore measures duplicate-bigram fraction") {
     val df = Seq(
       (1L, "a b a b a b"), // bigrams: ab ba ab ba ab → 5 total, 2 distinct

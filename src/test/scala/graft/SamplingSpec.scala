@@ -28,4 +28,9 @@ class SamplingSpec extends SparkSpec {
     val train = s8.filter($"split" === "train").collect().map(_.getLong(0)).toSet
     assert(half.subsetOf(train))
   }
+
+  test("stratified sample with an empty fraction map drops everything (no throw)") {
+    val strat = keys.withColumn("s", ($"k" % 2).cast("string"))
+    assert(Sampling.stratifiedSample(strat, $"k", $"s", Map.empty).count() === 0L)
+  }
 }
