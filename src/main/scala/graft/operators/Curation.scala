@@ -28,4 +28,22 @@ object Curation {
       .filter(col("lang_pred") === lang && col("quality_score") >= minQuality)
       .filter(Sampling.keep(col(id), sampleFraction))
   }
+
+  /** Per-domain cap — the web-corpus rebalancing step: no single source may
+    * contribute more than `cap` documents, and the kept documents are the
+    * BEST of that source (quality desc, id tiebreak). Web crawls are
+    * power-law distributed across domains; without this one mega-site
+    * dominates training. One shuffle on the domain key; the per-domain
+    * window sort is bounded by a domain's own doc count, never global.
+    */
+  def capPerDomain(docs: DataFrame, id: String, text: String, domain: String,
+                   cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col(id).as("doc_id"), col(domain).as("domain"),
+      TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored.withColumn("rank_in_domain", row_number().over(w).cast("long"))
+      .filter(col("rank_in_domain") <= cap)
+  }
 }

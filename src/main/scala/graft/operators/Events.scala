@@ -62,6 +62,44 @@ object Events {
       .filter(col("rank") <= n)
   }
 
+  /** Trailing-window z-score anomaly detection over the hourly series: for
+    * each (event_type, hour) count, compare against the mean/stddev of the
+    * previous `trail` fully-populated hours of the SAME type and score
+    * z = (count − mean) / stddev. The top-|z| rows are the volume anomalies
+    * (incident spikes, outage troughs) an ops pipeline alerts on.
+    *
+    * Cross-engine determinism: mean and variance are derived from INTEGER
+    * window sums (Σc, Σc²) — `var = (n·Σc² − (Σc)²) / n²` — so the only
+    * floating-point ops are two divisions and one sqrt, all IEEE
+    * correctly-rounded; no engine-ordered float accumulation anywhere.
+    *
+    * Scale: one (type, hour) aggregate shuffle, then per-type windows —
+    * bounded by hours-per-type, never global.
+    */
+  def zscoreAnomalies(events: DataFrame, trail: Int = 24, topK: Int = 50): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hora"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hora"))
+      .rowsBetween(-trail, -1)
+    val n = lit(trail.toLong)
+    val scored = counts
+      .withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n_events")).over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .filter(col("n_trail") === trail)
+      // integer numerators first; one divide each — deterministic
+      .withColumn("mean", col("s1").cast("double") / n)
+      .withColumn("variance", (n * col("s2") - col("s1") * col("s1")).cast("double") / (n * n))
+      .filter(col("variance") > 0)
+      .withColumn("z",
+        detRound((col("n_events").cast("double") - col("mean")) / sqrt(col("variance")), 4))
+    scored.select(col("event_type"), col("hora"), col("n_events"),
+        detRound(col("mean"), 4).as("trail_mean"), col("z"))
+      .orderBy(abs(col("z")).desc, col("event_type"), col("hora"))
+      .limit(topK)
+  }
+
   /** Ordered funnel: stage k counts users whose first qualifying stage-k
     * event happens AT OR AFTER their first qualifying stage-(k-1) event.
     * Each stage is one filtered aggregate + one equi-join against the

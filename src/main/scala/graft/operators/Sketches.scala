@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.detRound
+
+/** Probabilistic sketches for corpus statistics at 100 TB — the class of
+  * operator where an exact answer needs a vocabulary-sized shuffle but a
+  * sketch needs only a constant-size state per group (SURVEY.md §7.5).
+  *
+  * Everything here is DETERMINISTIC (md5-derived hashing, integer register
+  * arithmetic) so the sketches are bit-identical across engines, reruns and
+  * partitionings — and therefore oracle-checkable in DuckDB, unlike Spark's
+  * own `approx_count_distinct`/`count_min_sketch` whose internal hashing is
+  * engine-private.
+  *
+  * Scale design: both sketches are pure map-side-combinable aggregates —
+  * the HLL registers are a per-(group, bucket) max, the CMS cells a
+  * per-(row, col) sum — so a 1000-executor run moves only
+  * O(groups × sketch_size) rows through the one shuffle, independent of
+  * corpus size.
+  */
+object Sketches {
+
+  /** HLL bucket count m = 2^6. Registers hold rho ∈ [1, 55] (60-bit hash
+    * minus 6 bucket bits leaves a 54-bit pattern; rho = leftmost-one
+    * position, 55 when the pattern is all zeros). The indicator sum is kept
+    * as the INTEGER Σ 2^(55−rho) ≤ 64·2^55 < 2^63 — exact in a long, so
+    * summation order cannot perturb the estimate on any engine.
+    */
+  val HllBuckets = 64
+
+  /** Per-group HyperLogLog distinct estimate of `item`, next to the exact
+    * distinct count (the correctness anchor the estimate is judged against).
+    *
+    * Emits: group, exact_distinct, hll_est (raw HLL formula, rounded),
+    * n_empty_buckets. The small-range linear-counting correction is omitted
+    * on purpose: it needs ln(), whose last-ulp rounding is libm-specific —
+    * the raw formula is IEEE-deterministic end to end (integer registers,
+    * one long→double conversion, correctly-rounded * and /).
+    */
+  def hllDistinct(df: DataFrame, group: Column, item: Column): DataFrame = {
+    val rows = df.select(group.as("grp"), item.as("it"), Dedup.hash60(item).as("h"))
+      .withColumn("bucket", col("h") % HllBuckets)
+      .withColumn("pat", expr(s"h div $HllBuckets")) // integer division
+      .withColumn("rho",
+        when(col("pat") === 0, lit(55))
+          .otherwise(lit(55) - length(bin(col("pat")))).cast("int"))
+    val regs = rows.groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val sums = regs.groupBy(col("grp")).agg(
+      count(lit(1)).as("npres"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).as("sp"))
+      // empty buckets contribute 2^55 each (rho = 0)
+      .withColumn("s", col("sp") +
+        (lit(HllBuckets) - col("npres")) * expr("shiftleft(CAST(1 AS BIGINT), 55)"))
+      .withColumn("n_empty_buckets", (lit(HllBuckets) - col("npres")).cast("long"))
+    val exact = rows.groupBy(col("grp")).agg(countDistinct(col("it")).as("exact_distinct"))
+    // alpha_m * m^2 * 2^55 / S — written with the same literal shape as the
+    // oracle SQL so every IEEE op sees identical operands in the same order.
+    val est = expr(
+      "0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 36028797018963968.0 / CAST(s AS DOUBLE)")
+    exact.join(sums, Seq("grp"))
+      .select(col("grp"), col("exact_distinct"),
+        detRound(est, 2).as("hll_est"), col("n_empty_buckets"))
+  }
+
+  /** Count-min sketch geometry: d independent hash rows × w columns. */
+  val CmsRows = 4
+  val CmsWidth = 256
+
+  /** Column index of `term` in CMS hash row `r` — md5-derived, portable. */
+  def cmsCol(term: Column, r: Int): Column =
+    Dedup.hash60(concat(lit(s"cms$r|"), term)) % CmsWidth
+
+  /** Build the (row, col) → count cell table of a count-min sketch over the
+    * multiset `term` (one row per occurrence). Fixed d×w = 1024 cells
+    * regardless of corpus size.
+    */
+  def cmsSketch(terms: DataFrame, term: Column): DataFrame = {
+    val cells = (0 until CmsRows).map(r =>
+      struct(lit(r).as("r"), cmsCol(term, r).cast("long").as("c")))
+    terms.select(explode(array(cells: _*)).as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters with CMS verification: the exact top-k terms (TakeOrdered
+    * — no global sort materialization) joined against their count-min
+    * estimate, which by construction never under-counts. Emits term,
+    * exact_cnt, cms_est — the overestimate column is the sketch's collision
+    * noise, the quantity you size w against at scale.
+    */
+  def cmsHeavyHitters(terms: DataFrame, term: Column, k: Int): DataFrame = {
+    val t = terms.select(term.as("term"))
+    val sketch = cmsSketch(t, col("term"))
+    val topk = t.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(k)
+    val probes = topk.select(col("term"), col("exact_cnt"),
+      explode(array((0 until CmsRows).map(r =>
+        struct(lit(r).as("r"), cmsCol(col("term"), r).cast("long").as("c"))): _*)).as("rc"))
+      .select(col("term"), col("exact_cnt"), col("rc.r").as("r"), col("rc.c").as("c"))
+    probes.join(sketch, Seq("r", "c"))
+      .groupBy(col("term"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+}

@@ -70,6 +70,35 @@ object Surrogate {
       .drop("__pid", "__opid", "__offset")
   }
 
+  /** Dense global rank AND running total of `valueCol` in total `orderCols`
+    * order WITHOUT a single-partition window — the distributed prefix-sum
+    * generalization of [[zipWithIndexOrdered]]. Pass 1 aggregates per range
+    * partition (count + sum) and prefix-sums over #partitions rows; pass 2
+    * ranks/sums within each partition and adds the broadcast offsets. Used
+    * by cumulative-distribution queries (vocabulary coverage) where both the
+    * rank and the cumsum of a globally-ordered table are needed and the
+    * table can be arbitrarily large.
+    */
+  def rankedRunningTotal(df: DataFrame, valueCol: Column, rankName: String,
+                         totalName: String, orderCols: Seq[Column]): DataFrame = {
+    val sorted = df.withColumn("__v", valueCol.cast(LongType))
+      .repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val pw = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v")).as("__vsum"))
+      .select(col("__pid").as("__opid"),
+        coalesce(sum(col("__cnt")).over(pw), lit(0L)).as("__roff"),
+        coalesce(sum(col("__vsum")).over(pw), lit(0L)).as("__soff"))
+    val lw = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    sorted.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(rankName, (col("__roff") + row_number().over(lw)).cast(LongType))
+      .withColumn(totalName,
+        (col("__soff") + sum(col("__v")).over(lw.rowsBetween(Window.unboundedPreceding, 0)))
+          .cast(LongType))
+      .drop("__pid", "__opid", "__roff", "__soff", "__v")
+  }
+
   /** Unique non-dense, order-free key in ZERO extra passes — for outputs
     * whose SERIAL values are not observable downstream (SURVEY §7.3: nothing
     * joins on the fact SK and the oracle never compares it). The range-

@@ -167,6 +167,77 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("doc_id"), fingerprintUdf(col(text)).as("fingerprint"))
 
+  /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * '03): hash every word k-gram, slide a window of `w` consecutive gram
+    * hashes, keep the (leftmost) minimum of each window. Guarantees every
+    * shared substring of ≥ w+k−1 words yields a shared fingerprint, with
+    * ~2/(w+1) selection density — the position-aware dedup/plagiarism signal
+    * that a single whole-doc min (rollingFingerprint) can't give.
+    *
+    * Output: one row per distinct (doc_id, pos, fp) selection. Flat per-row
+    * array work, parallel across the corpus, no shuffle before the final
+    * distinct. Docs shorter than k words fall back to one whole-text gram —
+    * the same convention as ShingleSet, so every doc fingerprints.
+    *
+    * The gram-hash array is materialized as a column BEFORE the window
+    * transform references it (the HOF lambda re-evaluation trap: a lambda's
+    * free subtree is re-computed per element if it inlines).
+    */
+  def winnow(docs: DataFrame, id: String, text: String,
+             k: Int = 3, w: Int = 4): DataFrame = {
+    val wordsArr = docs.select(col(id).as("doc_id"), words(col(text)).as("__w"),
+      col(text).as("__t"))
+    val gram = (i: Column) => concat_ws(" ",
+      (0 until k).map(j => element_at(col("__w"), i + j)): _*)
+    val grams = wordsArr.select(col("doc_id"),
+      when(size(col("__w")) < k, array(col("__t")))
+        .otherwise(transform(sequence(lit(1), size(col("__w")) - (k - 1)), gram))
+        .as("__g"))
+    val hashes = grams.select(col("doc_id"),
+      transform(col("__g"), g => Dedup.hash60(g)).as("__h"))
+    // window i covers gram hashes [i, i+w): fp = min, pos = leftmost argmin
+    val win = (i: Column) => {
+      val s = slice(col("__h"), i, lit(w))
+      struct((i + array_position(s, array_min(s)) - 1).cast("long").as("pos"),
+        array_min(s).as("fp"))
+    }
+    hashes.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("__h")) - (w - 1), lit(1))), win))).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+  }
+
+  /** Vocabulary coverage curve: the smallest frequency-ranked vocabulary
+    * covering each target fraction of all token occurrences — the statistic
+    * that sizes a tokenizer's vocab ("how many types cover 99% of tokens?").
+    *
+    * The cumulative distribution over the globally-ordered term table uses
+    * [[Surrogate.rankedRunningTotal]] — the two-pass distributed prefix sum —
+    * because at 100 TB the post-aggregation vocabulary is still tens of
+    * millions of types: a global-window cumsum would funnel it through one
+    * task. No single-partition stage anywhere.
+    */
+  def vocabCoverage(docs: DataFrame, id: String, text: String,
+                    levels: Seq[Double]): DataFrame = {
+    val counts = docs.select(explode(words(col(text))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val ranked = Surrogate.rankedRunningTotal(counts, col("cnt"), "rank", "cum",
+      Seq(col("cnt").desc, col("term")))
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val lv = levels.toDF("level")
+    ranked.crossJoin(broadcast(total))
+      .withColumn("covfrac", col("cum").cast("double") / col("total_tokens"))
+      .join(broadcast(lv), col("covfrac") >= col("level"))
+      .groupBy(col("level"))
+      .agg(min(col("rank")).as("vocab_size"), min(col("cum")).as("tokens_covered"),
+        max(col("total_tokens")).as("total_tokens"))
+      .withColumn("coverage",
+        detRound(col("tokens_covered").cast("double") / col("total_tokens"), 6))
+      .orderBy(col("level"))
+  }
+
   /** Benchmark-contamination check: per corpus document, the fraction of
     * its word 3-shingles that also occur in a benchmark/eval set — the
     * decontamination step every serious training-data pipeline runs before

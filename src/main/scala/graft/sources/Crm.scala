@@ -32,6 +32,11 @@ object Crm {
     else if (dir.startsWith("csv:"))
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(s"${dir.stripPrefix("csv:")}/$name.csv")
+    else if (dir.startsWith("json:"))
+      // JSON-lines landing format (API exports / event dumps). Like CSV:
+      // schema inferred, no pushdown — an ingestion format, convert to
+      // parquet before running at scale.
+      spark.read.json(s"${dir.stripPrefix("json:")}/$name.json")
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Numeric split column per raw table: with it, the JDBC scan fans out as

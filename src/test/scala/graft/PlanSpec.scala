@@ -91,6 +91,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_winnow: one corpus scan, no joins — flat per-row array work until the sort") {
+    val p = plan("q_winnow")
+    assert("Scan parquet".r.findAllIn(p).length === 1, p.take(1500))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"))
+    // the gram-hash array must be materialized once per row, not re-derived
+    // per window element (the HOF lambda-inlining trap)
+    assert("split\\(".r.findAllIn(p).length === 1, "split() re-evaluated — projection collapsed into the lambda")
+  }
+
+  test("q_vocab_coverage: cumsum runs through the two-pass offset scheme, not a global window") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("__pid"), "expected the rankedRunningTotal partition-offset machinery")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_heavy_hitters: sketch build is map-side combinable, probe joins are hash joins") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_contamination: benchmark overlap is a semi join on the shingle hash, no self-join") {
     val p = plan("q_contamination")
     assert(p.contains("LeftSemi"), "expected a left-semi join against the benchmark hashes")

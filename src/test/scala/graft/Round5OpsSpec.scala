@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Events, TextAnalysis}
+
+/** Round-5 corpus/ops operators: winnowing fingerprints, vocabulary
+  * coverage (distributed prefix sum), per-domain cap, z-score anomalies.
+  */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala-side mirror of Dedup.hash60 for expected-value computation. */
+  private def h60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("winnow: one window over a 6-word doc picks the leftmost-min gram hash") {
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val out = TextAnalysis.winnow(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // grams: "a b c","b c d","c d e","d e f" → 4 hashes, window w=4 → 1 window
+    val hs = Seq("a b c", "b c d", "c d e", "d e f").map(h60)
+    val minH = hs.min
+    val pos = hs.indexOf(minH) + 1
+    assert(out.toSeq === Seq((1L, pos.toLong, minH)))
+  }
+
+  test("winnow: docs sharing a >= w+k-1 word substring share a fingerprint") {
+    val shared = "the quick brown fox jumps over" // 6 words = w+k-1
+    val df = Seq(
+      (1L, s"intro words here $shared more tail text"),
+      (2L, s"$shared completely different ending")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.winnow(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val d1 = out.filter(_._1 == 1L).map(_._2).toSet
+    val d2 = out.filter(_._1 == 2L).map(_._2).toSet
+    assert(d1.intersect(d2).nonEmpty, "winnowing guarantee violated")
+  }
+
+  test("winnow: short doc falls back to a single whole-text fingerprint") {
+    val df = Seq((7L, "hi there")).toDF("doc_id", "text")
+    val out = TextAnalysis.winnow(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((7L, 1L, h60("hi there"))))
+  }
+
+  test("vocabCoverage: tiny corpus cumulative ranks are exact") {
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(df, "doc_id", "text", Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // counts a:3 b:2 c:1, total 6; cum fracs 0.5, 5/6, 1.0
+    assert(out.toSeq === Seq((0.5, 1L, 3L, 6L), (0.9, 3L, 6L, 6L), (0.99, 3L, 6L, 6L)))
+  }
+
+  test("capPerDomain keeps at most cap docs per domain, best quality first") {
+    val docs = (1L to 60L).map(i => (i, s"some document text number $i with words", "big")) ++
+      Seq((100L, "short", "small"), (101L, "also short", "small"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val out = Curation.capPerDomain(df, "doc_id", "text", "source", 50)
+    val byDomain = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("big") === 50L)
+    assert(byDomain("small") === 2L)
+    // ranks are 1..n within each domain
+    val ranks = out.filter($"domain" === "big")
+      .select("rank_in_domain").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq === (1L to 50L))
+  }
+
+  test("zscoreAnomalies flags an injected spike with the hand-computed z") {
+    // 24 trailing hours alternating 10/12 events, then a 100-event spike:
+    // mean 11, var (24*2928 - 264^2)/576 = 1 → z = (100-11)/1 = 89
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int, k: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L + k * 1000L)
+    val evs = (0 until 24).flatMap { h =>
+      val n = if (h % 2 == 0) 10 else 12
+      (0 until n).map(k => (at(h, k), "t"))
+    } ++ (0 until 100).map(k => (at(24, k), "t"))
+    val df = evs.toDF("ts", "event_type")
+    val out = Events.zscoreAnomalies(df, trail = 24, topK = 5).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getAs[String]("event_type") === "t")
+    assert(top.getAs[Long]("n_events") === 100L)
+    assert(top.getAs[Double]("trail_mean") === 11.0)
+    assert(top.getAs[Double]("z") === 89.0)
+  }
+}

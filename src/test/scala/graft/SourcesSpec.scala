@@ -99,6 +99,22 @@ class SourcesSpec extends SparkSpec {
     assert(loc.count() === 8)
   }
 
+  test("JSON landing-format read through the Crm.table locator dispatch") {
+    val dir = Files.createTempDirectory("crm_json").toString
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .coalesce(1).write.json(s"$dir/$t.json")
+    }
+    val viaJson = graft.sources.Crm.localidade(spark, s"json:$dir")
+      .select("id_localidade", "cidade").orderBy("id_localidade").collect()
+    val viaParquet = graft.sources.Crm.localidade(spark, "/root/testdata/sf0.001")
+      .select("id_localidade", "cidade").orderBy("id_localidade").collect()
+    assert(viaJson.length === viaParquet.length)
+    viaJson.zip(viaParquet).foreach { case (j, p) =>
+      assert(j.getString(1) === p.getString(1))
+    }
+  }
+
   test("CSV landing-format read through the Crm.table locator dispatch") {
     // dump nation+region from the parquet testdata as CSV "landing files",
     // then run a real derivation against the csv: locator

@@ -29,6 +29,25 @@ class SurrogateSpec extends SparkSpec {
     assert(plan.contains("__pid"))
   }
 
+  test("rankedRunningTotal equals the single-partition global window result") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 3000)
+      .select((col("id") * 37 % 101).as("k"), (col("id") % 17 + 1).as("v"))
+      .repartition(11)
+    val got = Surrogate.rankedRunningTotal(df, col("v"), "rnk", "cum", Seq(col("k")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._2)
+    val w = Window.orderBy(col("k"))
+    val want = df.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._2)
+    // ties in k make per-row ranks order-dependent; compare the running total
+    // at each group boundary (well-defined regardless of tie order)
+    def boundaries(a: Array[(Long, Long, Long)]) =
+      a.groupBy(_._1).map { case (k, rows) =>
+        (k, rows.map(_._2).max, rows.map(_._3).max) }.toSet
+    assert(boundaries(got) === boundaries(want))
+  }
+
   test("orderedUniqueKey produces unique keys increasing in sort order") {
     val df = spark.range(0, 5000).select((col("id") * 13 % 5003).as("k"))
     val r = Surrogate.orderedUniqueKey(df, "sk", Seq(col("k")))
