@@ -199,6 +199,55 @@ object Dedup {
     result
   }
 
+  /** Containment (asymmetric) near-dup pairs: emit (a, b) when
+    * |sh(a) ∩ sh(b)| / |sh(a)| ≥ t — "a is (near-)subsumed in b", the
+    * quote/boilerplate/excerpt relation MinHash cannot see (a short doc
+    * fully contained in a long one has LOW Jaccard but containment 1).
+    *
+    * Candidate generation is the classic DF-ordered PREFIX FILTER
+    * (SSJoin/PPJoin family): order every doc's shingles globally by
+    * (document frequency, shingle) — rarest first — and observe that if
+    * |A∩B| ≥ t·|A| then B must contain one of A's first ⌊(1−t)·|A|⌋+1
+    * shingles in that order. So only the prefix explodes on the probe side,
+    * the candidate join is an equi join on the shingle, and rare-first
+    * ordering keeps per-shingle bucket sizes small. At 100 TB the DF-ranked
+    * inverted index is the build-once artifact, exactly like the LSH
+    * signatures.
+    *
+    * The prefix length uses INTEGER arithmetic (t as num/den): a float
+    * ⌊(1−t)·n⌋ differs between engines (DECIMAL vs IEEE rounding of 1−t).
+    */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+                       tNum: Int = 9, tDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tNum.toDouble / tDen
+    val sh = withShingles(docs, id, text).cache()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, Seq("s"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val pre = ranked
+      .withColumn("rn", row_number().over(perDoc.orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(perDoc))
+      // ⌊(1−t)·n⌋+1 = ((den−num)·n) div den + 1, exactly, on any engine
+      .filter(col("rn") <= expr(s"(($tDen - $tNum) * n) div $tDen") + 1)
+    val cand = pre.select(col("doc_id").as("a"), col("s"))
+      .join(ex.select(col("doc_id").as("b"), col("s")), Seq("s"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    val result = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("containment", graft.functions.GraftFunctions.detRound(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") / size(col("sha")), 4))
+      .filter(col("containment") >= t)
+      .select(col("a").as("doc_id_a"), col("b").as("doc_id_b"), col("containment"))
+      .cache()
+    result.count() // materialize, then release the build-side cache
+    sh.unpersist()
+    result
+  }
+
   // ---- SimHash --------------------------------------------------------------
 
   /** 60-bit SimHash from word frequencies, expression-only: explode words,

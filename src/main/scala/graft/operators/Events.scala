@@ -62,6 +62,19 @@ object Events {
       .filter(col("rank") <= n)
   }
 
+  /** Hopping (sliding) windows: 2-hour windows advancing every hour, so
+    * each event lands in exactly 2 overlapping windows — the smoothing
+    * shape rate/limit monitors use. `window(ts, len, slide)` explodes each
+    * row into its len/slide windows before ONE map-side-combinable hash
+    * aggregate; no self-join of adjacent hours.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("n_users"))
+
   /** Trailing-window z-score anomaly detection over the hourly series: for
     * each (event_type, hour) count, compare against the mean/stddev of the
     * previous `trail` fully-populated hours of the SAME type and score

@@ -59,6 +59,28 @@ object EventsStream {
         graft.functions.GraftFunctions.stableSum2(col("value")).as("sum_value"))
       .select(col("w.start").as("hora"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Per-user sessions via the NATIVE `session_window` operator (Spark's
+    * built-in gap-merging window) — the declarative twin of the custom
+    * [[sessionize]]: no user state-management code, Catalyst owns merge and
+    * eviction. Boundary semantics MATCH the custom form (pinned by spec +
+    * oracle): per-event windows `[ts, ts+gap)` merge when they touch, so an
+    * event exactly `gap` after its predecessor EXTENDS the session — i.e.
+    * a new session starts only when `ts > prev + gap`, the same `diff >
+    * gap` rule as [[sessionize]].
+    *
+    * In append mode a session emits once the watermark passes its end
+    * (last event + gap); sessions still open at end-of-stream stay in
+    * state, exactly like [[sessionize]] — the deterministic oracle is the
+    * batch gap-sessionization filtered to sessions whose end precedes the
+    * final watermark.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   /** start/last are MICROSECONDS since epoch: `Timestamp.getTime` is

@@ -99,6 +99,43 @@ class EventsStreamSpec extends SparkSpec {
       5L -> ts("2024-01-01 10:04:00")))
   }
 
+  test("native session_window emits sessions sealed by the final watermark only") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("events_sw")
+    // user 1: two events 10min apart (one session, end 10:40), then one at
+    // 14:00 (second session, end 14:30). Final watermark = 14:00 − 2h =
+    // 12:00 → only the first session (end 10:40 < 12:00) is emitted.
+    writeEventsFile(dir, "all.parquet", 3000000L, Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1L, "view", 1.0),
+      Ev(3, ts("2024-01-01 14:00:00"), 1L, "view", 1.0)))
+    val out = EventsStream.runToCompletion(spark, "sw_test", OutputMode.Append()) { ss =>
+      EventsStream.sessionWindowAgg(EventsStream.readEventsStream(ss, dir.toString))
+    }.orderBy(col("session_start")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L)))
+  }
+
+  test("session_window boundary: an event exactly gap after EXTENDS the session") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("events_swb")
+    // 10:00 and 10:30 are exactly 30min apart: the per-event windows
+    // [10:00, 10:30) and [10:30, 11:00) touch and MERGE — one session, the
+    // same `diff > gap` boundary as the custom sessionize. A late 20:00
+    // event seals it.
+    writeEventsFile(dir, "all.parquet", 3100000L, Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:30:00"), 1L, "view", 1.0),
+      Ev(3, ts("2024-01-01 20:00:00"), 1L, "view", 1.0)))
+    val out = EventsStream.runToCompletion(spark, "swb_test", OutputMode.Append()) { ss =>
+      EventsStream.sessionWindowAgg(EventsStream.readEventsStream(ss, dir.toString))
+    }.orderBy(col("session_start")).collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 2L)))
+  }
+
   test("streaming exact dedup equals batch dedup over a bounded run") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("docs_stream")

@@ -112,6 +112,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_containment: prefix-filter candidates come from an equi join, never all-pairs") {
+    val p = plan("q_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("q_contamination: benchmark overlap is a semi join on the shingle hash, no self-join") {
     val p = plan("q_contamination")
     assert(p.contains("LeftSemi"), "expected a left-semi join against the benchmark hashes")

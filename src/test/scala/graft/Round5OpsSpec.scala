@@ -70,6 +70,30 @@ class Round5OpsSpec extends SparkSpec {
     assert(ranks.toSeq === (1L to 50L))
   }
 
+  test("containmentPairs finds a doc subsumed in a longer one (asymmetric)") {
+    val inner = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      (1L, inner),                                     // ⊂ doc 2
+      (2L, s"prefix words $inner suffix tail words"),
+      (3L, "totally unrelated content with many different words here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.containmentPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc 1's 3 shingles all occur in doc 2 → containment(1 in 2) = 1.0;
+    // doc 2 has 10 shingles, only 3 shared → 0.3 < 0.9 (not emitted)
+    assert(out === Set((1L, 2L, 1.0)))
+  }
+
+  test("slidingCounts: each event lands in exactly its two hopping windows") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 05:30:00")
+    val df = Seq((base, "view", 1L)).toDF("ts", "event_type", "user_id")
+    val out = Events.slidingCounts(df).orderBy("win_start").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getLong(3)))
+    val h4 = java.sql.Timestamp.valueOf("2024-01-01 04:00:00")
+    val h5 = java.sql.Timestamp.valueOf("2024-01-01 05:00:00")
+    assert(out.toSeq === Seq((h4, 1L, 1L), (h5, 1L, 1L)))
+  }
+
   test("zscoreAnomalies flags an injected spike with the hand-computed z") {
     // 24 trailing hours alternating 10/12 events, then a 100-event spike:
     // mean 11, var (24*2928 - 264^2)/576 = 1 → z = (100-11)/1 = 89
