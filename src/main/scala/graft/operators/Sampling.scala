@@ -34,6 +34,24 @@ object Sampling {
     df.withColumn(splitCol,
       when(keep(key, trainFraction), lit("train")).otherwise(lit("eval")))
 
+  /** Deterministic fixed-size "reservoir" per group: the k rows with the
+    * smallest md5(key) per group — uniform-ish like a reservoir sample but
+    * a pure function of the keys, so it survives reruns, engines and
+    * incremental appends (a new row enters the reservoir exactly when its
+    * hash beats the current k-th). The per-group window sorts only that
+    * group's rows; at 100 TB replace row_number with a per-group top-k
+    * aggregate if groups themselves are huge.
+    */
+  def reservoirPerGroup(df: DataFrame, key: Column, group: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__g")).orderBy(col("__h"), col("__key"))
+    df.withColumn("__g", group).withColumn("__key", key)
+      .withColumn("__h", Dedup.hash60(key.cast("string")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__g").as("group"), col("rank"), col("__key").as("key"))
+  }
+
   /** Stratified deterministic sampling: each stratum value gets its own
     * Bernoulli fraction (the domain-rebalancing step of corpus curation —
     * e.g. downsample the dominant language, keep the rare ones whole).

@@ -173,6 +173,42 @@ object Similarity {
       .select(col("vec_id_a"), col("vec_id_b"), col("cos"))
   }
 
+  /** One Lloyd (k-means) refinement step over the IVF seed centroids: assign
+    * every vector to its nearest centroid by cosine (deterministic tiebreak),
+    * then emit each cell's recomputed mean — the index-build iteration a
+    * production IVF runs a handful of times. Composable: feed the output
+    * back as the next step's centroid set (each step is one broadcast join +
+    * one map-side-combinable aggregate — O(iterations) jobs, never a
+    * driver-side loop over vectors).
+    *
+    * Cross-engine determinism is the [[labelCentroids]] recipe: element
+    * values quantize to 1e-6 integers BEFORE summing, so aggregation order
+    * cannot perturb the new centroids; emitted exploded (cell, pos, value).
+    */
+  def kmeansStep(corpus: DataFrame, centroidEvery: Int = 40,
+                 quantScale: Double = 1e6): DataFrame = {
+    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("emb_cent"),
+        sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_cent"))
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = withNorm.join(broadcast(cents))
+      .withColumn("cent_cos",
+        detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    assigned.select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(floor(col("col").cast("double") * quantScale + 0.5)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos").cast("long").as("pos"),
+        detRound(col("s") / quantScale / col("n"), 6).as("value"),
+        col("n").as("n_vectors"))
+  }
+
   /** Deterministic IVF (inverted-file) ANN — the production scale path when
     * buckets must be balanced: a fixed centroid sample partitions the corpus
     * into cells (the "index build"); a query scans only its `nprobe` nearest

@@ -322,6 +322,27 @@ object OracleSql {
        |SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q_kmeans_step mirror: nearest-centroid assignment (annIvfSql's assign
+    * CTE) + the quantize-before-sum per-cell mean (q_embed_centroid's
+    * recipe; embedding dim fixed at 64 per TESTDATA.md). */
+  def kmeansStepSql(centroidEvery: Int): String =
+    s"""WITH c0 AS (SELECT vec_id AS cent_id, embedding AS emb_cent
+       |      FROM embeddings WHERE vec_id % $centroidEvery = 0),
+       |assign AS (SELECT vec_id, emb_c, cell FROM (
+       |      SELECT e.vec_id, e.embedding AS emb_c, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM embeddings e, c0) WHERE rn = 1),
+       |x AS (SELECT cell, i AS pos,
+       |        CAST(floor(emb_c[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS q
+       |      FROM assign, range(1, 65) t(i)),
+       |p AS (SELECT cell, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+       |      FROM x GROUP BY 1, 2)
+       |SELECT cell, CAST(pos - 1 AS BIGINT) AS pos,
+       | ${detRoundSql("s / 1000000.0 / n", 6)} AS value, n AS n_vectors
+       |FROM p ORDER BY cell, pos""".stripMargin
+
   /** q_ann_topk mirror (brute-force cosine top-k). */
   def annTopKSql(k: Int, querySel: String): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS emb_q FROM embeddings WHERE $querySel),

@@ -94,6 +94,49 @@ class Round5OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((h4, 1L, 1L), (h5, 1L, 1L)))
   }
 
+  test("applyChangeLog: latest version wins, deleted keys disappear") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "I", 10.0),
+      (1L, ts("2024-01-02 00:00:00"), "U", 11.0),
+      (2L, ts("2024-01-01 00:00:00"), "I", 20.0),
+      (2L, ts("2024-01-03 00:00:00"), "D", 0.0),
+      (3L, ts("2024-01-01 00:00:00"), "I", 30.0)
+    ).toDF("k", "vts", "op", "price")
+    val out = graft.operators.Cdc.applyChangeLog(log, $"k", $"vts", $"op")
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, "U", 11.0), (3L, "I", 30.0)))
+  }
+
+  test("reservoirPerGroup: k per group, deterministic across partitionings") {
+    val df = (1L to 500L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
+    val r1 = graft.operators.Sampling.reservoirPerGroup(df, $"id", $"g", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(r1.count(_._1 == "a") === 10 && r1.count(_._1 == "b") === 10)
+    val r2 = graft.operators.Sampling.reservoirPerGroup(df.repartition(17), $"id", $"g", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(r1.sorted.toSeq === r2.sorted.toSeq)
+    // a group smaller than k is kept whole
+    val small = graft.operators.Sampling.reservoirPerGroup(
+      Seq((1L, "x"), (2L, "x")).toDF("id", "g"), $"id", $"g", 10).count()
+    assert(small === 2L)
+  }
+
+  test("kmeansStep: hand-checked assignment and quantized cell means") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(2.0f, 0.0f), 0), // cos with v0 = 1 → cell 0
+      (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(0.0f, 3.0f), 0)  // cos with v2 = 1 → cell 2
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.kmeansStep(emb, centroidEvery = 2)
+      .orderBy($"cell", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 1.5, 2L), (0L, 1L, 0.0, 2L),
+      (2L, 0L, 0.0, 2L), (2L, 1L, 2.0, 2L)))
+  }
+
   test("zscoreAnomalies flags an injected spike with the hand-computed z") {
     // 24 trailing hours alternating 10/12 events, then a 100-event spike:
     // mean 11, var (24*2928 - 264^2)/576 = 1 → z = (100-11)/1 = 89
