@@ -39,30 +39,59 @@ object Sketches {
     * the raw formula is IEEE-deterministic end to end (integer registers,
     * one long→double conversion, correctly-rounded * and /).
     */
-  def hllDistinct(df: DataFrame, group: Column, item: Column): DataFrame = {
-    val rows = df.select(group.as("grp"), item.as("it"), Dedup.hash60(item).as("h"))
-      .withColumn("bucket", col("h") % HllBuckets)
+  /** (bucket, rho) derivation for one hashed item — shared by every HLL
+    * shape below. */
+  private def withBucketRho(df: DataFrame): DataFrame =
+    df.withColumn("bucket", col("h") % HllBuckets)
       .withColumn("pat", expr(s"h div $HllBuckets")) // integer division
       .withColumn("rho",
         when(col("pat") === 0, lit(55))
           .otherwise(lit(55) - length(bin(col("pat")))).cast("int"))
-    val regs = rows.groupBy(col("grp"), col("bucket"))
-      .agg(max(col("rho")).as("m"))
-    val sums = regs.groupBy(col("grp")).agg(
+
+  /** Registers → estimate: alpha_m · m² · 2^55 / S with S the exact integer
+    * indicator sum — written with the same literal shape as the oracle SQL
+    * so every IEEE op sees identical operands in the same order.
+    */
+  private def estimateFromRegisters(regs: DataFrame, groupName: String): DataFrame = {
+    val est = expr(
+      "0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 36028797018963968.0 / CAST(s AS DOUBLE)")
+    regs.groupBy(col(groupName)).agg(
       count(lit(1)).as("npres"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).as("sp"))
       // empty buckets contribute 2^55 each (rho = 0)
       .withColumn("s", col("sp") +
         (lit(HllBuckets) - col("npres")) * expr("shiftleft(CAST(1 AS BIGINT), 55)"))
       .withColumn("n_empty_buckets", (lit(HllBuckets) - col("npres")).cast("long"))
+      .select(col(groupName), detRound(est, 2).as("hll_est"), col("n_empty_buckets"))
+  }
+
+  def hllDistinct(df: DataFrame, group: Column, item: Column): DataFrame = {
+    val rows = withBucketRho(
+      df.select(group.as("grp"), item.as("it"), Dedup.hash60(item).as("h")))
+    val regs = rows.groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("m"))
     val exact = rows.groupBy(col("grp")).agg(countDistinct(col("it")).as("exact_distinct"))
-    // alpha_m * m^2 * 2^55 / S — written with the same literal shape as the
-    // oracle SQL so every IEEE op sees identical operands in the same order.
-    val est = expr(
-      "0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 36028797018963968.0 / CAST(s AS DOUBLE)")
-    exact.join(sums, Seq("grp"))
-      .select(col("grp"), col("exact_distinct"),
-        detRound(est, 2).as("hll_est"), col("n_empty_buckets"))
+    exact.join(estimateFromRegisters(regs, "grp"), Seq("grp"))
+      .select(col("grp"), col("exact_distinct"), col("hll_est"), col("n_empty_buckets"))
+  }
+
+  /** The property that makes HLL the 100 TB answer: registers MERGE by
+    * element-wise max. Here the per-(day, hour) register tables — the
+    * small persisted artifacts an hourly pipeline would keep — roll up to
+    * a per-day estimate without ever revisiting the raw rows, next to the
+    * exact daily distinct as the correctness anchor. Merge of a day's
+    * hours ≡ computing the day's registers directly (max is associative),
+    * which is exactly what the oracle mirrors.
+    */
+  def hllMergedDaily(df: DataFrame, ts: Column, item: Column): DataFrame = {
+    val rows = withBucketRho(
+      df.select(date_trunc("day", ts).as("day"), date_trunc("hour", ts).as("hour"),
+        item.as("it"), Dedup.hash60(item).as("h")))
+    val hourly = rows.groupBy(col("day"), col("hour"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val daily = hourly.groupBy(col("day"), col("bucket")).agg(max(col("m")).as("m"))
+    val exact = rows.groupBy(col("day")).agg(countDistinct(col("it")).as("exact_distinct"))
+    exact.join(estimateFromRegisters(daily, "day"), Seq("day"))
+      .select(col("day"), col("exact_distinct"), col("hll_est"), col("n_empty_buckets"))
   }
 
   /** Count-min sketch geometry: d independent hash rows × w columns. */

@@ -81,6 +81,17 @@ object EventsStream {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Streaming hopping windows — the streaming twin of
+    * Events.slidingCounts: each event lands in its two overlapping 2-hour
+    * windows. Complete mode over the bounded run equals the batch result
+    * (the oracle), like [[hourlyCounts]].
+    */
+  def slidingCountsStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   /** start/last are MICROSECONDS since epoch: `Timestamp.getTime` is

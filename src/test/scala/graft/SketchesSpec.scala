@@ -26,6 +26,30 @@ class SketchesSpec extends SparkSpec {
     assert(out13.toSeq === out.map(t => (t._1, t._3)).toSeq)
   }
 
+  test("hll register merge: hourly registers roll up to the direct daily estimate") {
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val evs = (0 until 8000).map { i =>
+      val day = i % 2
+      val hour = i % 24
+      (new java.sql.Timestamp(base.getTime + day * 86400000L + hour * 3600000L),
+        (i % 1500).toLong)
+    }
+    val df = evs.toDF("ts", "user_id")
+    val merged = Sketches.hllMergedDaily(df, $"ts", $"user_id".cast("string"))
+      .orderBy($"day").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    // direct per-day estimate over the same items — must be IDENTICAL
+    // (register merge by max is lossless)
+    val direct = Sketches.hllDistinct(
+      df.select(date_trunc("day", $"ts").as("d"), $"user_id".cast("string").as("u")),
+      $"d", $"u").orderBy($"grp").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(merged.toSeq === direct.toSeq)
+    merged.foreach { case (exact, est) =>
+      assert(math.abs(est - exact) / exact.toDouble < 0.4, s"est $est vs $exact")
+    }
+  }
+
   test("cms heavy hitters: exact counts right, estimates never under-count") {
     val multiset = Seq.fill(100)("alpha") ++ Seq.fill(50)("beta") ++
       (1 to 500).map(i => s"rare$i")
