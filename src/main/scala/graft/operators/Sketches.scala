@@ -66,10 +66,13 @@ object Sketches {
   }
 
   def hllDistinct(df: DataFrame, group: Column, item: Column): DataFrame = {
-    val rows = withBucketRho(
-      df.select(group.as("grp"), item.as("it"), Dedup.hash60(item).as("h")))
+    // Dedup (grp, item) FIRST: duplicates cannot change a max-register or a
+    // distinct count, and the dedup aggregate combines map-side — so the
+    // hash/register work downstream runs over |distinct items|, not |rows|.
+    val uniq = df.select(group.as("grp"), item.as("it")).distinct()
+    val rows = withBucketRho(uniq.withColumn("h", Dedup.hash60(col("it"))))
     val regs = rows.groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("m"))
-    val exact = rows.groupBy(col("grp")).agg(countDistinct(col("it")).as("exact_distinct"))
+    val exact = rows.groupBy(col("grp")).agg(count(lit(1)).as("exact_distinct"))
     exact.join(estimateFromRegisters(regs, "grp"), Seq("grp"))
       .select(col("grp"), col("exact_distinct"), col("hll_est"), col("n_empty_buckets"))
   }
@@ -83,9 +86,10 @@ object Sketches {
     * which is exactly what the oracle mirrors.
     */
   def hllMergedDaily(df: DataFrame, ts: Column, item: Column): DataFrame = {
-    val rows = withBucketRho(
-      df.select(date_trunc("day", ts).as("day"), date_trunc("hour", ts).as("hour"),
-        item.as("it"), Dedup.hash60(item).as("h")))
+    // same dedup-first shape as hllDistinct, at (day, hour, item) grain
+    val uniq = df.select(date_trunc("day", ts).as("day"),
+      date_trunc("hour", ts).as("hour"), item.as("it")).distinct()
+    val rows = withBucketRho(uniq.withColumn("h", Dedup.hash60(col("it"))))
     val hourly = rows.groupBy(col("day"), col("hour"), col("bucket"))
       .agg(max(col("rho")).as("m"))
     val daily = hourly.groupBy(col("day"), col("bucket")).agg(max(col("m")).as("m"))
@@ -102,18 +106,6 @@ object Sketches {
   def cmsCol(term: Column, r: Int): Column =
     Dedup.hash60(concat(lit(s"cms$r|"), term)) % CmsWidth
 
-  /** Build the (row, col) → count cell table of a count-min sketch over the
-    * multiset `term` (one row per occurrence). Fixed d×w = 1024 cells
-    * regardless of corpus size.
-    */
-  def cmsSketch(terms: DataFrame, term: Column): DataFrame = {
-    val cells = (0 until CmsRows).map(r =>
-      struct(lit(r).as("r"), cmsCol(term, r).cast("long").as("c")))
-    terms.select(explode(array(cells: _*)).as("rc"))
-      .select(col("rc.r").as("r"), col("rc.c").as("c"))
-      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
-  }
-
   /** Heavy hitters with CMS verification: the exact top-k terms (TakeOrdered
     * — no global sort materialization) joined against their count-min
     * estimate, which by construction never under-counts. Emits term,
@@ -122,8 +114,16 @@ object Sketches {
     */
   def cmsHeavyHitters(terms: DataFrame, term: Column, k: Int): DataFrame = {
     val t = terms.select(term.as("term"))
-    val sketch = cmsSketch(t, col("term"))
-    val topk = t.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+    // ONE pass over the raw stream (the term-count aggregate); the sketch
+    // cells are sums of term counts — identical values, but derived from
+    // the vocabulary-sized table instead of a second stream explode
+    val tc = t.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val cells = (0 until CmsRows).map(r =>
+      struct(lit(r).as("r"), cmsCol(col("term"), r).cast("long").as("c")))
+    val sketch = tc.select(col("cnt"), explode(array(cells: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val topk = tc.withColumnRenamed("cnt", "exact_cnt")
       .orderBy(col("exact_cnt").desc, col("term")).limit(k)
     val probes = topk.select(col("term"), col("exact_cnt"),
       explode(array((0 until CmsRows).map(r =>
