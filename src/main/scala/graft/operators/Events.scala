@@ -62,6 +62,27 @@ object Events {
       .filter(col("rank") <= n)
   }
 
+  /** Cohort retention: users are cohorted by their first active ISO week;
+    * cell (cohort, age) counts users from that cohort active `age` weeks
+    * later — the activation/churn curve every growth dashboard runs.
+    * Three aggregates and one equi join, all on user_id or the
+    * (cohort, age) pair — no windows, no per-user event ordering.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val weekly = events.select(col("user_id"),
+      date_trunc("week", col("ts")).as("week")).distinct()
+    val cohort = weekly.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    weekly.join(cohort, Seq("user_id"))
+      .withColumn("age_weeks",
+        expr("CAST(datediff(week, cohort_week) div 7 AS BIGINT)"))
+      .groupBy(col("cohort_week"), col("age_weeks"))
+      .agg(count(lit(1)).as("n_users")) // weekly is distinct (user, week)
+      .join(sizes, Seq("cohort_week"))
+      .withColumn("retention_pct",
+        detRound(col("n_users").cast("double") / col("cohort_size"), 4))
+  }
+
   /** Hopping (sliding) windows: 2-hour windows advancing every hour, so
     * each event lands in exactly 2 overlapping windows — the smoothing
     * shape rate/limit monitors use. `window(ts, len, slide)` explodes each

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.detRound
+
+/** Data-quality audit (Deequ/dbt-test-shaped): declarative rules over the
+  * dirty CRM inputs, reported as per-rule violation counts and rates — the
+  * pre-load gate a production warehouse runs before trusting a batch. The
+  * rules here are exactly the dirty-data paths the reference's transforms
+  * guard against (F13 dates, F12/P9 numeric guards, Python-falsy FKs), so
+  * the report quantifies what those guards will do before they run.
+  *
+  * Scale shape: rules are grouped by table and computed as ONE conditional
+  * aggregate per table (a single scan each, map-side combinable), then the
+  * one-row aggregate is unpivoted with `stack` — adding a rule adds a
+  * counter, not a scan.
+  */
+object Quality {
+
+  final case class Rule(rule: String, table: String, violation: Column)
+
+  def report(tables: Map[String, DataFrame], rules: Seq[Rule]): DataFrame =
+    rules.groupBy(_.table).toSeq.sortBy(_._1).map { case (t, rs0) =>
+      val rs = rs0.sortBy(_.rule)
+      val agg = tables(t).agg(
+        count(lit(1)).as("n_rows"),
+        rs.zipWithIndex.map { case (r, i) =>
+          count(when(r.violation, lit(1))).as(s"__v$i") }: _*)
+      val stackArgs = rs.zipWithIndex
+        .map { case (r, i) => s"'${r.rule}', __v$i" }.mkString(", ")
+      agg.selectExpr(s"'$t' AS table_name", "n_rows",
+        s"stack(${rs.size}, $stackArgs) AS (rule, n_violations)")
+        .select(col("rule"), col("table_name"), col("n_rows"), col("n_violations"),
+          detRound(col("n_violations").cast("double") / col("n_rows"), 4)
+            .as("violation_rate"))
+    }.reduce(_ unionAll _)
+}

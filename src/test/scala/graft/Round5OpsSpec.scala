@@ -137,6 +137,49 @@ class Round5OpsSpec extends SparkSpec {
       (2L, 0L, 0.0, 2L), (2L, 1L, 2.0, 2L)))
   }
 
+  test("Quality.report counts violations per rule with one aggregate per table") {
+    import graft.operators.Quality
+    val t = Seq((1L, "ok"), (2L, null), (3L, ""), (4L, "fine"))
+      .toDF("id", "name")
+    val out = Quality.report(Map("t" -> t), Seq(
+      Quality.Rule("blank_name", "t", $"name".isNull || $"name" === ""),
+      Quality.Rule("high_id", "t", $"id" > 3)))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("blank_name", 4L, 2L, 0.5), ("high_id", 4L, 1L, 0.25)))
+  }
+
+  test("Incremental: merged partial states equal the full aggregate") {
+    import graft.operators.Incremental
+    val df = (1 to 300).map { i =>
+      (s"P$i", java.sql.Timestamp.valueOf(f"1995-${i % 12 + 1}%02d-03 00:00:00"),
+        i * 1.25)
+    }.toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val full = Incremental.finish(Incremental.revenueState(df))
+      .orderBy("priority", "month").collect()
+    val parts = Seq(
+      Incremental.revenueState(df.filter($"o_totalprice" < 100)),
+      Incremental.revenueState(df.filter($"o_totalprice" >= 100 && $"o_totalprice" < 250)),
+      Incremental.revenueState(df.filter($"o_totalprice" >= 250)))
+    val merged = Incremental.finish(Incremental.merge(parts))
+      .orderBy("priority", "month").collect()
+    assert(merged.toSeq === full.toSeq)
+  }
+
+  test("retention: hand-built two-week cohort curve") {
+    // week of 2024-01-01 is a Monday; users 1,2 active week 0, user 1 again
+    // in week 1 → cohort size 2, retention (age 0) = 1.0, (age 1) = 0.5
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (2L, ts("2024-01-03 11:00:00")),
+      (1L, ts("2024-01-09 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Events.retention(df).orderBy("age_weeks").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq((0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5)))
+  }
+
   test("zscoreAnomalies flags an injected spike with the hand-computed z") {
     // 24 trailing hours alternating 10/12 events, then a 100-event spike:
     // mean 11, var (24*2928 - 264^2)/576 = 1 → z = (100-11)/1 = 89
