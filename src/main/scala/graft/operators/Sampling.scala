@@ -52,6 +52,30 @@ object Sampling {
       .select(col("__g").as("group"), col("rank"), col("__key").as("key"))
   }
 
+  /** Rebalance to a target mix: compute per-stratum Bernoulli fractions
+    * FROM THE DATA (fraction = min(1, target_rows / stratum_count)) and
+    * apply them with the same deterministic md5 predicate — the "equal
+    * share per language/domain" pass of corpus mixing, where the fractions
+    * aren't known until the counts are. The fraction is a broadcast-joined
+    * per-stratum scalar; the keep decision stays stateless per row.
+    * Cross-engine: fraction and cut are the same two IEEE ops from the
+    * same integers on either engine, so the sampled set is identical.
+    */
+  def rebalanceToTarget(df: DataFrame, key: Column, stratum: Column,
+                        targetPerStratum: Long): DataFrame = {
+    val withS = df.withColumn("__s", stratum)
+    val fracs = withS.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__frac",
+        least(lit(1.0), lit(targetPerStratum).cast("double") / col("__n")))
+      // explicit floor: CAST(double AS BIGINT) truncates in Spark but
+      // ROUNDS in DuckDB — floor-then-cast is identical on both
+      .withColumn("__cut", floor(col("__frac") * HashSpace).cast("long"))
+    withS.join(broadcast(fracs), Seq("__s"))
+      .filter(Dedup.hash60(key.cast("string")) < col("__cut"))
+      .drop("__s", "__n", "__frac", "__cut")
+  }
+
   /** Stratified deterministic sampling: each stratum value gets its own
     * Bernoulli fraction (the domain-rebalancing step of corpus curation —
     * e.g. downsample the dominant language, keep the rare ones whole).

@@ -29,6 +29,20 @@ class SamplingSpec extends SparkSpec {
     assert(half.subsetOf(train))
   }
 
+  test("rebalanceToTarget caps dominant strata near the target, keeps small ones whole") {
+    val df = ((1L to 4000L).map(i => (i, "big")) ++ (9001L to 9050L).map(i => (i, "small")))
+      .toDF("k", "s")
+    val kept = Sampling.rebalanceToTarget(df, $"k", $"s", 400)
+    val byS = kept.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("small") === 50L, "under-target stratum must be kept whole")
+    // Bernoulli(0.1) over 4000: expect ~400, generous slack
+    assert(byS("big") > 280 && byS("big") < 520, s"got ${byS("big")}")
+    // determinism across partitionings
+    val again = Sampling.rebalanceToTarget(df.repartition(7), $"k", $"s", 400)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(again === kept.select("k").collect().map(_.getLong(0)).toSet)
+  }
+
   test("stratified sample with an empty fraction map drops everything (no throw)") {
     val strat = keys.withColumn("s", ($"k" % 2).cast("string"))
     assert(Sampling.stratifiedSample(strat, $"k", $"s", Map.empty).count() === 0L)
