@@ -45,6 +45,22 @@ object FactStream {
                       dimTempo: DataFrame, dimCliente: DataFrame, dimProduto: DataFrame,
                       dimVendedor: DataFrame, dimLoja: DataFrame,
                       name: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory(name)
+    registerCleanup(out)
+    incrementalFactTo(spark, dir, dimTempo, dimCliente, dimProduto, dimVendedor,
+      dimLoja, out.toString)
+  }
+
+  /** Caller-owned output/checkpoint root: `$out/data` is the appended fact,
+    * `$out/ckpt` the streaming checkpoint. Re-invoking with the SAME root
+    * after new order files land processes ONLY the delta (the checkpoint
+    * records which source files are done) and appends — exactly-once
+    * incremental top-up, the operational mode a nightly 100 TB feed runs in.
+    */
+  def incrementalFactTo(spark: SparkSession, dir: String,
+                        dimTempo: DataFrame, dimCliente: DataFrame, dimProduto: DataFrame,
+                        dimVendedor: DataFrame, dimLoja: DataFrame,
+                        out: String): DataFrame = {
     // FileStreamSource only reads files — the parquet-directory layout. The
     // csv:/jdbc: locators Crm.table accepts for batch have no streaming file
     // source, so reject them here instead of silently globbing nothing.
@@ -58,8 +74,6 @@ object FactStream {
       graft.sources.Crm.vendasFrom(orders),
       graft.sources.Crm.itemVendas(spark, dir),
       dimTempo, dimCliente, dimProduto, dimVendedor, dimLoja)
-    val out = java.nio.file.Files.createTempDirectory(name)
-    registerCleanup(out)
     val q = stream.writeStream.format("parquet")
       .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
       .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()

@@ -26,4 +26,42 @@ class FactStreamSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0L, "streamed rows missing from batch")
     assert(b.exceptAll(a).count() === 0L, "batch rows missing from stream")
   }
+
+  test("checkpoint resume: a second run over the same root appends ONLY the delta") {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val src = Files.createTempDirectory("fact_incr_src")
+    val out = Files.createTempDirectory("fact_incr_out")
+    // the static line-items side comes from the same dir
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/lineitem.parquet"),
+      src.resolve("lineitem.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    def writeOrders(name: String, pred: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("fact_incr_w").toFile
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    def run(): Long = FactStream.incrementalFactTo(spark, src.toString,
+      w.dimTempo, w.dimCliente, w.dimProduto, w.dimVendedor, w.dimLoja,
+      out.toString).count()
+
+    writeOrders("orders1.parquet", col("o_orderkey") < 1000)
+    val n1 = run()
+    assert(n1 > 0)
+    // second batch lands; the checkpoint remembers orders1 is done
+    writeOrders("orders2.parquet", col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+    val n2 = run()
+    assert(n2 > n1, "delta not appended")
+    // no duplicates: the total equals one batch build over both order files
+    val batchBoth = graft.operators.Fact.fatoVendasNoSk(
+      graft.sources.Crm.vendasFrom(
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+          .filter(col("o_orderkey") < 2000)),
+      graft.sources.Crm.itemVendas(spark, "/root/testdata/sf0.001"),
+      w.dimTempo, w.dimCliente, w.dimProduto, w.dimVendedor, w.dimLoja).count()
+    assert(n2 === batchBoth, s"resume produced $n2 rows, batch over both files $batchBoth")
+  }
 }

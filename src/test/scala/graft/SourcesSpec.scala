@@ -99,6 +99,35 @@ class SourcesSpec extends SparkSpec {
     assert(loc.count() === 8)
   }
 
+  test("corrupt JSON landing lines are routed aside, not dropped and not fatal") {
+    // PERMISSIVE + columnNameOfCorruptRecord: a real ingestion never fails
+    // the whole batch for one bad line — bad rows land in a quarantine
+    // column for the DQ report, good rows parse normally.
+    val dir = Files.createTempDirectory("json_corrupt")
+    java.nio.file.Files.write(dir.resolve("t.json"),
+      ("""{"id": 1, "name": "ok"}""" + "\n" +
+        """{"id": 2 "name": "missing comma"}""" + "\n" +
+        """{"id": 3, "name": "fine"}""" + "\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    // cache() first: Spark disallows queries touching only the corrupt
+    // column over the raw source (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    try {
+      val good = df.filter(col("_corrupt_record").isNull).select("id")
+        .collect().map(_.getLong(0)).sorted
+      val bad = df.filter(col("_corrupt_record").isNotNull).count()
+      assert(good.toSeq === Seq(1L, 3L))
+      assert(bad === 1L)
+    } finally df.unpersist()
+  }
+
   test("JSON landing-format read through the Crm.table locator dispatch") {
     val dir = Files.createTempDirectory("crm_json").toString
     Seq("nation", "region").foreach { t =>
