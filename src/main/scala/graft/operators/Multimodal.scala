@@ -98,4 +98,26 @@ object Multimodal {
       expr(s"transform(sequence(1, greatest(octet_length(payload), 1), $stride)," +
         s" i -> cast(conv(hex(substring(payload, i, 1)), 16, 10) as int))")
         .as("sampled_bytes"))
+
+  /** Overlapping fixed-window chunk plan — the audio/video segmentation a
+    * speech or embedding pipeline feeds its encoder (chunk k covers bytes
+    * `[k·hop, k·hop+len)`, 25% overlap at the defaults). PLANNING only:
+    * offsets, sizes and a first-byte probe; the actual slice stays inside
+    * the opaque payload for the (stubbed) codec stage. Pure per-row
+    * expression work — chunk count scales with payload size, never corpus
+    * size; an empty payload yields one empty chunk so every doc plans.
+    */
+  def chunkPlan(withPayloads: DataFrame, id: String,
+                chunkLen: Int = 256, hop: Int = 192): DataFrame =
+    withPayloads.select(col(id).as("doc_id"), col("payload"),
+        coalesce(expr("octet_length(payload)"), lit(0)).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"), col("payload"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), greatest((n_bytes - 1) div $hop, CAST(0 AS BIGINT)))"))
+          .as("chunk_idx"))
+      .withColumn("offset", col("chunk_idx") * hop)
+      .withColumn("chunk_bytes", least(lit(chunkLen.toLong), col("n_bytes") - col("offset")))
+      .withColumn("first_byte",
+        expr("cast(conv(hex(substring(payload, cast(offset + 1 AS INT), 1)), 16, 10) as int)"))
+      .select(col("doc_id"), col("chunk_idx"), col("offset"),
+        col("chunk_bytes"), col("first_byte"))
 }
