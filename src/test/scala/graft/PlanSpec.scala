@@ -118,6 +118,30 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_cdc_apply: latest-wins resolution is a per-key window, no global stage") {
+    val p = plan("q_cdc_apply")
+    // windowspecdefinition must carry the key partition (see q_scd2 test)
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map { m =>
+      val rest = p.substring(m.end)
+      rest.take(math.max(0, List(rest.indexOf(" ASC"), rest.indexOf(" DESC"))
+        .filter(_ >= 0).minOption.getOrElse(rest.length)))
+    }.toList
+    assert(specs.nonEmpty && specs.forall(_.contains("k#")), specs.mkString(" | "))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_incr_agg: partial-state merge splits into partial+final aggregates") {
+    val p = plan("q_incr_agg")
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_mix_rebalance: per-stratum fraction joins broadcast, keep stays a filter") {
+    val p = plan("q_mix_rebalance")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("q_contamination: benchmark overlap is a semi join on the shingle hash, no self-join") {
     val p = plan("q_contamination")
     assert(p.contains("LeftSemi"), "expected a left-semi join against the benchmark hashes")
