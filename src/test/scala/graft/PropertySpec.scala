@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Seeded randomized properties for the operators whose correctness rests
+  * on a non-obvious argument (the scalatest+scalacheck bridge artifact is
+  * not in the offline cache, so these use the same seeded-generator style
+  * as PyTextSpec). Trial counts are small — each trial runs Spark jobs —
+  * but the generators hit the adversarial shapes: duplicate keys, shared
+  * substrings, empty strata.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(20260812L)
+
+  private def randWords(n: Int, vocab: Int): String =
+    Seq.fill(n)(s"w${rnd.nextInt(vocab)}").mkString(" ")
+
+  test("containmentPairs has NO false negatives vs brute force (prefix-filter completeness)") {
+    (1 to 3).foreach { _ =>
+      // small vocab → lots of shared shingles → containment pairs exist
+      val docs = (1L to 25L).map(i => (i, randWords(4 + rnd.nextInt(10), 8)))
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.Dedup.containmentPairs(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over the same shingle definition (whole-text fallback <3 words)
+      def shingles(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        if (w.length < 3) Set(t)
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+      val want = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+        c = sa.intersect(sb).size.toDouble / sa.size
+        cr = math.floor(c * 10000 + 0.5) / 10000
+        if cr >= 0.9
+      } yield (a, b)).toSet
+      assert(want.subsetOf(got), s"missed pairs: ${want.diff(got)}")
+      assert(got === want, s"extra pairs: ${got.diff(want)}") // exact too
+    }
+  }
+
+  test("applyChangeLog equals a naive latest-wins fold for random logs") {
+    (1 to 3).foreach { _ =>
+      val log = (1 to 80).map { i =>
+        val k = rnd.nextInt(12).toLong
+        val ts = new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L + i)
+        val op = Seq("I", "U", "D")(rnd.nextInt(3))
+        (k, ts, op, rnd.nextInt(1000).toDouble)
+      }
+      val df = log.toDF("k", "vts", "op", "price")
+      val got = graft.operators.Cdc.applyChangeLog(df, $"k", $"vts", $"op")
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSet
+      val want = log.groupBy(_._1).flatMap { case (_, vs) =>
+        val latest = vs.maxBy(_._2.getTime) // ts unique per key (ts carries i)
+        if (latest._3 == "D") None else Some((latest._1, latest._3, latest._4))
+      }.toSet
+      assert(got === want)
+    }
+  }
+
+  test("hll estimate is invariant to how the input is batched (register merge)") {
+    val items = (1 to 3000).map(i => ("g", s"v${rnd.nextInt(2000)}"))
+    val df = items.toDF("grp", "it")
+    val whole = graft.operators.Sketches.hllDistinct(df, $"grp", $"it")
+      .collect()(0).getDouble(2)
+    // arbitrary 3-way split, unioned back in a different order
+    val parts = items.zipWithIndex.groupBy(_._2 % 3).values.toList
+      .map(p => p.map(_._1).toDF("grp", "it"))
+    val reunioned = parts(2).unionAll(parts(0)).unionAll(parts(1))
+    val split = graft.operators.Sketches.hllDistinct(reunioned, $"grp", $"it")
+      .collect()(0).getDouble(2)
+    assert(whole === split)
+  }
+
+  test("winnow guarantee: any shared >= w+k-1 word run yields a shared fingerprint") {
+    (1 to 3).foreach { t =>
+      val shared = Seq.fill(6)(s"s$t${rnd.nextInt(50)}").mkString(" ")
+      val doc1 = s"${randWords(rnd.nextInt(8), 30)} $shared ${randWords(rnd.nextInt(8), 30)}"
+        .trim.replaceAll(" +", " ")
+      val doc2 = s"${randWords(rnd.nextInt(8), 99)} $shared ${randWords(rnd.nextInt(8), 99)}"
+        .trim.replaceAll(" +", " ")
+      val out = graft.operators.TextAnalysis.winnow(
+        Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val f1 = out.filter(_._1 == 1L).map(_._2).toSet
+      val f2 = out.filter(_._1 == 2L).map(_._2).toSet
+      assert(f1.intersect(f2).nonEmpty, s"docs sharing '$shared' share no fingerprint")
+    }
+  }
+}
