@@ -46,4 +46,25 @@ object Curation {
     scored.withColumn("rank_in_domain", row_number().over(w).cast("long"))
       .filter(col("rank_in_domain") <= cap)
   }
+
+  /** Aggregate-form cap — IDENTICAL output to [[capPerDomain]], different
+    * physical shape: the per-domain window sorts a whole domain in one
+    * task, which on a power-law web crawl means the mega-domain IS the
+    * straggler. `TopKByScore` is a TypedImperativeAggregate with O(cap)
+    * state that combines map-side, so every partition contributes at most
+    * `cap` candidates per domain and the mega-domain costs like any other
+    * key. Ties break exactly like the window ((score desc, doc_id asc)).
+    */
+  def capPerDomainAgg(docs: DataFrame, id: String, text: String, domain: String,
+                      cap: Int): DataFrame = {
+    val scored = docs.select(col(id).as("doc_id"), col(domain).as("domain"),
+      TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
+    scored.groupBy(col("domain"))
+      .agg(graft.functions.TopKAggregate.topKByScore(
+        col("quality_score"), col("doc_id"), cap).as("top"))
+      .select(col("domain"), posexplode(col("top")))
+      .select(col("col.id").as("doc_id"), col("domain"),
+        col("col.score").as("quality_score"),
+        (col("pos") + 1).cast("long").as("rank_in_domain"))
+  }
 }

@@ -180,6 +180,25 @@ class Round5OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5)))
   }
 
+  test("capPerDomainAgg (TopKByScore aggregate) equals the window form exactly") {
+    val docs = (1L to 200L).map(i =>
+      (i, s"doc number $i with some words ${"repeat " * (i % 7).toInt}", s"d${i % 3}"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val win = Curation.capPerDomain(df, "doc_id", "text", "source", 10)
+      .orderBy($"domain", $"rank_in_domain").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val agg = Curation.capPerDomainAgg(df, "doc_id", "text", "source", 10)
+      .orderBy($"domain", $"rank_in_domain").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(agg.toSeq === win.toSeq)
+    // the aggregate must split partial/final (map-side combinable state)
+    val plan = Curation.capPerDomainAgg(df, "doc_id", "text", "source", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(1200))
+    assert(plan.contains("partial_topk_by_score"), "no map-side partial aggregation")
+  }
+
   test("zscoreAnomalies flags an injected spike with the hand-computed z") {
     // 24 trailing hours alternating 10/12 events, then a 100-event spike:
     // mean 11, var (24*2928 - 264^2)/576 = 1 → z = (100-11)/1 = 89
