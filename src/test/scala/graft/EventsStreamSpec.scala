@@ -136,6 +136,51 @@ class EventsStreamSpec extends SparkSpec {
       (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 2L)))
   }
 
+  test("stateful checkpoint recovery: window state survives a restart, no re-emission") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val src = Files.createTempDirectory("events_ckpt_src")
+    val out = Files.createTempDirectory("events_ckpt_out")
+
+    def run(): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = EventsStream.hourlyCounts(
+        EventsStream.readEventsStream(ss, src.toString))
+        .writeStream.format("parquet")
+        .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emitted(): Seq[(Timestamp, Long)] =
+      spark.read.parquet(s"$out/data").select(col("hora"), col("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq.sortBy(_._1.getTime)
+
+    // phase 1: hours 10..13; watermark after the run = 13:00 − 2h = 11:00 →
+    // only the 10:00 window is sealed and emitted
+    writeEventsFile(src, "p1.parquet", 5000000L,
+      (0 until 4).flatMap(h => Seq(
+        Ev(h * 10L, ts(f"2024-01-01 ${10 + h}%02d:05:00"), 1L, "view", 1.0),
+        Ev(h * 10L + 1, ts(f"2024-01-01 ${10 + h}%02d:35:00"), 2L, "view", 1.0))))
+    run()
+    val first = emitted()
+    assert(first.map(_._1.toString.substring(11, 13)) === Seq("10"),
+      s"expected only the sealed 10:00 window, got $first")
+
+    // phase 2 (same checkpoint): hours 14..17 arrive; watermark moves to
+    // 15:00 → windows 11..14 seal. The 10:00 window must NOT re-emit, and
+    // the recovered state must still hold the phase-1 counts for 11..13.
+    writeEventsFile(src, "p2.parquet", 6000000L,
+      (4 until 8).flatMap(h => Seq(
+        Ev(h * 10L, ts(f"2024-01-01 ${10 + h}%02d:05:00"), 1L, "view", 1.0))))
+    run()
+    val all = emitted()
+    val hours = all.map(_._1.toString.substring(11, 13))
+    assert(hours === Seq("10", "11", "12", "13", "14"), s"got $all")
+    assert(all.map(_._2) === Seq(2L, 2L, 2L, 2L, 1L),
+      s"phase-1 state lost or duplicated: $all")
+  }
+
   test("streaming exact dedup equals batch dedup over a bounded run") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("docs_stream")
