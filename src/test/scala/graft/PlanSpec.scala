@@ -142,6 +142,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("runtime bloom-filter join injection fires for a selective big-join probe") {
+    // The engine-level row filter that matters at 100 TB: a selective
+    // filter on one join side injects a bloom filter into the other side's
+    // scan, cutting shuffle input before the join. Off by default below the
+    // (production-sized) scan thresholds — lowered here to prove the query
+    // shapes are injection-compatible.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      val p = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n${p.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q_contamination: benchmark overlap is a semi join on the shingle hash, no self-join") {
     val p = plan("q_contamination")
     assert(p.contains("LeftSemi"), "expected a left-semi join against the benchmark hashes")
