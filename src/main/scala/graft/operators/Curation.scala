@@ -47,6 +47,28 @@ object Curation {
       .filter(col("rank_in_domain") <= cap)
   }
 
+  /** Gini concentration of the docs-per-domain distribution — the one-number
+    * answer to "is this crawl dominated by a few mega-sites?" that decides
+    * whether [[capPerDomain]] is needed at all. Exact across engines: with
+    * ascending ranks i over the domain counts x_i,
+    * `G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)` — every term an exact
+    * integer, one final double division. The rank comes from
+    * [[Surrogate.zipWithIndexOrdered]] (two-pass offsets), so the ranking
+    * survives a vocabulary of millions of domains without a global window.
+    */
+  def domainConcentration(docs: DataFrame, domain: String): DataFrame = {
+    val counts = docs.groupBy(col(domain).as("domain"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = Surrogate.zipWithIndexOrdered(counts, "rnk",
+      Seq(col("cnt"), col("domain")))
+    ranked.agg(count(lit(1)).as("n"), sum(col("cnt")).as("tot"),
+        sum(col("rnk") * col("cnt")).as("s"))
+      .select(col("n").as("n_domains"), col("tot").as("total_docs"),
+        graft.functions.GraftFunctions.detRound(
+          expr("CAST(2 * s - (n + 1) * tot AS DOUBLE) / CAST(n * tot AS DOUBLE)"), 6)
+          .as("gini"))
+  }
+
   /** Aggregate-form cap — IDENTICAL output to [[capPerDomain]], different
     * physical shape: the per-domain window sorts a whole domain in one
     * task, which on a power-law web crawl means the mega-domain IS the

@@ -199,6 +199,17 @@ class Round5OpsSpec extends SparkSpec {
     assert(plan.contains("partial_topk_by_score"), "no map-side partial aggregation")
   }
 
+  test("domainConcentration: gini 0 on equal shares, hand-computed on skew") {
+    val equal = (1L to 40L).map(i => (i, "t", s"d${i % 4}")).toDF("doc_id", "text", "source")
+    val g0 = Curation.domainConcentration(equal, "source").collect()(0)
+    assert((g0.getLong(0), g0.getLong(1), g0.getDouble(2)) === ((4L, 40L, 0.0)))
+    // counts {1,1,1,97}: ranks 1..4 → G = (2·394 − 5·100) / (4·100) = 0.72
+    val skew = ((1L to 3L).map(i => (i, "t", s"s$i")) ++
+      (10L to 106L).map(i => (i, "t", "mega"))).toDF("doc_id", "text", "source")
+    val g1 = Curation.domainConcentration(skew, "source").collect()(0)
+    assert((g1.getLong(0), g1.getLong(1), g1.getDouble(2)) === ((4L, 100L, 0.72)))
+  }
+
   test("zscoreAnomalies flags an injected spike with the hand-computed z") {
     // 24 trailing hours alternating 10/12 events, then a 100-event spike:
     // mean 11, var (24*2928 - 264^2)/576 = 1 → z = (100-11)/1 = 89
