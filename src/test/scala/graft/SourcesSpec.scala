@@ -128,6 +128,23 @@ class SourcesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("schema evolution across landing batches: mergeSchema unions the columns") {
+    // A later CRM export adds a column; the lake read must surface the
+    // union schema with nulls for the old batch — not fail, not drop.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("schema_evo").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "c", 30L)).toDF("id", "name", "idade")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("batch", "id", "idade", "name"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(r.fieldIndex("idade"))) -1L else r.getLong(r.fieldIndex("idade"))))
+    assert(rows.toSeq === Seq((1L, -1L), (2L, -1L), (3L, 30L)))
+  }
+
   test("JSON landing-format read through the Crm.table locator dispatch") {
     val dir = Files.createTempDirectory("crm_json").toString
     Seq("nation", "region").foreach { t =>

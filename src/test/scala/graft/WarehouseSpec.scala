@@ -98,4 +98,21 @@ class WarehouseSpec extends SparkSpec {
     w.writeIdempotent(out) // and a second full re-run is still a no-op
     assert(spark.read.parquet(s"$out/fato_vendas").count() === expected)
   }
+
+  test("observed load metrics: row count and measure total ride the fact action") {
+    // org.apache.spark.sql.Observation — production pipelines attach load
+    // metrics to the job itself (one pass, no second count() scan); the DQ
+    // report covers inputs, this covers the emitted fact.
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    val obs = Observation("fact_load")
+    val observed = w.fatoVendas.observe(obs,
+      count(lit(1)).as("rows"),
+      sum(col("valor_final").cast("decimal(18,2)")).cast("double").as("valor_total"))
+    val n = observed.count()
+    val metrics = obs.get
+    assert(metrics("rows") === n)
+    assert(metrics("valor_total").asInstanceOf[Double] > 0.0)
+  }
 }
