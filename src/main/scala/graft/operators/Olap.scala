@@ -60,6 +60,24 @@ object Olap {
         detRound(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
         count(lit(1)).as("n_rows"))
 
+  /** Join-key skew diagnostics — the numbers you read BEFORE choosing
+    * between a plain shuffle join, AQE skew splitting, and explicit
+    * salting (`Skew.saltedEquiJoin`): key count, max/percentile bucket
+    * sizes, and `skew_ratio` = max/avg (1.0 = uniform). Two aggregates,
+    * the second over the key-frequency table (vocabulary-sized).
+    */
+  def keySkewStats(df: DataFrame, key: Column): DataFrame = {
+    val freq = df.groupBy(key.as("k")).agg(count(lit(1)).as("freq"))
+    freq.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("freq")).as("n_rows"),
+        max(col("freq")).as("max_freq"),
+        detRound(expr("percentile(freq, 0.5)"), 4).as("p50_freq"),
+        detRound(expr("percentile(freq, 0.99)"), 4).as("p99_freq"))
+      .withColumn("skew_ratio",
+        detRound(col("max_freq").cast("double") * col("n_keys") / col("n_rows"), 4))
+  }
+
   /** INTERSECT / EXCEPT / UNION over customer activity in two years,
     * tagged into one relation. Distinct set semantics on both engines.
     */

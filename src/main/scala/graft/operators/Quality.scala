@@ -20,6 +20,26 @@ object Quality {
 
   final case class Rule(rule: String, table: String, violation: Column)
 
+  /** Catalog-style column profile: null and distinct counts per column in
+    * ONE conditional aggregate over the table (count(col) skips nulls on
+    * every engine), `stack`-unpivoted to a row per column — same
+    * one-scan-per-table shape as [[report]].
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val agg = df.agg(count(lit(1)).as("n_rows"),
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(count(col(c)).as(s"__nn$i"), countDistinct(col(c)).as(s"__nd$i"))
+      }: _*)
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"'$c', __nn$i, __nd$i" }.mkString(", ")
+    agg.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nonnull, n_distinct)")
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"), col("n_distinct"),
+        detRound((col("n_rows") - col("n_nonnull")).cast("double") / col("n_rows"), 4)
+          .as("null_rate"))
+  }
+
   def report(tables: Map[String, DataFrame], rules: Seq[Rule]): DataFrame =
     rules.groupBy(_.table).toSeq.sortBy(_._1).map { case (t, rs0) =>
       val rs = rs0.sortBy(_.rule)
