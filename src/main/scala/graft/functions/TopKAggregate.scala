@@ -20,8 +20,16 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  @inline private def stronger(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && id1 < id2)
+  /** NaN is the WEAKEST score (it must remain evictable — with IEEE `>` a
+    * NaN that slipped in during the fill phase could never be replaced);
+    * ties break on the smaller id. */
+  @inline private def stronger(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val n1 = java.lang.Double.isNaN(s1)
+    val n2 = java.lang.Double.isNaN(s2)
+    if (n1 != n2) n2 // only the non-NaN side can be stronger
+    else if (!n1 && s1 != s2) s1 > s2
+    else id1 < id2
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (n < k) { scores(n) = s; ids(n) = id; n += 1 }

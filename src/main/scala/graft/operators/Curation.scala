@@ -36,11 +36,16 @@ object Curation {
     * dominates training. One shuffle on the domain key; the per-domain
     * window sort is bounded by a domain's own doc count, never global.
     */
+  /** Unscorable docs (null text → null score) are EXCLUDED before ranking —
+    * the explicit contract both cap forms and the oracle share (otherwise
+    * window nulls-last ordering and the aggregate's null-skip would
+    * silently diverge on them). */
   def capPerDomain(docs: DataFrame, id: String, text: String, domain: String,
                    cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = docs.select(col(id).as("doc_id"), col(domain).as("domain"),
       TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
+      .filter(col("quality_score").isNotNull)
     val w = Window.partitionBy(col("domain"))
       .orderBy(col("quality_score").desc, col("doc_id"))
     scored.withColumn("rank_in_domain", row_number().over(w).cast("long"))
@@ -81,6 +86,7 @@ object Curation {
                       cap: Int): DataFrame = {
     val scored = docs.select(col(id).as("doc_id"), col(domain).as("domain"),
       TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
+      .filter(col("quality_score").isNotNull) // same contract as capPerDomain
     scored.groupBy(col("domain"))
       .agg(graft.functions.TopKAggregate.topKByScore(
         col("quality_score"), col("doc_id"), cap).as("top"))

@@ -63,8 +63,9 @@ object FactStream {
                         out: String): DataFrame = {
     // FileStreamSource only reads files — the parquet-directory layout. The
     // csv:/jdbc: locators Crm.table accepts for batch have no streaming file
-    // source, so reject them here instead of silently globbing nothing.
-    require(!dir.contains(":") || dir.startsWith("/") || dir.startsWith("parquet:"),
+    // source, so reject exactly those (URI-scheme paths like file:/ hdfs://
+    // s3a:// are valid file-stream locations and pass through).
+    require(!dir.startsWith("csv:") && !dir.startsWith("jdbc:"),
       s"incrementalFact streams from a parquet directory; got locator '$dir'")
     val base = dir.stripPrefix("parquet:")
     // glob: FileStreamSource wants a directory base path (same trick as the
@@ -72,7 +73,9 @@ object FactStream {
     val orders = spark.readStream.schema(ordersSchema).parquet(s"$base/orders*")
     val stream = graft.operators.Fact.fatoVendasNoSk(
       graft.sources.Crm.vendasFrom(orders),
-      graft.sources.Crm.itemVendas(spark, dir),
+      // base, not dir: Crm.table's parquet fallback must not see a
+      // `parquet:`-prefixed path
+      graft.sources.Crm.itemVendas(spark, base),
       dimTempo, dimCliente, dimProduto, dimVendedor, dimLoja)
     val q = stream.writeStream.format("parquet")
       .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")

@@ -210,6 +210,18 @@ class Round5OpsSpec extends SparkSpec {
     assert((g1.getLong(0), g1.getLong(1), g1.getDouble(2)) === ((4L, 100L, 0.72)))
   }
 
+  test("TopKBuffer: NaN scores are weakest and always evictable") {
+    val b = new graft.functions.TopKBuffer(2)
+    b.insert(Double.NaN, 1L)
+    b.insert(0.1, 2L)
+    b.insert(0.9, 3L) // must evict the NaN, not be discarded
+    assert(b.sorted.toSeq === Seq((0.9, 3L), (0.1, 2L)))
+    // all-NaN group still ranks deterministically by id
+    val c = new graft.functions.TopKBuffer(2)
+    c.insert(Double.NaN, 5L); c.insert(Double.NaN, 4L); c.insert(Double.NaN, 6L)
+    assert(c.sorted.map(_._2).toSeq === Seq(4L, 5L))
+  }
+
   test("zscoreAnomalies flags an injected spike with the hand-computed z") {
     // 24 trailing hours alternating 10/12 events, then a 100-event spike:
     // mean 11, var (24*2928 - 264^2)/576 = 1 → z = (100-11)/1 = 89
