@@ -81,6 +81,20 @@ object EventsStream {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Native bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * holds a key only until the watermark passes its event time — the
+    * production alternative to [[streamingExactDedup]]'s complete-mode
+    * running state (which grows with distinct keys forever). Emits the
+    * KEY COLUMNS only: which duplicate "wins" depends on arrival order, so
+    * only the (deterministic) key set is oracle-comparable.
+    */
+  def streamingDedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("minuto"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minuto")
+      .select(col("user_id"), col("event_type"), col("minuto"))
+
   /** Streaming hopping windows — the streaming twin of
     * Events.slidingCounts: each event lands in its two overlapping 2-hour
     * windows. Complete mode over the bounded run equals the batch result
