@@ -20,13 +20,16 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  /** NaN is the WEAKEST score (it must remain evictable — with IEEE `>` a
-    * NaN that slipped in during the fill phase could never be replaced);
-    * ties break on the smaller id. */
+  /** NaN is the STRONGEST score — matching Spark's window sort and DuckDB's
+    * ORDER BY DESC, which both place NaN above every double, so the
+    * aggregate form stays row-identical to the window form even on NaN
+    * inputs. Handled explicitly (IEEE `>` is false for ANY NaN comparison,
+    * which would otherwise freeze the weakest-slot scan); ties break on the
+    * smaller id. */
   @inline private def stronger(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
     val n1 = java.lang.Double.isNaN(s1)
     val n2 = java.lang.Double.isNaN(s2)
-    if (n1 != n2) n2 // only the non-NaN side can be stronger
+    if (n1 != n2) n1 // the NaN side sorts first, like the window's desc
     else if (!n1 && s1 != s2) s1 > s2
     else id1 < id2
   }

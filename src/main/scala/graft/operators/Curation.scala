@@ -62,16 +62,27 @@ object Curation {
     * survives a vocabulary of millions of domains without a global window.
     */
   def domainConcentration(docs: DataFrame, domain: String): DataFrame = {
+    // cached before ranking: zipWithIndexOrdered evaluates its upstream
+    // twice (offsets + main pass) — without this the full corpus scans
+    // twice; with it the second pass reads the tiny per-domain table
     val counts = docs.groupBy(col(domain).as("domain"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")).cache()
     val ranked = Surrogate.zipWithIndexOrdered(counts, "rnk",
       Seq(col("cnt"), col("domain")))
-    ranked.agg(count(lit(1)).as("n"), sum(col("cnt")).as("tot"),
+    // Σ rnk·cnt is exact in a long up to ~9e18; the FINAL arithmetic runs
+    // in double on both engines (2.0·s − (n+1)·tot can exceed long range
+    // at web scale — Spark would wrap silently, DuckDB would throw; the
+    // double form degrades gracefully and identically instead)
+    val result = ranked.agg(count(lit(1)).as("n"), sum(col("cnt")).as("tot"),
         sum(col("rnk") * col("cnt")).as("s"))
       .select(col("n").as("n_domains"), col("tot").as("total_docs"),
         graft.functions.GraftFunctions.detRound(
-          expr("CAST(2 * s - (n + 1) * tot AS DOUBLE) / CAST(n * tot AS DOUBLE)"), 6)
-          .as("gini"))
+          expr("(2.0 * CAST(s AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE))" +
+            " / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))"), 6)
+          .as("gini")).cache()
+    result.count() // materialize (one row), then release the counts cache
+    counts.unpersist()
+    result
   }
 
   /** Aggregate-form cap — IDENTICAL output to [[capPerDomain]], different

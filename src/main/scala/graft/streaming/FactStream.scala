@@ -62,10 +62,11 @@ object FactStream {
                         dimVendedor: DataFrame, dimLoja: DataFrame,
                         out: String): DataFrame = {
     // FileStreamSource only reads files — the parquet-directory layout. The
-    // csv:/jdbc: locators Crm.table accepts for batch have no streaming file
-    // source, so reject exactly those (URI-scheme paths like file:/ hdfs://
-    // s3a:// are valid file-stream locations and pass through).
-    require(!dir.startsWith("csv:") && !dir.startsWith("jdbc:"),
+    // csv:/json:/jdbc: locators Crm.table accepts for batch have no
+    // streaming parquet source, so reject exactly those (URI-scheme paths
+    // like file:/ hdfs:// s3a:// are valid file-stream locations and pass).
+    require(!dir.startsWith("csv:") && !dir.startsWith("json:") &&
+      !dir.startsWith("jdbc:"),
       s"incrementalFact streams from a parquet directory; got locator '$dir'")
     val base = dir.stripPrefix("parquet:")
     // glob: FileStreamSource wants a directory base path (same trick as the

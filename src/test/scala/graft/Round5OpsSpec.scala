@@ -210,12 +210,15 @@ class Round5OpsSpec extends SparkSpec {
     assert((g1.getLong(0), g1.getLong(1), g1.getDouble(2)) === ((4L, 100L, 0.72)))
   }
 
-  test("TopKBuffer: NaN scores are weakest and always evictable") {
+  test("TopKBuffer: NaN sorts strongest (window parity) and never freezes eviction") {
+    // Spark window desc and DuckDB ORDER BY DESC both put NaN above every
+    // double — the buffer must agree so agg == window on NaN inputs.
     val b = new graft.functions.TopKBuffer(2)
     b.insert(Double.NaN, 1L)
     b.insert(0.1, 2L)
-    b.insert(0.9, 3L) // must evict the NaN, not be discarded
-    assert(b.sorted.toSeq === Seq((0.9, 3L), (0.1, 2L)))
+    b.insert(0.9, 3L) // evicts 0.1 — the weakest-scan must not park on the NaN
+    assert(b.sorted.toSeq.map(t => (t._1.isNaN, t._2)) ===
+      Seq((true, 1L), (false, 3L)))
     // all-NaN group still ranks deterministically by id
     val c = new graft.functions.TopKBuffer(2)
     c.insert(Double.NaN, 5L); c.insert(Double.NaN, 4L); c.insert(Double.NaN, 6L)
