@@ -291,4 +291,73 @@ object TextAnalysis {
           size(array_distinct(bigrams)).cast("double") / size(bigrams), 4))
         .as("repetition_ratio"))
   }
+
+  /** BM25 top terms per document (Robertson/Walker, k1=1.2 b=0.75) — the
+    * retrieval-grade sibling of [[topTermsByTfRarity]]: term-frequency
+    * SATURATION (a term's 10th occurrence adds less than its 1st) and
+    * document-LENGTH normalization, the two things raw TF·rarity lacks.
+    * The idf factor is the Robertson odds `(N−df+0.5)/(df+0.5) + 1`
+    * WITHOUT the usual ln(): ln is a monotone transform that would not
+    * change the saturation/normalization behavior being scored here, and
+    * libm last-ULP variance across engines would poison the hash gate —
+    * the same determinism convention as the rarity score. Every op in the
+    * score is an IEEE-exact mult/div over integer-derived doubles.
+    *
+    * Shape: identical to tf-idf — term counts, doc frequencies broadcast
+    * back, per-doc bounded top-k window. Scales the same way.
+    */
+  def bm25TopTerms(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(id).as("doc_id"), words(col(text)).as("__w"))
+      .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("dl"))
+    val terms = base.select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      .withColumn("score", detRound(
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Top-k word bigrams per language — the corpus-statistics pass that
+    * feeds tokenizer/LM diagnostics (which collocations dominate each
+    * language slice?).
+    *
+    * Scale design: "top k per language" is the power-law trap — a language
+    * partition holds millions of distinct bigrams, so a per-language
+    * row_number window would sort an entire language's vocabulary in ONE
+    * task. Instead the top-k runs as [[graft.functions.TopKAggregate]]'s
+    * O(k)-state map-side-combinable aggregate keyed by the bigram's 60-bit
+    * md5 (the aggregate carries (score, long-id) pairs), and the winning
+    * ids join back to their strings against the counts table. Ties break
+    * (count desc, hash asc) — deterministic and oracle-mirrorable since
+    * md5 is engine-identical.
+    */
+  def topNgramsPerLang(docs: DataFrame, text: String, lang: String, k: Int): DataFrame = {
+    val base = docs.select(col(lang).as("lang"), words(col(text)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+    val grams = base.select(col("lang"),
+      explode(transform(sequence(lit(1), size(col("__w")) - 1), i =>
+        concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1))))
+        .as("bigram"))
+    val cnt = grams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bg_hash", Dedup.hash60(col("bigram")))
+    val top = cnt.groupBy(col("lang"))
+      .agg(graft.functions.TopKAggregate.topKByScore(
+        col("cnt").cast("double"), col("bg_hash"), k).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("bg_hash"))
+    top.join(cnt, Seq("lang", "bg_hash"))
+      .select(col("lang"), col("rank"), col("bigram"), col("cnt"))
+  }
 }
