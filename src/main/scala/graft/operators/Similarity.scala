@@ -220,6 +220,49 @@ object Similarity {
     * corpus; assignment is one broadcast join (centroids are tiny); a query
     * reads nprobe/|cells| of the data.
     */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the corpus (here the deterministic IVF/k-means
+    * cell assignment, same as [[kmeansStep]]), then mark as duplicates the
+    * vectors that sit within `threshold` cosine of a LOWER-id vector in the
+    * SAME cell. The pairwise step is quadratic only within a cell — the
+    * whole reason to cluster first — so 100 TB costs Σ|cell|² ≪ n², and
+    * cells are independent tasks. Keeper rule (lowest id survives) is the
+    * same deterministic convention as the exact/minhash dedups.
+    *
+    * Output: every vector with its cell and a keep flag.
+    */
+  def semanticDedup(corpus: DataFrame, centroidEvery: Int = 40,
+                    threshold: Double = 0.3): DataFrame = {
+    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("emb_cent"),
+        sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_cent"))
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = withNorm.join(broadcast(cents))
+      .withColumn("cent_cos",
+        detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("vid_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vid_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("vid_a") < col("vid_b"))
+      .withColumn("cos",
+        detRound(dotFP(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vid_b").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("keep", col("__dup").isNull)
+      .select(col("vec_id"), col("cell"), col("keep"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Int = 40, nprobe: Int = 2): DataFrame = {
     val cents = corpus.filter(col("vec_id") % centroidEvery === 0)

@@ -135,4 +135,43 @@ object Sketches {
       .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("term"))
   }
+
+  /** Fixed-bin histogram quantile sketch: estimate percentiles from
+    * per-bin counts plus linear interpolation inside the winning bin — the
+    * mergeable alternative to an exact percentile when the data is 100 TB:
+    * bin counts are one map-side-combinable hash aggregate (merge of two
+    * sketches = element-wise sum, same mergeability story as the HLL
+    * registers), and the error is bounded by one bin width.
+    *
+    * The cumulative pass runs over the POST-AGGREGATION bin table, whose
+    * size is domain/binWidth — a constant, not a data-sized partition — so
+    * the tiny ordered window here is not the global-window scale trap.
+    * Estimate arithmetic is integer counts + IEEE mult/div only.
+    *
+    * Emits per requested fraction p: the target rank ceil(p·n), the winning
+    * bin and the interpolated estimate.
+    */
+  def histogramQuantiles(df: DataFrame, value: Column, binWidth: Double,
+                         ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = df.select(floor(value / binWidth).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val n = binned.agg(sum(col("cnt")).as("n"))
+    val cum = binned.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val sp = df.sparkSession
+    import sp.implicits._
+    val targets = ps.toDF("p").crossJoin(broadcast(n))
+      .withColumn("target", ceil(col("p") * col("n")).cast("long"))
+    val chosen = cum.crossJoin(broadcast(targets))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("p"), col("target"), col("n"))
+      .agg(min(col("bin")).as("bin"))
+    chosen.join(cum, Seq("bin"))
+      .withColumn("estimate", detRound(
+        col("bin") * lit(binWidth) + lit(binWidth) *
+          (col("target") - (col("cum") - col("cnt"))).cast("double") / col("cnt"), 4))
+      .select(col("p"), col("n"), col("target"), col("bin"), col("estimate"))
+  }
 }

@@ -343,6 +343,24 @@ object OracleSql {
        | ${detRoundSql("s / 1000000.0 / n", 6)} AS value, n AS n_vectors
        |FROM p ORDER BY cell, pos""".stripMargin
 
+  /** q_semantic_dedup mirror: the IVF/k-means cell assignment (annIvfSql's
+    * assign CTE) + intra-cell lower-id-wins near-dup marking. */
+  def semanticDedupSql(centroidEvery: Int, threshold: Double): String =
+    s"""WITH c0 AS (SELECT vec_id AS cent_id, embedding AS emb_cent
+       |      FROM embeddings WHERE vec_id % $centroidEvery = 0),
+       |assign AS (SELECT vec_id, emb_c, cell FROM (
+       |      SELECT e.vec_id, e.embedding AS emb_c, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM embeddings e, c0) WHERE rn = 1),
+       |dups AS (SELECT DISTINCT b.vec_id
+       |      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |      WHERE ${detRoundSql(cosineSql("a.emb_c", "b.emb_c"), 4)} >= $threshold)
+       |SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS keep
+       |FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+
   /** q_ann_topk mirror (brute-force cosine top-k). */
   def annTopKSql(k: Int, querySel: String): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS emb_q FROM embeddings WHERE $querySel),

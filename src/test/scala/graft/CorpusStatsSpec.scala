@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Basket, Layout, Packing, Similarity, Sketches, TextAnalysis}
+
+/** Continuation-round operators: BM25, top n-grams, co-occurrence lift,
+  * Z-order layout, sequence packing, semantic dedup, histogram quantiles.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def detRound(v: Double, scale: Int = 4): Double = {
+    val m = math.pow(10, scale)
+    math.floor(v * m + 0.5) / m
+  }
+
+  // ---- Z-order ------------------------------------------------------------
+
+  test("zValue interleaves bits: (x=3, y=5) -> 39") {
+    // x=0b011 -> bits at 0,2; y=0b101 -> bits at 1,5: 1+2+4+32 = 39
+    val out = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 8).as("z")).head().getLong(0)
+    assert(out === 39L)
+  }
+
+  test("zorderCells: every cell bounds a narrow px AND sx rectangle") {
+    val grid = (0 until 256).flatMap(p => Seq(64, 192).map(s => (p.toLong, s.toLong)))
+    val li = grid.toDF("l_partkey", "l_suppkey")
+    val cells = Layout.zorderCells(li).collect()
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      val (pxMin, pxMax) = (r.getAs[Long]("px_min"), r.getAs[Long]("px_max"))
+      val (sxMin, sxMax) = (r.getAs[Long]("sx_min"), r.getAs[Long]("sx_max"))
+      // zcell = top 6 interleaved bits -> top 3 bits of each dim are fixed
+      assert(pxMin >> 5 === pxMax >> 5, s"px box too wide in $r")
+      assert(sxMin >> 5 === sxMax >> 5, s"sx box too wide in $r")
+    }
+  }
+
+  // ---- Sequence packing ---------------------------------------------------
+
+  test("packPlan: offsets are the exclusive prefix sum; straddlers flagged") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, "i j k l"))
+      .toDF("doc_id", "text")
+    val out = Packing.packPlan(docs, "doc_id", "text", 6).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "rank", "offset", "seq_id", "crosses_boundary")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1L, 0L, 0L, false),   // tokens 0..2
+      (2L, 5L, 2L, 3L, 0L, true),    // tokens 3..7 straddle the 6 boundary
+      (3L, 4L, 3L, 8L, 1L, false)))  // tokens 8..11
+  }
+
+  // ---- Semantic dedup -----------------------------------------------------
+
+  test("semanticDedup: identical vector with higher id is dropped, orthogonal kept") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), // centroid (0 % 40 == 0) and corpus member
+      (1L, Seq(1f, 0f)), // cos 1.0 with vec 0 -> dropped
+      (2L, Seq(0f, 1f))  // cos 0.0 with both -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, centroidEvery = 40, threshold = 0.3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out.toSeq === Seq((0L, true), (1L, false), (2L, true)))
+  }
+
+  // ---- Histogram quantiles ------------------------------------------------
+
+  test("histogramQuantiles: interpolated median of 1..100 at width 10 is 51.0") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Sketches.histogramQuantiles(df, col("v"), 10.0, Seq(0.5)).head()
+    assert(out.getAs[Long]("target") === 50L)
+    assert(out.getAs[Long]("bin") === 5L)       // cum reaches 50 in bin 5 (50..59)
+    assert(out.getAs[Double]("estimate") === 51.0)
+    assert(math.abs(out.getAs[Double]("estimate") - 50.5) <= 10.0) // one-bin bound
+  }
+
+  // ---- Co-occurrence lift -------------------------------------------------
+
+  test("cooccurrenceLift: exact lift on a known basket set") {
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (4L, 10L), (4L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Basket.cooccurrenceLift(li, minSupport = 3).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // c_ab=3, c_a(10)=4, c_b(20)=3, n=4 -> lift = 3*4/(4*3) = 1.0
+    assert((r.getAs[Long]("pk_a"), r.getAs[Long]("pk_b")) === ((10L, 20L)))
+    assert(r.getAs[Long]("c_ab") === 3L)
+    assert(r.getAs[Double]("lift") === 1.0)
+  }
+
+  // ---- BM25 ---------------------------------------------------------------
+
+  test("bm25TopTerms: matches the hand-computed formula and saturates tf") {
+    val docs = Seq((1L, "x x x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopTerms(docs, "doc_id", "text", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getString(2)), r.getDouble(5))).toMap
+    val nDocs = 2.0
+    val avgdl = 7.0 / 2.0
+    def idf(df: Double) = (nDocs - df + 0.5) / (df + 0.5) + 1.0
+    def score(tf: Double, df: Double, dl: Double) =
+      detRound(idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    assert(out((1L, "x")) === score(4, 1, 5))
+    assert(out((1L, "y")) === score(1, 2, 5))
+    assert(out((2L, "y")) === score(1, 2, 2))
+    assert(out((2L, "z")) === score(1, 1, 2))
+    // saturation: 4 occurrences score far less than 4x one occurrence
+    assert(out((1L, "x")) < 4 * score(1, 1, 5))
+  }
+
+  // ---- Top n-grams per language -------------------------------------------
+
+  test("topNgramsPerLang: counts and ranks bigrams within each language") {
+    val docs = Seq(
+      (1L, "a b a b", "en"), (2L, "a b c", "en"), (3L, "x y", "pt"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.topNgramsPerLang(docs, "text", "lang", k = 2)
+      .orderBy("lang", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // en bigrams: "a b" x3 ("a b","b a","a b" from doc1 + "a b" from doc2... )
+    // doc1: "a b","b a","a b"; doc2: "a b","b c" -> a b:3, b a:1, b c:1
+    val en = out.filter(_._1 == "en")
+    assert(en.head === (("en", 1L, "a b", 3L)))
+    assert(en.length === 2 && en(1)._4 === 1L) // second rank is one of the 1-count ties
+    assert(out.filter(_._1 == "pt").toSeq === Seq(("pt", 1L, "x y", 1L)))
+  }
+}
