@@ -220,6 +220,66 @@ object Similarity {
     * corpus; assignment is one broadcast join (centroids are tiny); a query
     * reads nprobe/|cells| of the data.
     */
+  /** Product-quantization (PQ) coding (Jégou et al., TPAMI 2011): split each
+    * vector into `m` subvectors and code each by its nearest codebook entry
+    * under squared L2 — the index-build step that compresses a 100 TB
+    * embedding corpus to m bytes/vector for in-memory ANN. Codebooks here
+    * are the deterministic `vec_id % centroidEvery` sample's subvectors
+    * (reproducible stand-in for per-subspace k-means, same convention as
+    * [[ivfTopK]]).
+    *
+    * ‖x−c‖² is computed as x·x + c·c − 2·x·c — three sequential-fold dots
+    * (the native [[dotFP]]), so the arithmetic is order-fixed and
+    * oracle-mirrorable. One broadcast join (codebooks are tiny by
+    * construction), per-(vector, subspace) argmin window bounded by
+    * codebook size.
+    */
+  def pqCode(corpus: DataFrame, m: Int = 4, dim: Int = 64,
+             centroidEvery: Int = 40): DataFrame = {
+    val subDim = dim / m
+    val subs = (0 until m).map(s =>
+      struct(lit(s).cast("long").as("sub"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("sv")))
+    val xs = corpus.select(col("vec_id"), explode(array(subs: _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("xs"))
+    val cs = corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), explode(array(subs: _*)).as("c"))
+      .select(col("cent_id"), col("c.sub").as("sub"), col("c.sv").as("cs"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("cent_id"))
+    xs.join(broadcast(cs), Seq("sub"))
+      .withColumn("dist", detRound(
+        dotFP(col("xs"), col("xs")) + dotFP(col("cs"), col("cs"))
+          - lit(2.0) * dotFP(col("xs"), col("cs")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cent_id").as("code"), col("dist"))
+  }
+
+  /** One distributed power-iteration step toward the corpus' top principal
+    * component: v' = Σᵢ (xᵢ·v)·xᵢ (the Gram-matrix product AᵀAv computed
+    * without materializing AᵀA), starting from the deterministic md5-derived
+    * direction [[planeCoeff]](0, ·). Iterate by feeding the (rescaled)
+    * output back in; the scale factor is free to choose because it doesn't
+    * change the direction, so no cross-engine sqrt/normalization is needed
+    * in the compared output.
+    *
+    * Per-element products are quantized to 1e-6 integers BEFORE the sum
+    * ([[labelCentroids]]' recipe) so 1000 partial aggregates merge
+    * bit-identically. One scan + one map-side-combinable shuffle per step.
+    */
+  def powerIterationStep(corpus: DataFrame, dim: Int = 64,
+                         quantScale: Double = 1e6): DataFrame = {
+    val s = corpus.select(col("vec_id"), col("embedding"),
+      dotFP(col("embedding"), planeVector(0, dim)).as("s"))
+    s.select(col("s"), posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(sum(floor(col("s") * col("col").cast("double") * quantScale + 0.5)).as("acc"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("pos").cast("long").as("pos"),
+        detRound(col("acc") / quantScale, 6).as("value"), col("n_vectors"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the corpus (here the deterministic IVF/k-means
     * cell assignment, same as [[kmeansStep]]), then mark as duplicates the

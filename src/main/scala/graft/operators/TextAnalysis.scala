@@ -292,6 +292,29 @@ object TextAnalysis {
         .as("repetition_ratio"))
   }
 
+  /** Overlapping token-window chunking — the RAG/embedding-prep sibling of
+    * [[Multimodal.chunkPlan]]'s byte chunking, with the SAME chunk-index
+    * convention (`(n−1) div hop + 1` chunks, trailing chunk truncated):
+    * split each document into `chunkLen`-token windows every `hop` tokens
+    * and materialize the chunk text. Pure per-row expression work (explode
+    * + slice + join over the materialized word array); chunk count scales
+    * with document length, not corpus size.
+    */
+  def chunkTokens(docs: DataFrame, id: String, text: String,
+                  chunkLen: Int = 64, hop: Int = 48): DataFrame =
+    docs.select(col(id).as("doc_id"), words(col(text)).as("__w"))
+      .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("__w"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), greatest((n_tokens - 1) div $hop, CAST(0 AS BIGINT)))"))
+          .as("chunk_idx"))
+      .withColumn("offset", col("chunk_idx") * hop)
+      .withColumn("chunk_tokens", least(lit(chunkLen.toLong), col("n_tokens") - col("offset")))
+      .withColumn("chunk_text",
+        array_join(slice(col("__w"), (col("offset") + 1).cast("int"),
+          col("chunk_tokens").cast("int")), " "))
+      .select(col("doc_id"), col("chunk_idx"), col("offset"),
+        col("chunk_tokens"), col("chunk_text"))
+
   /** BM25 top terms per document (Robertson/Walker, k1=1.2 b=0.75) — the
     * retrieval-grade sibling of [[topTermsByTfRarity]]: term-frequency
     * SATURATION (a term's 10th occurrence adds less than its 1st) and

@@ -150,11 +150,12 @@ object OracleSql {
 
   /** Sequential-fold cosine over float[] lists in double precision —
     * verified bit-identical to Spark's aggregate(zip_with(...)) fold. */
-  def cosineSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, len($x)+1), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
-  }
+  /** Sequential-fold dot product mirror of VectorExpressions.dotFP. */
+  def dotSql(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, len($x)+1), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   def inListSql(set: Seq[String]): String = set.map(s => s"'$s'").mkString("(", ", ", ")")
 
@@ -360,6 +361,41 @@ object OracleSql {
        |SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS keep
        |FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
        |ORDER BY s.vec_id""".stripMargin
+
+  /** q_pq_code mirror: per-subvector nearest-codebook-entry under squared
+    * L2 (x·x + c·c − 2·x·c, the same three sequential-fold dots). */
+  def pqCodeSql(m: Int, dim: Int, centroidEvery: Int): String = {
+    val subDim = dim / m
+    val subVals = (0 until m).map(s => s"($s)").mkString(", ")
+    def sl(e: String) = s"$e[(sub * $subDim + 1):(sub * $subDim + $subDim)]"
+    val dist = s"${dotSql("xs", "xs")} + ${dotSql("cs", "cs")} - 2.0 * ${dotSql("xs", "cs")}"
+    s"""WITH subs AS (SELECT CAST(sub AS BIGINT) AS sub FROM (VALUES $subVals) t(sub)),
+       |xs AS (SELECT vec_id, sub, ${sl("embedding")} AS xs FROM embeddings, subs),
+       |cb AS (SELECT vec_id AS cent_id, sub, ${sl("embedding")} AS cs
+       |       FROM embeddings, subs WHERE vec_id % $centroidEvery = 0),
+       |d AS (SELECT vec_id, x.sub AS sub, cent_id,
+       |        ${detRoundSql(dist, 4)} AS dist
+       |      FROM xs x JOIN cb c ON x.sub = c.sub),
+       |r AS (SELECT vec_id, sub, cent_id, dist,
+       |        row_number() OVER (PARTITION BY vec_id, sub
+       |                           ORDER BY dist, cent_id) AS rn FROM d)
+       |SELECT vec_id, sub, cent_id AS code, dist FROM r WHERE rn = 1
+       |ORDER BY vec_id, sub""".stripMargin
+  }
+
+  /** q_pca_power mirror: v' = Σ (x·v)·x with the plane-0 md5 direction and
+    * quantize-before-sum accumulation (labelCentroids' recipe). */
+  def powerStepSql(quantScale: String = "1000000.0"): String = {
+    val proj = s"list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * ${planeCoeffSql(0)}))"
+    s"""WITH s AS (SELECT vec_id, embedding, $proj AS s FROM embeddings),
+       |x AS (SELECT i - 1 AS pos,
+       |        CAST(floor(s * (embedding[i]::DOUBLE) * $quantScale + 0.5) AS BIGINT) AS q
+       |      FROM s, range(1, 65) t(i))
+       |SELECT CAST(pos AS BIGINT) AS pos,
+       | ${detRoundSql(s"CAST(sum(q) AS BIGINT) / $quantScale", 6)} AS value,
+       | count(*) AS n_vectors
+       |FROM x GROUP BY pos ORDER BY pos""".stripMargin
+  }
 
   /** q_ann_topk mirror (brute-force cosine top-k). */
   def annTopKSql(k: Int, querySel: String): String =

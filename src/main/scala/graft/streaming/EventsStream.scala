@@ -222,6 +222,33 @@ object EventsStream {
       .select(col("event_id"), col("u").as("user_id"), col("pts"), col("vts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the streaming semantics the
+    * inner join can't give: purchases with NO prior view still emit, with a
+    * null view side, but only once the watermark proves no matching view
+    * can still arrive. Spark derives the left row's state TTL from the join
+    * condition (`vts <= pts` ⇒ a left row is unmatched-forever once the
+    * global watermark passes `pts`) and emits the null-extended row at
+    * eviction. Over an AvailableNow run the final watermark is
+    * `min(max pts, max vts) − delay`, so the bounded-run oracle is the
+    * batch left join with unmatched rows RESTRICTED to `pts < final
+    * watermark` — purchases above it are still in state when the run ends,
+    * exactly as they would be on a live stream.
+    */
+  def purchaseViewJoinOuter(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("u"), col("ts").as("pts"))
+      .withWatermark("pts", "2 hours")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "2 hours")
+    purchases.join(views,
+      col("u") === col("user_id") &&
+        col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("event_id"), col("u").as("user_id"), col("pts"), col("vts"))
+  }
+
   /** Build a streaming DataFrame against a DEDICATED session clone, run it
     * to completion over the bounded source, and return the materialized
     * result (memory sink, AvailableNow trigger).

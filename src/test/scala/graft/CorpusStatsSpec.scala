@@ -111,6 +111,54 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out((1L, "x")) < 4 * score(1, 1, 5))
   }
 
+  // ---- Product quantization ----------------------------------------------
+
+  test("pqCode: each subvector codes to its nearest codebook entry under L2²") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), // codebook (0 % 2 == 0)
+      (1L, Seq(1f, 0f, 0f, 1f)),
+      (2L, Seq(0f, 1f, 1f, 0f))  // codebook
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqCode(emb, m = 2, dim = 4, centroidEvery = 2)
+      .orderBy("vec_id", "sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vec 1 sub0 [1,0]: d(c0=[1,0])=0, d(c2=[0,1])=2 -> code 0
+    // vec 1 sub1 [0,1]: d(c0=[0,0])=1, d(c2=[1,0])=2 -> code 0
+    assert(out.filter(_._1 == 1L).toSeq === Seq((1L, 0L, 0L, 0.0), (1L, 1L, 0L, 1.0)))
+    // codebook members code to themselves at distance 0
+    assert(out.filter(r => r._1 == 0L || r._1 == 2L).forall(r => r._4 === 0.0))
+  }
+
+  // ---- Power iteration ----------------------------------------------------
+
+  test("powerIterationStep: n identical e1 vectors accumulate n·(e1·v) at pos 0") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.powerIterationStep(emb, dim = 4)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val s = Similarity.planeCoeff(0, 0) // e1·v = v[0]
+    val expected0 = detRound(math.floor(s * 1.0 * 1e6 + 0.5) * 3 / 1e6, 6)
+    assert(out.toSeq === Seq((0L, expected0, 3L), (1L, 0.0, 3L),
+      (2L, 0.0, 3L), (3L, 0.0, 3L)))
+  }
+
+  // ---- Token chunking -----------------------------------------------------
+
+  test("chunkTokens: 10 words at len 4 / hop 3 give 4 chunks, last truncated") {
+    val docs = Seq((1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkLen = 4, hop = 3)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 4L, "w0 w1 w2 w3"),
+      (1L, 3L, 4L, "w3 w4 w5 w6"),
+      (2L, 6L, 4L, "w6 w7 w8 w9"),
+      (3L, 9L, 1L, "w9")))
+  }
+
   // ---- Top n-grams per language -------------------------------------------
 
   test("topNgramsPerLang: counts and ranks bigrams within each language") {

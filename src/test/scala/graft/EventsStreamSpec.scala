@@ -99,6 +99,30 @@ class EventsStreamSpec extends SparkSpec {
       5L -> ts("2024-01-01 10:04:00")))
   }
 
+  test("LEFT OUTER stream-stream join: null rows only below the final watermark") {
+    val dir = Files.createTempDirectory("events_ssjo")
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1L, "purchase", 5.0), // matched
+      Ev(4, ts("2024-01-01 10:04:00"), 2L, "view", 1.0),
+      Ev(5, ts("2024-01-01 10:06:00"), 2L, "purchase", 9.0), // matched
+      Ev(6, ts("2024-01-01 12:00:00"), 3L, "purchase", 2.0), // unmatched ABOVE wm
+      Ev(7, ts("2024-01-01 09:30:00"), 5L, "purchase", 1.0), // unmatched below wm
+      Ev(8, ts("2024-01-01 13:00:00"), 9L, "view", 1.0))     // advances view wm
+    writeEventsFile(dir, "all.parquet", 4000000L, evs)
+    // final watermark = min(max pts = 12:00, max vts = 13:00) - 2h = 10:00:
+    // purchase 7 (09:30 < wm) emits null-extended; purchase 6 (12:00) is
+    // still in state when the bounded run ends - no emission.
+    val out = EventsStream.runToCompletion(spark, "ssjo_test", OutputMode.Append()) { ss =>
+      EventsStream.purchaseViewJoinOuter(EventsStream.readEventsStream(ss, dir.toString))
+    }.orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(3))))
+    assert(out.toSeq === Seq(
+      2L -> Some(ts("2024-01-01 10:00:00")),
+      5L -> Some(ts("2024-01-01 10:04:00")),
+      7L -> None))
+  }
+
   test("native session_window emits sessions sealed by the final watermark only") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("events_sw")
