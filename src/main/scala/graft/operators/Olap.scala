@@ -151,6 +151,37 @@ object Olap {
       .limit(k)
   }
 
+  /** TPC-H Q5-shaped regional revenue: 6-table star join (region → nation →
+    * customer/supplier → orders → lineitem) with the Q5 twist — the
+    * supplier must share the CUSTOMER's nation — which forces one join
+    * predicate (`c_nationkey = s_nationkey`) that is NOT an FK edge. All
+    * dimension sides broadcast; the only big⋈big join is orders⋈lineitem
+    * on the order key. Revenue sums decimal-scaled, grand order fixed by
+    * (revenue desc, n_name).
+    */
+  def regionalRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                      regionName: String): DataFrame = {
+    val n = nation.join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = customer.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val s = supplier.select(col("s_suppkey"), col("s_nationkey"))
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(detRound(stableSumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Event-time AS-OF join, windowed-union formulation: for every `targetType`
     * event, the timestamp of the latest `priorType` event of the same user at
     * or before it. One shuffle on user_id; per-user sorted scan — the

@@ -89,4 +89,35 @@ object Sampling {
     }.reduceOption(_ || _).getOrElse(lit(false))
     df.filter(pred)
   }
+
+  /** Deterministic fair interleave across sources — the training-ORDER
+    * operator: reading the output by `interleave_key` yields sources
+    * round-robin (one doc from each source, repeat), each source internally
+    * shuffled by the md5 order. `interleave_key = (rank−1)·n_sources +
+    * source_idx` is pure arithmetic once the per-source rank exists, so the
+    * interleave is reproducible across engines/reruns and needs NO global
+    * sort to build — only the final consumer reads in key order.
+    *
+    * The per-source rank here is a per-source window (fine while no single
+    * source dominates); at mega-source scale swap it for the two-pass
+    * offset scheme run per source ([[Surrogate.rankedRunningTotal]]'s
+    * recipe), which the repo already demonstrates.
+    */
+  def interleaveBySource(docs: DataFrame, id: String, source: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcIdx = docs.select(col(source).as("source")).distinct()
+      .withColumn("source_idx",
+        (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_sources"))
+    val ranked = docs.select(col(id).as("doc_id"), col(source).as("source"))
+      .withColumn("rank_in_source", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(Dedup.hash60(col("doc_id").cast("string")), col("doc_id")))
+        .cast("long"))
+    ranked.join(broadcast(srcIdx), Seq("source")).crossJoin(broadcast(nSrc))
+      .withColumn("interleave_key",
+        (col("rank_in_source") - 1) * col("n_sources") + col("source_idx"))
+      .select(col("doc_id"), col("source"), col("rank_in_source"),
+        col("interleave_key"))
+  }
 }

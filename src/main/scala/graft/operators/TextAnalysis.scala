@@ -292,6 +292,33 @@ object TextAnalysis {
         .as("repetition_ratio"))
   }
 
+  /** One BPE merge-candidate iteration (Sennrich et al. 2016): the
+    * frequency-weighted count of every adjacent symbol pair over the
+    * word-level vocabulary — the statistic whose argmax IS the next BPE
+    * merge when training a tokenizer. Starts from character symbols (the
+    * first iteration); subsequent iterations re-run over re-segmented
+    * words.
+    *
+    * Scale design: pair counting runs over the VOCABULARY (distinct words
+    * + their corpus frequencies), not the raw token stream — the corpus
+    * pass is one word-count aggregate, after which the pair explode is
+    * vocabulary-sized. Global top-k by (weighted count, pair) is a sort
+    * + limit, the scale-safe k-row reduction.
+    */
+  def bpeMergeCandidates(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val vocab = docs.select(explode(words(col(text))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val chars = vocab.select(col("freq"), split(col("word"), "").as("__c"))
+      .filter(size(col("__c")) >= 2)
+    val pairs = chars.select(col("freq"),
+      explode(transform(sequence(lit(1), size(col("__c")) - 1), i =>
+        concat_ws(" ", element_at(col("__c"), i), element_at(col("__c"), i + 1))))
+        .as("pair"))
+    pairs.groupBy(col("pair"))
+      .agg(sum(col("freq")).as("total_count"), count(lit(1)).as("n_word_positions"))
+      .orderBy(col("total_count").desc, col("pair")).limit(k)
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding-prep sibling of
     * [[Multimodal.chunkPlan]]'s byte chunking, with the SAME chunk-index
     * convention (`(n−1) div hop + 1` chunks, trailing chunk truncated):

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Basket, Layout, Packing, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Basket, Layout, Olap, Packing, Reconcile, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Continuation-round operators: BM25, top n-grams, co-occurrence lift,
   * Z-order layout, sequence packing, semantic dedup, histogram quantiles.
@@ -157,6 +157,60 @@ class CorpusStatsSpec extends SparkSpec {
       (1L, 3L, 4L, "w3 w4 w5 w6"),
       (2L, 6L, 4L, "w6 w7 w8 w9"),
       (3L, 9L, 1L, "w9")))
+  }
+
+  // ---- Fair interleave ----------------------------------------------------
+
+  test("interleaveBySource: key order alternates sources while both have docs") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("doc_id", "source")
+    val out = Sampling.interleaveBySource(docs, "doc_id", "source")
+      .orderBy("interleave_key").collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq("a", "b", "a", "b", "a"))
+    assert(out.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  // ---- Snapshot diff ------------------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val a = Seq((1L, 10.0, "O"), (2L, 20.0, "F"), (3L, 30.0, "O"))
+      .toDF("k", "price", "st")
+    val b = Seq((1L, 10.0, "O"), (2L, 25.0, "F"), (4L, 40.0, "P"))
+      .toDF("k", "price", "st")
+    val out = Reconcile.snapshotDiff(a, b, "k", Seq("price", "st"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  // ---- Regional revenue (Q5 shape) ---------------------------------------
+
+  test("regionalRevenue enforces the non-FK customer-nation = supplier-nation edge") {
+    val region = Seq((0L, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((1L, "JAPAN", 0L), (2L, "PERU", 9L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((100L, 1L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((7L, 1L), (8L, 2L)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((1000L, 100L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (1000L, 7L, 100.0, 0.1),  // same-nation supplier -> counts (90.0)
+      (1000L, 8L, 500.0, 0.0))  // cross-nation supplier -> excluded
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Olap.regionalRevenue(region, nation, customer, supplier,
+      orders, lineitem, "ASIA").collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "JAPAN")
+    assert(out.head.getDouble(1) === 90.0)
+    assert(out.head.getLong(2) === 1L)
+  }
+
+  // ---- BPE merge candidates ----------------------------------------------
+
+  test("bpeMergeCandidates weights pairs by word frequency over the vocab") {
+    val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeCandidates(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a a", 2L, 1L), ("a b", 1L, 1L)))
   }
 
   // ---- Top n-grams per language -------------------------------------------
