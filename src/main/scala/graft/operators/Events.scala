@@ -155,4 +155,31 @@ object Events {
         .select(lit((i + 1).toLong).as("stage"), lit(stage).as("event_type"), col("n_users"))
     }.reduce(_ unionAll _)
   }
+
+  /** Seasonal-naive forecast backtest: predict each (event_type, day)'s
+    * volume as the volume `lagDays` earlier, score every day that has a
+    * counterpart, and report per-series MAE and signed bias — the baseline
+    * every forecasting pipeline must beat, and the cheapest data-drift
+    * alarm (MAE jumps when the weekly shape breaks).
+    *
+    * Forecast = equi self-join on the shifted day (robust to missing days,
+    * unlike a lag-7 row window) — one shuffle on (type, day); error sums
+    * are integer counts, so only the final MAE division is floating point.
+    */
+  def seasonalNaiveBacktest(events: DataFrame, lagDays: Int = 7): DataFrame = {
+    val daily = events.select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("actual"))
+    val fc = daily.select(col("event_type"),
+      expr(s"day + make_interval(0, 0, 0, $lagDays, 0, 0, 0)").as("day"),
+      col("actual").as("forecast"))
+    daily.join(fc, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(abs(col("actual") - col("forecast"))).as("abs_err_sum"),
+        sum(col("actual") - col("forecast")).as("bias_sum"))
+      .withColumn("mae",
+        detRound(col("abs_err_sum").cast("double") / col("n_days_scored"), 4))
+      .select(col("event_type"), col("n_days_scored"), col("mae"),
+        col("abs_err_sum"), col("bias_sum"))
+  }
 }

@@ -98,6 +98,35 @@ object Sketches {
       .select(col("day"), col("exact_distinct"), col("hll_est"), col("n_empty_buckets"))
   }
 
+  /** Sliding-window distinct estimate — the query exact computation cannot
+    * survive at scale: trailing-24h distinct users per hour needs the raw
+    * identity set for every window if done exactly, but with HLL registers
+    * it is a pure register-merge: keep the per-(hour, bucket) max-rho table
+    * (64 longs per hour, the persisted artifact), then each hourly register
+    * contributes to the 24 windows it falls in (the hopping-window explode,
+    * events_sliding's trick) and merges by max. Cost per output hour is
+    * 24×64 tiny rows — independent of event volume.
+    *
+    * Emitted hours are restricted to hours present in the data (tail
+    * windows past the last event would otherwise trail off the end).
+    */
+  def hllSlidingDistinct(df: DataFrame, ts: Column, item: Column,
+                         windowHours: Int = 24): DataFrame = {
+    val uniq = df.select(date_trunc("hour", ts).as("hour"), item.as("it")).distinct()
+    val rows = withBucketRho(uniq.withColumn("h", Dedup.hash60(col("it"))))
+    val hourly = rows.groupBy(col("hour"), col("bucket")).agg(max(col("rho")).as("m"))
+    val contrib = hourly
+      .withColumn("k", explode(sequence(lit(0), lit(windowHours - 1))))
+      .withColumn("win_hour",
+        expr("hour + make_interval(0, 0, 0, 0, CAST(k AS INT), 0, 0)"))
+    val merged = contrib.groupBy(col("win_hour"), col("bucket"))
+      .agg(max(col("m")).as("m"))
+    val actualHours = uniq.select(col("hour").as("win_hour")).distinct()
+    estimateFromRegisters(
+      merged.join(actualHours, Seq("win_hour"), "left_semi"), "win_hour")
+      .withColumnRenamed("win_hour", "hour")
+  }
+
   /** Count-min sketch geometry: d independent hash rows × w columns. */
   val CmsRows = 4
   val CmsWidth = 256

@@ -50,6 +50,44 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll sliding distinct: a window's merged estimate equals the direct union estimate") {
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    // hour 0: users 1..50; hour 1: users 51..100 (disjoint)
+    val evs = (1 to 50).map(u => (base, u.toLong)) ++
+      (51 to 100).map(u =>
+        (new java.sql.Timestamp(base.getTime + 3600000L), u.toLong))
+    val df = evs.toDF("ts", "user_id")
+    val out = Sketches.hllSlidingDistinct(df, $"ts", $"user_id".cast("string"))
+      .orderBy($"hour").collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    assert(out.length === 2)
+    // window ending at hour 1 covers both hours -> must equal the direct
+    // single-set estimate of the union (register merge is lossless)
+    val union = Sketches.hllDistinct(
+      df.select(lit("g").as("g"), $"user_id".cast("string").as("u")), $"g", $"u")
+      .head().getDouble(2)
+    assert(out(1)._2 === union)
+    // window at hour 0 covers only hour 0 -> estimate of the 50-user set
+    val h0 = Sketches.hllDistinct(
+      df.filter($"user_id" <= 50).select(lit("g").as("g"),
+        $"user_id".cast("string").as("u")), $"g", $"u").head().getDouble(2)
+    assert(out(0)._2 === h0)
+  }
+
+  test("seasonalNaiveBacktest: day t scored against day t-7 exactly") {
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    // day i has i+1 events of type "view", i = 0..7
+    val evs = (0 until 8).flatMap(d => (0 to d).map(_ =>
+      (new java.sql.Timestamp(base.getTime + d * 86400000L), "view")))
+    val out = graft.operators.Events.seasonalNaiveBacktest(
+      evs.toDF("ts", "event_type")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // only day 7 has a t-7 partner: actual 8 vs forecast 1
+    assert(r.getAs[Long]("n_days_scored") === 1L)
+    assert(r.getAs[Double]("mae") === 7.0)
+    assert(r.getAs[Long]("bias_sum") === 7L)
+  }
+
   test("cms heavy hitters: exact counts right, estimates never under-count") {
     val multiset = Seq.fill(100)("alpha") ++ Seq.fill(50)("beta") ++
       (1 to 500).map(i => s"rare$i")
