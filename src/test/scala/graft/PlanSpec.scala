@@ -188,4 +188,69 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "temporal lookup degenerated into a product join: " + p.take(2000))
   }
+
+  test("q_cooccur_lift: pair generation is an equi join on the basket key") {
+    val p = plan("q_cooccur_lift")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only permitted product is the 1-row grand-total broadcast
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"pair generation degenerated into all-pairs ($bnlj BNLJs)")
+    assert(p.contains("BroadcastHashJoin [ok") || p.contains("SortMergeJoin [ok"),
+      "pair join must be equi on the basket key: " + p.take(2000))
+  }
+
+  test("q_semantic_dedup: intra-cell pairing never degenerates into all-pairs") {
+    val p = plan("q_semantic_dedup")
+    // the centroid-scoring join is an intentional broadcast product (every
+    // vector scores every centroid) and its subtree is replicated for the
+    // a-side, b-side and final keep join; the PAIR join must stay equi
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 3, s"expected only replicated centroid broadcasts, got $bnlj BNLJs")
+    assert(p.contains("BroadcastHashJoin [cell") || p.contains("SortMergeJoin [cell"),
+      "intra-cell pair join must be equi on the cell: " + p.take(2000))
+  }
+
+  test("q_pq_code: codebook join broadcasts; argmin window is per (vector, subspace)") {
+    val p = plan("q_pq_code")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q_zorder_cells: one scan, one aggregate, zero joins") {
+    val p = plan("q_zorder_cells")
+    assert(!p.contains("Join"), "z-order audit must be scan + aggregate only")
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+  }
+
+  test("q_pack: token offsets run through the two-pass offset scheme, not a global window") {
+    val p = plan("q_pack")
+    assert(p.contains("__pid"), "expected the rankedRunningTotal partition-offset machinery")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ngrams_top: per-language top-k is the O(k)-state aggregate, not a vocab window") {
+    val p = plan("q_ngrams_top")
+    assert(p.contains("topk_by_score"), p.take(1500))
+    assert(!"windowspecdefinition".r.findAllIn(p).hasNext,
+      "per-language ranking must not sort the vocabulary in a window")
+  }
+
+  test("q_table_diff: snapshot diff is one equi full-outer join") {
+    val p = plan("q_table_diff")
+    assert(p.contains("FullOuter"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_olap_region: dimension sides broadcast, no product joins") {
+    val p = plan("q_olap_region")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_sliding_distinct: register build and merge are map-side-combinable aggregates") {
+    val p = plan("q_sliding_distinct")
+    assert(p.contains("partial_max"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("windowspecdefinition"))
+  }
 }

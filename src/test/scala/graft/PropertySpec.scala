@@ -91,4 +91,77 @@ class PropertySpec extends SparkSpec {
       assert(f1.intersect(f2).nonEmpty, s"docs sharing '$shared' share no fingerprint")
     }
   }
+
+  test("histogramQuantiles error is bounded by one bin width vs the exact quantile") {
+    (1 to 3).foreach { _ =>
+      val vals = Seq.fill(500)(rnd.nextDouble() * 90000.0)
+      val df = vals.toDF("v")
+      val ps = Seq(0.5, 0.9, 0.99)
+      val out = graft.operators.Sketches.histogramQuantiles(
+        df, $"v", 5000.0, ps).collect()
+        .map(r => r.getAs[Double]("p") -> r.getAs[Double]("estimate")).toMap
+      val sorted = vals.sorted
+      ps.foreach { p =>
+        // ceil(p*n)-th smallest is the rank the sketch targets
+        val exact = sorted(math.ceil(p * vals.size).toInt - 1)
+        assert(math.abs(out(p) - exact) <= 5000.0,
+          s"p=$p est=${out(p)} exact=$exact off by more than a bin")
+      }
+    }
+  }
+
+  test("snapshotDiff fold: applying the diff to A reconstructs B exactly") {
+    (1 to 3).foreach { _ =>
+      val a = (1 to 60).map(k => (k.toLong, rnd.nextInt(5).toDouble))
+      val b = (1 to 70).flatMap { k =>
+        if (rnd.nextBoolean()) Some((k.toLong, rnd.nextInt(5).toDouble)) else None
+      }
+      val diff = graft.operators.Reconcile.snapshotDiff(
+        a.toDF("k", "v"), b.toDF("k", "v"), "k", Seq("v")).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.get(3)).map(_.toString.toDouble)))
+      val applied = a.toMap ++
+        diff.collect { case (k, s, Some(v)) if s == "added" || s == "changed" => k -> v } --
+        diff.collect { case (k, "removed", _) => k }
+      assert(applied === b.toMap, "diff application did not reconstruct B")
+    }
+  }
+
+  test("pqCode agrees with a brute-force nearest-codebook scan") {
+    val dim = 8; val m = 2; val sub = dim / m
+    val vecs = (0L to 20L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.pqCode(df, m, dim, centroidEvery = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val cents = vecs.filter(_._1 % 4 == 0)
+    def l2(x: Seq[Float], c: Seq[Float]): Double = {
+      def dot(p: Seq[Float], q: Seq[Float]) =
+        p.zip(q).foldLeft(0.0)((acc, t) => acc + t._1.toDouble * t._2.toDouble)
+      val d = dot(x, x) + dot(c, c) - 2.0 * dot(x, c)
+      math.floor(d * 10000 + 0.5) / 10000
+    }
+    for ((id, emb) <- vecs; s <- 0 until m) {
+      val xs = emb.slice(s * sub, s * sub + sub)
+      val want = cents.map { case (cid, ce) =>
+        (l2(xs, ce.slice(s * sub, s * sub + sub)), cid)
+      }.min._2
+      assert(got((id, s.toLong)) === want, s"vec $id sub $s")
+    }
+  }
+
+  test("interleave fairness: while all sources have docs, every n-sized block is distinct") {
+    (1 to 3).foreach { _ =>
+      val sizes = Seq("a" -> (3 + rnd.nextInt(5)), "b" -> (3 + rnd.nextInt(5)),
+        "c" -> (3 + rnd.nextInt(5)))
+      val docs = sizes.zipWithIndex.flatMap { case ((s, n), si) =>
+        (1 to n).map(i => ((si * 100 + i).toLong, s))
+      }
+      val out = graft.operators.Sampling.interleaveBySource(
+        docs.toDF("doc_id", "source"), "doc_id", "source")
+        .orderBy("interleave_key").collect().map(_.getString(1))
+      val full = sizes.map(_._2).min * sizes.size
+      out.take(full).grouped(sizes.size).foreach { block =>
+        assert(block.toSet.size === sizes.size, s"unfair block: ${block.toSeq}")
+      }
+    }
+  }
 }
