@@ -151,6 +151,32 @@ object Olap {
       .limit(k)
   }
 
+  /** Robust outlier detection via median absolute deviation: per group,
+    * `median`, `MAD = median(|v − median|)`, and the count of rows beyond
+    * `k·MAD` — the outlier rule that (unlike mean/stddev z-scores) a few
+    * extreme values cannot drag. Three grouped exact-percentile aggregates
+    * + two joins, all keyed on the (bounded-cardinality) group.
+    *
+    * Both medians are detRound(4)-quantized BEFORE the predicate so the
+    * `dev > k·MAD` comparison sees bit-identical operands on every engine
+    * (exact-percentile interpolation order differs at the last ulp).
+    */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+                  k: Double = 3.0): DataFrame = {
+    val x = df.select(group.as("g"), value.cast("double").as("v"))
+    val med = x.groupBy(col("g"))
+      .agg(detRound(expr("percentile(v, 0.5)"), 4).as("median"))
+    val dev = x.join(med, Seq("g")).withColumn("dev", abs(col("v") - col("median")))
+    val mad = dev.groupBy(col("g"))
+      .agg(detRound(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    dev.join(mad, Seq("g"))
+      .groupBy(col("g"))
+      .agg(max(col("median")).as("median"), max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .withColumnRenamed("g", "grp")
+  }
+
   /** TPC-H Q5-shaped regional revenue: 6-table star join (region → nation →
     * customer/supplier → orders → lineitem) with the Q5 twist — the
     * supplier must share the CUSTOMER's nation — which forces one join

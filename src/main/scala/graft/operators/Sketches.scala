@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions.detRound
+import graft.functions.GraftFunctions.{detRound, stableSumScaled}
 
 /** Probabilistic sketches for corpus statistics at 100 TB — the class of
   * operator where an exact answer needs a vocabulary-sized shuffle but a
@@ -41,7 +41,7 @@ object Sketches {
     */
   /** (bucket, rho) derivation for one hashed item — shared by every HLL
     * shape below. */
-  private def withBucketRho(df: DataFrame): DataFrame =
+  private[graft] def withBucketRho(df: DataFrame): DataFrame =
     df.withColumn("bucket", col("h") % HllBuckets)
       .withColumn("pat", expr(s"h div $HllBuckets")) // integer division
       .withColumn("rho",
@@ -52,7 +52,7 @@ object Sketches {
     * indicator sum — written with the same literal shape as the oracle SQL
     * so every IEEE op sees identical operands in the same order.
     */
-  private def estimateFromRegisters(regs: DataFrame, groupName: String): DataFrame = {
+  private[graft] def estimateFromRegisters(regs: DataFrame, groupName: String): DataFrame = {
     val est = expr(
       "0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 36028797018963968.0 / CAST(s AS DOUBLE)")
     regs.groupBy(col(groupName)).agg(
@@ -202,5 +202,26 @@ object Sketches {
         col("bin") * lit(binWidth) + lit(binWidth) *
           (col("target") - (col("cum") - col("cnt"))).cast("double") / col("cnt"), 4))
       .select(col("p"), col("n"), col("target"), col("bin"), col("estimate"))
+  }
+
+  /** Winsorized aggregate: clip values at the [[histogramQuantiles]]
+    * p-quantile estimate before summing — the feature-engineering step that
+    * stops one whale from owning a mean. Composition of two scale-safe
+    * pieces: the sketch threshold (mergeable bin counts) broadcasts as one
+    * row, then the clip is a stateless per-row `least` inside the final
+    * aggregate scan. Emits raw vs winsorized sums, the threshold, and the
+    * clipped-row count.
+    */
+  def winsorizedSum(df: DataFrame, value: Column, binWidth: Double,
+                    p: Double): DataFrame = {
+    val thr = histogramQuantiles(df, value, binWidth, Seq(p))
+      .select(col("estimate").as("threshold"))
+    df.select(value.cast("double").as("v")).crossJoin(broadcast(thr))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v") > col("threshold"), 1L).otherwise(0L)).as("n_clipped"),
+        detRound(stableSumScaled(col("v"), 4), 2).as("sum_raw"),
+        detRound(stableSumScaled(least(col("v"), col("threshold")), 4), 2)
+          .as("sum_winsorized"))
   }
 }

@@ -199,6 +199,21 @@ object EventsStream {
     docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Streaming HLL register build: the 64-row max-rho state that gives a
+    * running distinct-user estimate over an unbounded stream with CONSTANT
+    * state — where streaming `countDistinct` would hold every identity
+    * forever. Complete-mode aggregate keyed on the register bucket; the
+    * caller finishes the materialized registers into an estimate in batch
+    * ([[graft.operators.Sketches.estimateFromRegisters]]) because chained
+    * streaming aggregates are not supported — and the registers ARE the
+    * artifact a production job would persist per trigger anyway.
+    */
+  def hllRegistersStream(events: DataFrame): DataFrame =
+    graft.operators.Sketches.withBucketRho(
+      events.select(col("user_id").cast("string").as("it"))
+        .withColumn("h", graft.operators.Dedup.hash60(col("it"))))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+
   /** Stream-stream interval join: each purchase joins the same user's views
     * from the preceding 10 minutes. Both sides are watermarked so Spark can
     * bound the join state (a view is droppable once the watermark passes

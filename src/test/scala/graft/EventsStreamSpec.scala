@@ -205,6 +205,24 @@ class EventsStreamSpec extends SparkSpec {
       s"phase-1 state lost or duplicated: $all")
   }
 
+  test("streaming HLL registers equal the batch registers over a bounded run") {
+    val dir = Files.createTempDirectory("events_hll")
+    val evs = (1 to 200).map(i =>
+      Ev(i.toLong, ts("2024-01-01 10:00:00"), (i % 77).toLong, "view", 1.0))
+    writeEventsFile(dir, "all.parquet", 4000000L, evs)
+    val streamRegs = EventsStream.runToCompletion(spark, "hll_regs_test") { ss =>
+      EventsStream.hllRegistersStream(EventsStream.readEventsStream(ss, dir.toString))
+    }.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // batch registers over the same identities
+    val batch = graft.operators.Sketches.withBucketRho(
+      evs.map(e => e.user_id.toString).distinct.toDF("it")
+        .withColumn("h", graft.operators.Dedup.hash60($"it")))
+      .groupBy($"bucket")
+      .agg(org.apache.spark.sql.functions.max($"rho").as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(streamRegs === batch)
+  }
+
   test("streaming exact dedup equals batch dedup over a bounded run") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("docs_stream")
