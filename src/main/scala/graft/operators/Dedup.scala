@@ -358,4 +358,41 @@ object Dedup {
           "raise maxIter (rounds needed = graph diameter)")
     labels.select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
+
+  /** C4-style cross-corpus LINE deduplication (Raffel et al. 2020 §2.2
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once"): segment every document into fixed `lineLen`-token lines,
+    * hash each line, keep only the corpus-FIRST occurrence (ordered by
+    * (doc_id, line_idx) — deterministic), and report each document's
+    * duplicated-line fraction — the boilerplate-removal signal at line
+    * grain, where whole-doc dedup sees nothing.
+    *
+    * Scale: the explode is corpus-token-sized but stateless; the
+    * first-occurrence window partitions by the LINE HASH, so a partition
+    * is one line's duplication multiplicity — bounded by how duplicated
+    * the line is, never corpus-sized.
+    */
+  def lineDedup(docs: DataFrame, id: String, text: String,
+                lineLen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col(id).as("doc_id"), TextAnalysis.words(col(text)).as("__w"))
+      .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("n"))
+      .select(col("doc_id"), col("n"), col("__w"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), (n - 1) div $lineLen)"))
+          .as("line_idx"))
+      .withColumn("line", array_join(
+        slice(col("__w"), (col("line_idx") * lineLen + 1).cast("int"),
+          least(lit(lineLen.toLong), col("n") - col("line_idx") * lineLen).cast("int")),
+        " "))
+      .select(col("doc_id"), col("line_idx"), hash60(col("line")).as("lh"))
+    val w = Window.partitionBy(col("lh")).orderBy(col("doc_id"), col("line_idx"))
+    lines.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+      .withColumn("dup_ratio",
+        graft.functions.GraftFunctions.detRound(
+          col("n_dup_lines").cast("double") / col("n_lines"), 4))
+  }
 }

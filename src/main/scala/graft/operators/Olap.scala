@@ -151,6 +151,62 @@ object Olap {
       .limit(k)
   }
 
+  /** Pearson correlation per group from EXACT quantized sums — the
+    * determinism recipe for second-moment statistics: Σx, Σy, Σxy, Σx², Σy²
+    * are quantized-to-integer sums (associative ⇒ partition-order-proof;
+    * exact while each sum < 2⁵³ — at larger scale promote to DECIMAL sums
+    * like q1's), and the correlation is one fixed tree of IEEE mult/div/
+    * sqrt over them. Spark's own `corr` streams float partials and is NOT
+    * reproducible across partitionings, let alone engines.
+    */
+  def pearsonByGroup(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    import graft.functions.GraftFunctions.stableSumScaled
+    df.select(group.as("grp"), x.cast("double").as("x"), y.cast("double").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        stableSumScaled(col("x"), 4).as("sx"), stableSumScaled(col("y"), 4).as("sy"),
+        stableSumScaled(col("x") * col("y"), 0).as("sxy"),
+        stableSumScaled(col("x") * col("x"), 0).as("sxx"),
+        stableSumScaled(col("y") * col("y"), 0).as("syy"))
+      .withColumn("corr_r", detRound(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+      .select(col("grp"), col("n"), col("corr_r"))
+  }
+
+  /** Two-sample Welch z-test between two segments — the experimentation
+    * primitive: means and variances from the same exact quantized sums as
+    * [[pearsonByGroup]] (one conditional aggregate, no per-group pass),
+    * z from one fixed expression tree, significance at |z| > 1.96. sqrt is
+    * IEEE-exact, so unlike t/p-values (which need erf/lgamma from libm)
+    * the whole statistic is engine-portable.
+    */
+  def abTestZ(df: DataFrame, group: Column, value: Column,
+              a: String, b: String): DataFrame = {
+    import graft.functions.GraftFunctions.stableSumScaled
+    def side(tag: String, suffix: String, v: Column) = Seq(
+      sum(when(col("g") === tag, 1L).otherwise(0L)).as(s"n_$suffix"),
+      stableSumScaled(when(col("g") === tag, v).otherwise(0.0), 4).as(s"s_$suffix"),
+      stableSumScaled(when(col("g") === tag, v * v).otherwise(0.0), 0).as(s"ss_$suffix"))
+    val aggs = side(a, "a", col("v")) ++ side(b, "b", col("v"))
+    df.select(group.as("g"), value.cast("double").as("v"))
+      .filter(col("g").isin(a, b))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_a_raw", col("s_a") / col("n_a"))
+      .withColumn("mean_b_raw", col("s_b") / col("n_b"))
+      .withColumn("var_a", (col("n_a") * col("ss_a") - col("s_a") * col("s_a")) /
+        (col("n_a") * (col("n_a") - 1)))
+      .withColumn("var_b", (col("n_b") * col("ss_b") - col("s_b") * col("s_b")) /
+        (col("n_b") * (col("n_b") - 1)))
+      .withColumn("z", detRound((col("mean_a_raw") - col("mean_b_raw")) /
+        sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 4))
+      .select(col("n_a"), col("n_b"),
+        detRound(col("mean_a_raw"), 4).as("mean_a"),
+        detRound(col("mean_b_raw"), 4).as("mean_b"),
+        col("z"), (abs(col("z")) > 1.96).as("significant"))
+  }
+
   /** Robust outlier detection via median absolute deviation: per group,
     * `median`, `MAD = median(|v − median|)`, and the count of rows beyond
     * `k·MAD` — the outlier rule that (unlike mean/stddev z-scores) a few

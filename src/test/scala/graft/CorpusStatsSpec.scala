@@ -213,6 +213,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a a", 2L, 1L), ("a b", 1L, 1L)))
   }
 
+  // ---- Line dedup ---------------------------------------------------------
+
+  test("lineDedup: a repeated 10-word line is flagged only on its later copy") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$ten a b c d e f g h i j"), // lines: ten (first), a..j (first)
+      (2L, s"$ten k l m n o p q r s t")) // line 0 duplicates doc 1's line 0
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 0L), (2L, 2L, 1L)))
+  }
+
+  // ---- Exact-sum statistics ----------------------------------------------
+
+  test("pearsonByGroup: y = 2x correlates at exactly 1.0") {
+    val df = (1 to 5).map(i => ("g", i.toDouble, 2.0 * i)).toDF("k", "x", "y")
+    val r = Olap.pearsonByGroup(df, col("k"), col("x"), col("y")).head()
+    assert(r.getAs[Double]("corr_r") === 1.0)
+  }
+
+  test("abTestZ: identical segments give z = 0, not significant") {
+    val df = Seq(("a", 10.0), ("a", 12.0), ("a", 14.0),
+      ("b", 10.0), ("b", 12.0), ("b", 14.0)).toDF("g", "v")
+    val r = Olap.abTestZ(df, col("g"), col("v"), "a", "b").head()
+    assert(r.getAs[Double]("z") === 0.0)
+    assert(!r.getAs[Boolean]("significant"))
+    assert(r.getAs[Double]("mean_a") === 12.0 && r.getAs[Double]("mean_b") === 12.0)
+  }
+
   // ---- Top n-grams per language -------------------------------------------
 
   test("topNgramsPerLang: counts and ranks bigrams within each language") {
