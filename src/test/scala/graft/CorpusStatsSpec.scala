@@ -213,6 +213,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a a", 2L, 1L), ("a b", 1L, 1L)))
   }
 
+  // ---- PageRank step ------------------------------------------------------
+
+  test("pagerankStep: star graph concentrates rank on the hub; ranks sum to ~1") {
+    // symmetric star: hub 1 <-> leaves 2, 3
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = graft.operators.Graph.pagerankStep(
+      edges, graft.operators.Graph.uniformRanks(edges))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // mirror the quantized arithmetic exactly
+    def q(c: Double) = math.floor(c * 1e12 + 0.5)
+    def r10(v: Double) = math.floor(v * 1e10 + 0.5) / 1e10
+    val r0 = 1.0 / 3
+    val hub = r10(0.15 / 3 + 0.85 * ((q(r0 / 1) + q(r0 / 1)) / 1e12))
+    val leaf = r10(0.15 / 3 + 0.85 * (q(r0 / 2) / 1e12))
+    assert(out(1L) === hub)
+    assert(out(2L) === leaf && out(3L) === leaf)
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    assert(out(1L) > out(2L), "hub must out-rank leaves")
+  }
+
   // ---- Line dedup ---------------------------------------------------------
 
   test("lineDedup: a repeated 10-word line is flagged only on its later copy") {
