@@ -204,6 +204,54 @@ object Sketches {
       .select(col("p"), col("n"), col("target"), col("bin"), col("estimate"))
   }
 
+  /** Join-size estimation from two count-min sketches (the AGMS family):
+    * the inner product of row r's counters, Σ_c A[r,c]·B[r,c], equals the
+    * true join size Σ_k a(k)·b(k) plus non-negative collision noise — take
+    * the min over the d rows. The planner-grade statistic: estimate
+    * |A ⋈ B| from two 1 KB sketches built in one pass per side, without
+    * ever forming a pair. Never under-estimates (spec-pinned), mergeable
+    * like every CMS.
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, aKey: Column,
+                          b: DataFrame, bKey: Column): DataFrame = {
+    val ka = a.select(aKey.cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val kb = b.select(bKey.cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    def sketch(t: DataFrame, cnt: String) = t.select(col(cnt),
+        explode(array((0 until CmsRows).map(r =>
+          struct(lit(r).as("r"), cmsCol(col("k"), r).cast("long").as("c"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c")).agg(sum(col(cnt)).as(cnt))
+    val perRow = sketch(ka, "ca").join(sketch(kb, "cb"), Seq("r", "c"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("est"))
+    val est = perRow.agg(min(col("est")).as("cms_est"))
+    val exact = ka.join(kb, Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_size"))
+    exact.crossJoin(broadcast(est))
+      .withColumn("overestimate", col("cms_est") - col("exact_join_size"))
+  }
+
+  /** Distinct-set INTERSECTION estimate from HLL sketches via
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    * union estimate is free because HLL registers merge by max. The
+    * overlap question ("how many customers are in both years?") answered
+    * from three 64-long register tables instead of a distinct-set join —
+    * next to the exact intersection as the anchor.
+    */
+  def hllIntersectEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    def estOf(items: DataFrame, name: String) = {
+      val regs = withBucketRho(items.distinct().withColumn("h", Dedup.hash60(col("it"))))
+        .groupBy(lit("g").as("g"), col("bucket")).agg(max(col("rho")).as("m"))
+      estimateFromRegisters(regs, "g").select(col("hll_est").as(name))
+    }
+    val exact = a.intersect(b).agg(count(lit(1)).as("exact_intersect"))
+    estOf(a, "est_a").crossJoin(estOf(b, "est_b"))
+      .crossJoin(estOf(a.unionAll(b), "est_union"))
+      .crossJoin(exact)
+      .withColumn("est_intersect",
+        detRound(col("est_a") + col("est_b") - col("est_union"), 2))
+  }
+
   /** Winsorized aggregate: clip values at the [[histogramQuantiles]]
     * p-quantile estimate before summing — the feature-engineering step that
     * stops one whale from owning a mean. Composition of two scale-safe

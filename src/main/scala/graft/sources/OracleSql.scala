@@ -397,6 +397,22 @@ object OracleSql {
        |FROM x GROUP BY pos ORDER BY pos""".stripMargin
   }
 
+  /** CTE chain `<p>_u … <p>_est` computing the HLL estimate of the distinct
+    * items produced by `itemsSql` (one column). Mirror of
+    * Sketches.hllDistinct's register/estimate arithmetic. */
+  def hllEstChainSql(p: String, itemsSql: String): String =
+    s"""${p}_u AS (SELECT DISTINCT it FROM ($itemsSql) ${p}_t(it)),
+       |${p}_r AS (SELECT h % 64 AS bucket,
+       |    CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+       |  FROM (SELECT ${hash60Sql("it")} AS h FROM ${p}_u)),
+       |${p}_regs AS (SELECT bucket, max(rho) AS m FROM ${p}_r GROUP BY 1),
+       |${p}_sm AS (SELECT count(*) AS npres,
+       |    CAST(sum(1::BIGINT << (55 - m)) AS BIGINT) AS sp FROM ${p}_regs),
+       |${p}_sv AS (SELECT sp + (64 - npres) * (1::BIGINT << 55) AS s FROM ${p}_sm),
+       |${p}_est AS (SELECT ${detRoundSql(
+         "0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 36028797018963968.0 / CAST(s AS DOUBLE)", 2)} AS est
+       |  FROM ${p}_sv)""".stripMargin
+
   /** q_ann_topk mirror (brute-force cosine top-k). */
   def annTopKSql(k: Int, querySel: String): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS emb_q FROM embeddings WHERE $querySel),

@@ -88,6 +88,28 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("bias_sum") === 7L)
   }
 
+  test("cmsJoinSizeEstimate: exact size right, sketch estimate never under-counts") {
+    val a = (1 to 400).map(i => ((i % 60).toLong, "x")).toDF("k", "pad")
+    val b = (1 to 300).map(i => ((i % 45).toLong, "x")).toDF("k", "pad")
+    val r = Sketches.cmsJoinSizeEstimate(a, $"k", b, $"k").head()
+    // brute-force expected join size
+    val ca = (1 to 400).groupBy(_ % 60).map { case (k, v) => k.toLong -> v.size }
+    val cb = (1 to 300).groupBy(_ % 45).map { case (k, v) => k.toLong -> v.size }
+    val exact = ca.map { case (k, n) => n.toLong * cb.getOrElse(k, 0) }.sum
+    assert(r.getAs[Long]("exact_join_size") === exact)
+    assert(r.getAs[Long]("cms_est") >= exact, "CMS inner product under-counted")
+  }
+
+  test("hllIntersectEstimate: A == B estimates est_a; disjoint exact is 0") {
+    val a = (1 to 500).map(i => s"u$i").toDF("it")
+    val same = Sketches.hllIntersectEstimate(a, a).head()
+    assert(same.getAs[Double]("est_intersect") === same.getAs[Double]("est_a"))
+    assert(same.getAs[Long]("exact_intersect") === 500L)
+    val b = (501 to 900).map(i => s"u$i").toDF("it")
+    val disj = Sketches.hllIntersectEstimate(a, b).head()
+    assert(disj.getAs[Long]("exact_intersect") === 0L)
+  }
+
   test("cms heavy hitters: exact counts right, estimates never under-count") {
     val multiset = Seq.fill(100)("alpha") ++ Seq.fill(50)("beta") ++
       (1 to 500).map(i => s"rare$i")
