@@ -28,6 +28,17 @@ object TextAnalysis {
   /** BPE-ish token pattern: letter runs | digit runs | single other glyph. */
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+  /** Materialized tokenizer stream: one row per (doc, position, token) from
+    * the BPE-ish regex. One explode, no shuffle — the downstream consumer
+    * (chunking, vocab building) groups as it needs to.
+    */
+  def tokenStream(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .select(col(id).as("doc_id"),
+        posexplode(regexp_extract_all(col(text), lit(TokenPattern), lit(0))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("token_idx"),
+        col("col").as("token"))
+
   /** Token counting: whitespace tokens, regex (BPE-ish) tokens, distinct
     * words, plus a chars-per-token ratio (a cheap tokenizer-cost estimate).
     */

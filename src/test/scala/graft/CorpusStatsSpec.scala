@@ -264,6 +264,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_a") === 12.0 && r.getAs[Double]("mean_b") === 12.0)
   }
 
+  // ---- Tokenizer stream ----------------------------------------------------
+
+  test("tokenStream: letter/digit/punct splits, 1-based positions per doc") {
+    val docs = Seq((1L, "ab3 c!"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenStream(docs, "doc_id", "text")
+      .orderBy("doc_id", "token_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // "ab3 c!" -> ab | 3 | c | !  (space is a separator, not a token)
+    assert(out.toSeq === Seq(
+      (1L, 1L, "ab"), (1L, 2L, "3"), (1L, 3L, "c"), (1L, 4L, "!")))
+  }
+
   // ---- Top n-grams per language -------------------------------------------
 
   test("topNgramsPerLang: counts and ranks bigrams within each language") {
