@@ -284,4 +284,27 @@ object Olap {
       .filter(col("event_type") === targetType)
       .select(col("event_id"), col("user_id"), col("ts"), col("prior_ts"))
   }
+
+  /** 2-D skyline (Pareto frontier: minimize `mn`, maximize `mx`) without
+    * the naive dominance self-join. A point survives iff its mx equals the
+    * best mx at its own mn AND strictly beats the best mx at every smaller
+    * mn — so the frontier falls out of one group-by (best per distinct mn)
+    * plus a prefix-max window over the DISTINCT-mn table. That window is
+    * ordered but runs over the post-aggregation table (|distinct mn| rows,
+    * not data-sized), the same escape hatch as the histogram sketch's
+    * cumulative pass. Ties on both dimensions all stay on the frontier.
+    */
+  def skyline2d(df: DataFrame, id: Column, minDim: Column, maxDim: Column): DataFrame = {
+    val pts = df.select(id.as("id"),
+      minDim.cast("double").as("mn"), maxDim.cast("double").as("mx"))
+    val perMn = pts.groupBy(col("mn")).agg(max(col("mx")).as("best"))
+    val w = Window.orderBy(col("mn")).rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perMn
+      .withColumn("prev_best", max(col("best")).over(w))
+      .filter(col("prev_best").isNull || col("best") > col("prev_best"))
+      .select(col("mn"), col("best"))
+    pts.join(broadcast(frontier), Seq("mn"))
+      .filter(col("mx") === col("best"))
+      .select(col("id"), col("mn"), col("mx"))
+  }
 }

@@ -252,6 +252,54 @@ object Sketches {
         detRound(col("est_a") + col("est_b") - col("est_union"), 2))
   }
 
+  /** Bloom-filter geometry: m bits, k hash functions. */
+  val BloomBits = 4096
+  val BloomHashes = 4
+
+  /** Bit position of `item` under bloom hash `i` — the same portable
+    * Kirsch–Mitzenmacher double-hash family as the minhash signature:
+    * (h1 + i·h2') mod m, with h2' < 1e9+7 so the sum never overflows
+    * BIGINT on either engine for i < 64.
+    */
+  def bloomBit(item: Column, i: Int): Column =
+    (Dedup.hash60(item) + lit(i.toLong) * Dedup.hash60b(item)) % BloomBits
+
+  /** Relational Bloom filter: the filter is a table of SET BIT POSITIONS
+    * (≤ m rows, one hash-distinct pass over the build side), a probe is k
+    * generated positions semi-matched against it, and an item "hits" iff
+    * all k positions are set. The membership structure that ships as a
+    * broadcast table instead of an opaque bitmap — merge two filters by
+    * UNION of their bit tables, exactly the mergeability story of the HLL
+    * registers.
+    *
+    * Emits one row of the probe audit: n_probes, n_members (exact),
+    * n_bloom_hits, n_false_pos, n_false_neg. The Bloom contract —
+    * no false negatives, ever — is the n_false_neg = 0 column; n_false_pos
+    * is the collision noise you size m/k against at scale.
+    */
+  def bloomProbe(build: DataFrame, buildItem: Column,
+                 probe: DataFrame, probeItem: Column): DataFrame = {
+    val bi = build.select(buildItem.cast("string").as("it")).distinct()
+    val pi = probe.select(probeItem.cast("string").as("it")).distinct()
+    def positions(items: DataFrame) = items.select(col("it"),
+      explode(array((0 until BloomHashes).map(i =>
+        bloomBit(col("it"), i).cast("long")): _*)).as("pos"))
+    val bits = positions(bi).select(col("pos")).distinct()
+    val hits = positions(pi).join(bits, Seq("pos"), "left_semi")
+      .groupBy(col("it")).agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === BloomHashes).select(col("it"))
+    val audited = pi
+      .join(bi.select(col("it"), lit(true).as("member")), Seq("it"), "left")
+      .join(hits.select(col("it"), lit(true).as("hit")), Seq("it"), "left")
+      .select(coalesce(col("member"), lit(false)).as("member"),
+        coalesce(col("hit"), lit(false)).as("hit"))
+    audited.agg(count(lit(1)).as("n_probes"),
+      sum(when(col("member"), 1L).otherwise(0L)).as("n_members"),
+      sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+      sum(when(col("hit") && !col("member"), 1L).otherwise(0L)).as("n_false_pos"),
+      sum(when(col("member") && !col("hit"), 1L).otherwise(0L)).as("n_false_neg"))
+  }
+
   /** Winsorized aggregate: clip values at the [[histogramQuantiles]]
     * p-quantile estimate before summing — the feature-engineering step that
     * stops one whale from owning a mean. Composition of two scale-safe

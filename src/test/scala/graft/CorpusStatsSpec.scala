@@ -215,6 +215,38 @@ class CorpusStatsSpec extends SparkSpec {
 
   // ---- PageRank step ------------------------------------------------------
 
+  test("triangleStats: K4 has 4 triangles; adding a pendant edge adds none") {
+    val k4 = for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong)
+    val r = graft.operators.Graph.triangleStats(
+      k4.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    val r2 = graft.operators.Graph.triangleStats(
+      (k4 :+ (4L, 5L)).toDF("a", "b"), "a", "b").head()
+    assert(r2.getAs[Long]("n_nodes") === 5L)
+    assert(r2.getAs[Long]("n_triangles") === 4L)
+  }
+
+  test("triangleStats: duplicate and reversed input pairs collapse to one edge") {
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val r = graft.operators.Graph.triangleStats(tri.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("n_wedges") === 1L)
+    assert(r.getAs[Long]("n_triangles") === 1L)
+  }
+
+  test("skyline2d: frontier keeps non-dominated points, all both-dim ties") {
+    // (id, price, size): 1 dominates 3 (cheaper, bigger); 2 on frontier
+    // (biggest); 4 on frontier (cheapest); 5 ties 1 on both dims -> kept.
+    val df = Seq((1L, 5.0, 10.0), (2L, 8.0, 12.0), (3L, 6.0, 9.0),
+      (4L, 3.0, 4.0), (5L, 5.0, 10.0)).toDF("id", "price", "sz")
+    val out = graft.operators.Olap.skyline2d(
+      df, col("id"), col("price"), col("sz")).orderBy("id").collect()
+      .map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 2L, 4L, 5L))
+  }
+
   test("pagerankStep: star graph concentrates rank on the hub; ranks sum to ~1") {
     // symmetric star: hub 1 <-> leaves 2, 3
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")

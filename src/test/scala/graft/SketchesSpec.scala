@@ -110,6 +110,17 @@ class SketchesSpec extends SparkSpec {
     assert(disj.getAs[Long]("exact_intersect") === 0L)
   }
 
+  test("bloomProbe: no false negatives ever; counts reconcile") {
+    val build = (1 to 200).map(i => s"k$i").toDF("it")
+    val probe = (101 to 400).map(i => s"k$i").toDF("it")
+    val r = Sketches.bloomProbe(build, $"it", probe, $"it").head()
+    assert(r.getAs[Long]("n_probes") === 300L)
+    assert(r.getAs[Long]("n_members") === 100L)
+    assert(r.getAs[Long]("n_false_neg") === 0L, "Bloom false negative")
+    assert(r.getAs[Long]("n_bloom_hits") ===
+      r.getAs[Long]("n_members") + r.getAs[Long]("n_false_pos"))
+  }
+
   test("cms heavy hitters: exact counts right, estimates never under-count") {
     val multiset = Seq.fill(100)("alpha") ++ Seq.fill(50)("beta") ++
       (1 to 500).map(i => s"rare$i")
