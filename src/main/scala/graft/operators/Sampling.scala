@@ -120,4 +120,39 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("rank_in_source"),
         col("interleave_key"))
   }
+
+  /** Deterministic negative sampling for implicit-feedback training: for
+    * each positive (user, item) pair, draw k pseudo-random candidate items
+    * — index = md5(user#item#j) mod |items| into the dense 1..N item index
+    * ([[Surrogate.zipWithIndexOrdered]], the two-pass rank: no global
+    * window) — then anti-filter candidates that happen to be true
+    * positives for that user. Collisions are DROPPED, not re-drawn
+    * (expected loss ≈ k·|P|/N, negligible when the catalog is large; a
+    * re-draw loop would be a driver-side iteration). Same-hash determinism
+    * as every sampler here: reruns, engines and partitionings all agree.
+    *
+    * Output: (user, pos_item, j, neg_item) — one row per surviving draw.
+    */
+  def negativeSample(pos: DataFrame, userCol: Column, itemCol: Column,
+                     k: Int): DataFrame = {
+    val p = pos.select(userCol.cast("long").as("user"),
+      itemCol.cast("long").as("item")).distinct()
+    val items = Surrogate.zipWithIndexOrdered(
+      p.select(col("item")).distinct(), "idx", Seq(col("item")))
+    val n = items.agg(count(lit(1)).as("n_items"))
+    val cand = p
+      .select(col("user"), col("item"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .crossJoin(broadcast(n))
+      .withColumn("idx",
+        Dedup.hash60(concat_ws("#", col("user"), col("item"), col("j")))
+          % col("n_items") + 1L)
+      .select(col("user"), col("item").as("pos_item"),
+        col("j").cast("long").as("j"), col("idx"))
+    cand.join(items.select(col("idx"), col("item").as("neg_item")), Seq("idx"))
+      .join(p.select(col("user"), col("item").as("neg_item"),
+        lit(true).as("__hit")), Seq("user", "neg_item"), "left")
+      .filter(col("__hit").isNull)
+      .select(col("user"), col("pos_item"), col("j"), col("neg_item"))
+  }
 }

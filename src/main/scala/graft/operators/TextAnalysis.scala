@@ -421,4 +421,47 @@ object TextAnalysis {
     top.join(cnt, Seq("lang", "bg_hash"))
       .select(col("lang"), col("rank"), col("bigram"), col("cnt"))
   }
+
+  /** Hashing-trick featurization: every (doc, token) lands in one of `dim`
+    * buckets via the portable 60-bit md5 hash, and the feature value is the
+    * bucket's token count. No vocabulary table, no fit pass, no driver
+    * state — the property that makes the hashing trick THE featurizer at
+    * 100 TB (a learned vocab is a second full scan plus a giant broadcast).
+    * One explode + one map-side-combinable count aggregate.
+    */
+  def hashFeatures(docs: DataFrame, id: String, text: String,
+                   dim: Int = 1024): DataFrame =
+    tokenStream(docs, id, text)
+      .select(col("doc_id"),
+        (Dedup.hash60(lower(col("token"))) % dim).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("f"))
+
+  /** Bigram language-model count tables — the Kneser–Ney numerators:
+    * per surviving bigram (count ≥ minCount) its raw count, the
+    * continuation count N₁₊(•w₂) (distinct left contexts of w₂) and the
+    * right diversity N₁₊(w₁•) (distinct continuations of w₁).
+    *
+    * The bigram stream is built with a per-document window (`lead` over
+    * token_idx — partition size = doc length, never corpus-sized); both
+    * diversity tables are derived from the bigram TYPE table (vocabulary²
+    * bounded, already aggregated) rather than re-scanning the token
+    * stream, so the corpus is read exactly once.
+    */
+  def bigramLmCounts(docs: DataFrame, id: String, text: String,
+                     minCount: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenStream(docs, id, text)
+      .select(col("doc_id"), col("token_idx"), lower(col("token")).as("w"))
+    val nxt = Window.partitionBy(col("doc_id")).orderBy(col("token_idx"))
+    val types = toks.withColumn("w2", lead(col("w"), 1).over(nxt))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bigram"))
+    val leftCtx = types.groupBy(col("w2")).agg(count(lit(1)).as("n_left_ctx"))
+    val rightDiv = types.groupBy(col("w1")).agg(count(lit(1)).as("n_right_ctx"))
+    types.filter(col("c_bigram") >= minCount)
+      .join(leftCtx, Seq("w2")).join(rightDiv, Seq("w1"))
+      .select(col("w1"), col("w2"), col("c_bigram"),
+        col("n_left_ctx"), col("n_right_ctx"))
+  }
 }

@@ -308,6 +308,29 @@ class CorpusStatsSpec extends SparkSpec {
       (1L, 1L, "ab"), (1L, 2L, "3"), (1L, 3L, "c"), (1L, 4L, "!")))
   }
 
+  test("hashFeatures: counts conserve tokens, buckets stay inside the dim") {
+    val docs = Seq((1L, "a a b"), (2L, "c!")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashFeatures(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum === 5L, "feature mass must equal token count")
+    assert(out.forall(t => t._2 >= 0 && t._2 < 16))
+    // 'a' twice in doc 1 -> some bucket of doc 1 carries f = 2
+    assert(out.filter(_._1 == 1L).map(_._3).max === 2L)
+  }
+
+  test("bigramLmCounts: raw, continuation, and diversity counts on a toy corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c b")).toDF("doc_id", "text")
+    // bigrams: d1 (a b)(b a)(a b), d2 (a b)(b c), d3 (c b)
+    val out = TextAnalysis.bigramLmCounts(docs, "doc_id", "text", minCount = 1)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // "a b": count 3 (2 in d1 + 1 in d2); b left contexts {a, c} -> 2; a right {b} -> 1
+    assert(out.find(t => t._1 == "a" && t._2 == "b").get === (("a", "b", 3L, 2L, 1L)))
+    // "b c": count 1; c left contexts {b} -> 1; b right contexts {a, c} -> 2
+    assert(out.find(t => t._1 == "b" && t._2 == "c").get === (("b", "c", 1L, 1L, 2L)))
+    assert(out.length === 4) // a-b, b-a, b-c, c-b
+  }
+
   // ---- Top n-grams per language -------------------------------------------
 
   test("topNgramsPerLang: counts and ranks bigrams within each language") {

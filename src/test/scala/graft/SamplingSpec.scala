@@ -43,6 +43,27 @@ class SamplingSpec extends SparkSpec {
     assert(again === kept.select("k").collect().map(_.getLong(0)).toSet)
   }
 
+  test("negativeSample: negatives are real items, never positives, k per pair max") {
+    // user u buys items u..u+2 from a catalog that the positives span
+    val pos = (1L to 20L).flatMap(u => (u to u + 2).map(i => (u, i))).toDF("u", "i")
+    val out = Sampling.negativeSample(pos, $"u", $"i", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val posSet = (1L to 20L).flatMap(u => (u to u + 2).map(i => (u, i))).toSet
+    val items = posSet.map(_._2)
+    assert(out.nonEmpty)
+    out.foreach { case (u, pi, j, ni) =>
+      assert(posSet((u, pi)), "pos_item must be a true positive")
+      assert(items(ni), "neg_item must come from the item universe")
+      assert(!posSet((u, ni)), s"drew a true positive ($u,$ni) as negative")
+      assert(j >= 0 && j < 3)
+    }
+    // at most k draws per positive, and fully deterministic across partitionings
+    assert(out.groupBy(t => (t._1, t._2)).values.map(_.size).max <= 3)
+    val again = Sampling.negativeSample(pos.repartition(7), $"u", $"i", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === out.toSet)
+  }
+
   test("stratified sample with an empty fraction map drops everything (no throw)") {
     val strat = keys.withColumn("s", ($"k" % 2).cast("string"))
     assert(Sampling.stratifiedSample(strat, $"k", $"s", Map.empty).count() === 0L)
