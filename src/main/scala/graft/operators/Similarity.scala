@@ -291,8 +291,13 @@ object Similarity {
     *
     * Output: every vector with its cell and a keep flag.
     */
-  def semanticDedup(corpus: DataFrame, centroidEvery: Int = 40,
-                    threshold: Double = 0.3): DataFrame = {
+  /** Shared IVF-style cell assignment (the "index build" of [[ivfTopK]] /
+    * [[semanticDedup]] / [[knnGraph]]): nearest deterministic-sample
+    * centroid by rounded cosine, ties to the smaller centroid id. One
+    * broadcast join + a per-vector window bounded by |centroids|.
+    * Returns (vec_id, embedding, nrm, cell).
+    */
+  private[operators] def assignCells(corpus: DataFrame, centroidEvery: Int): DataFrame = {
     val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("emb_cent"),
         sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_cent"))
@@ -300,12 +305,68 @@ object Similarity {
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
-    val assigned = withNorm.join(broadcast(cents))
+    withNorm.join(broadcast(cents))
       .withColumn("cent_cos",
         detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
       .withColumn("rn", row_number().over(assignW))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+  }
+
+  /** IVF-pruned k-nearest-neighbor GRAPH: every vector's top-k neighbors by
+    * rounded cosine among the vectors sharing its cell — the candidate-graph
+    * build behind graph-based ANN indexes and SemDeDup-style clustering.
+    * The quadratic step is per-cell (n²/|cells| pairs, the
+    * [[semanticDedup]] bound); ranking is a per-vector window whose
+    * partition is one vector's in-cell candidate list, never corpus-sized.
+    * Ties break to the smaller neighbor id; singleton cells emit nothing.
+    */
+  def knnGraph(corpus: DataFrame, k: Int = 3, centroidEvery: Int = 40): DataFrame = {
+    val assigned = assignCells(corpus, centroidEvery)
+    val a = assigned.select(col("cell"), col("vec_id").as("vid_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vid_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    val w = Window.partitionBy(col("vid_a"))
+      .orderBy(col("cos").desc, col("vid_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("vid_a") =!= col("vid_b"))
+      .withColumn("cos",
+        detRound(dotFP(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("vid_a").as("vec_id"), col("rank"),
+        col("vid_b").as("neighbor_id"), col("cos"))
+  }
+
+  /** Nearest-label-centroid classification audit — the confusion matrix of
+    * "would a centroid classifier recover the labels?", the standard cheap
+    * embedding-quality probe. Fully relational dot products: embeddings
+    * explode to (vec, pos, x), join the label-centroid table on pos, and
+    * each x·c product is quantized to 1e-9 integers BEFORE the (vec, label)
+    * sum, so accumulation order can't perturb the argmax (labelCentroids'
+    * recipe one level deeper). Argmax is a per-vector window bounded by
+    * |labels|; output is the |labels|² confusion-count table.
+    */
+  def centroidConfusion(emb: DataFrame, quantScale: Double = 1e9): DataFrame = {
+    val cents = labelCentroids(emb)
+      .select(col("label").as("cand"), posexplode(col("centroid")))
+      .select(col("cand"), col("pos"), col("col").as("c"))
+    val x = emb.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"), col("col").cast("double").as("x"))
+    val scores = x.join(broadcast(cents), Seq("pos"))
+      .groupBy(col("vec_id"), col("label"), col("cand"))
+      .agg(sum(floor(col("x") * col("c") * quantScale + 0.5)).as("q"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("q").desc, col("cand"))
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"), col("cand").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def semanticDedup(corpus: DataFrame, centroidEvery: Int = 40,
+                    threshold: Double = 0.3): DataFrame = {
+    val assigned = assignCells(corpus, centroidEvery)
     val a = assigned.select(col("cell"), col("vec_id").as("vid_a"),
       col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("vid_b"),

@@ -165,6 +165,21 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("term"))
   }
 
+  /** Probe a prebuilt CMS cell table (r, c, cnt) — e.g. one materialized by
+    * the streaming register build — for each term in `terms`: the estimate
+    * is the min over the d hash rows. */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame, term: Column): DataFrame = {
+    // project the term first: deriving the cell columns from an alias made
+    // in the same select would be a lateral column alias under a generator
+    val probes = terms.select(term.as("term"))
+      .select(col("term"),
+        explode(array((0 until CmsRows).map(r =>
+          struct(lit(r).as("r"), cmsCol(col("term"), r).cast("long").as("c"))): _*)).as("rc"))
+      .select(col("term"), col("rc.r").as("r"), col("rc.c").as("c"))
+    probes.join(sketch, Seq("r", "c"))
+      .groupBy(col("term")).agg(min(col("cnt")).as("cms_est"))
+  }
+
   /** Fixed-bin histogram quantile sketch: estimate percentiles from
     * per-bin counts plus linear interpolation inside the winning bin — the
     * mergeable alternative to an exact percentile when the data is 100 TB:

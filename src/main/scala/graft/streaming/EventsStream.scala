@@ -214,6 +214,25 @@ object EventsStream {
         .withColumn("h", graft.operators.Dedup.hash60(col("it"))))
       .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
 
+  /** Streaming count-min register build — the CMS sibling of
+    * [[hllRegistersStream]]: constant d×w cell state giving running
+    * frequency estimates over an unbounded stream, where a streaming
+    * per-term count would grow with the term vocabulary. Complete-mode
+    * aggregate keyed on (row, cell); finish a probe in batch with
+    * [[graft.operators.Sketches.cmsEstimate]]. Register merge is
+    * element-wise sum, so per-trigger snapshots compose downstream.
+    */
+  def cmsRegistersStream(events: DataFrame): DataFrame = {
+    import graft.operators.Sketches
+    val cells = (0 until Sketches.CmsRows).map(r =>
+      struct(lit(r).as("r"),
+        Sketches.cmsCol(col("term"), r).cast("long").as("c")))
+    events.select(col("event_type").as("term"))
+      .select(explode(array(cells: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Stream-stream interval join: each purchase joins the same user's views
     * from the preceding 10 minutes. Both sides are watermarked so Spark can
     * bound the join state (a view is droppable once the watermark passes

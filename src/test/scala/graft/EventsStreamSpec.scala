@@ -223,6 +223,37 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamRegs === batch)
   }
 
+  test("streaming CMS registers equal the batch sketch over the same events") {
+    val dir = Files.createTempDirectory("events_cms")
+    val types = Seq("view", "click", "purchase")
+    val evs = (1 to 300).map(i =>
+      Ev(i.toLong, ts("2024-01-01 10:00:00"), i.toLong, types(i % 3), 1.0))
+    writeEventsFile(dir, "all.parquet", 4000000L, evs)
+    val streamCells = EventsStream.runToCompletion(spark, "cms_regs_test") { ss =>
+      EventsStream.cmsRegistersStream(EventsStream.readEventsStream(ss, dir.toString))
+    }.collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    // estimates from the streamed sketch can only over-count
+    val exact = evs.groupBy(_.event_type).map { case (t, v) => t -> v.size.toLong }
+    val est = graft.operators.Sketches.cmsEstimate(
+      streamCells.toSeq.map { case ((r, c), n) => (r, c, n) }.toDF("r", "c", "cnt"),
+      types.toDF("t"), $"t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    types.foreach(t => assert(est(t) >= exact(t), s"$t under-counted"))
+    // and the cell table itself is exactly the batch-built sketch
+    val cells = (0 until graft.operators.Sketches.CmsRows).map(r =>
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit(r).as("r"),
+        graft.operators.Sketches.cmsCol($"term", r).cast("long").as("c")))
+    val batch = evs.map(_.event_type).toDF("term")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(cells: _*)).as("rc"))
+      .groupBy($"rc.r", $"rc.c")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamCells === batch)
+  }
+
   test("streaming exact dedup equals batch dedup over a bounded run") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("docs_stream")

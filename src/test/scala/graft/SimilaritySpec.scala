@@ -44,6 +44,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraph: no self edges, at most k per vector, ranks ordered by cosine") {
+    val g = Similarity.knnGraph(corpus, k = 3, centroidEvery = 20).collect()
+    assert(g.nonEmpty)
+    g.foreach(r => assert(r.getLong(0) !== r.getLong(2)))
+    g.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq === (1L to rows.length).toSeq)
+      val cs = byRank.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // neighbors share the vector's cell: rank-1 neighbor must be a corpus id
+    assert(g.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 200))
+  }
+
+  test("centroidConfusion: separable clusters classify onto the diagonal") {
+    // two well-separated labels: label 0 near +e0, label 1 near +e1
+    val emb = (0L until 40L).map { i =>
+      val l = (i % 2).toInt
+      val v = Array.fill(dim)(0.001f * i)
+      v(l) = 1.0f
+      (i, v, l)
+    }.toDF("vec_id", "embedding", "label")
+    val cm = Similarity.centroidConfusion(emb).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(cm((0, 0)) === 20L)
+    assert(cm((1, 1)) === 20L)
+    assert(cm.keySet === Set((0, 0), (1, 1)), "off-diagonal misclassification")
+  }
+
   test("ivfTopK returns scored results consistent with brute force") {
     val bf = Similarity.bruteForceTopK(corpus, queries, k = 200)
       .select($"query_id", $"vec_id", $"cos").collect()
