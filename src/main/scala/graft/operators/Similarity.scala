@@ -311,6 +311,10 @@ object Similarity {
       .withColumn("rn", row_number().over(assignW))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      // deliberate materialization: every caller self-joins the assignment
+      // (pair formation reads it 2-3 times); reassigning means re-scoring
+      // the corpus against every centroid per read
+      .cache()
   }
 
   /** IVF-pruned k-nearest-neighbor GRAPH: every vector's top-k neighbors by
