@@ -253,4 +253,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max"), p.take(1500))
     assert(!p.contains("CartesianProduct") && !p.contains("windowspecdefinition"))
   }
+
+  test("q_triangle_count: wedge formation and closing are equi joins, never all-pairs") {
+    val p = plan("q_triangle_count")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // nested-loop joins may appear only as 1-row scalar Cross attachments
+    // (n_nodes / n_edges / n_orders); a conditioned Inner BNLJ would mean
+    // wedge formation or closing degenerated into all-pairs. (The cached
+    // edge table re-prints its lineage at every reference, so COUNTING
+    // BNLJ occurrences is meaningless — assert their KIND instead.)
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { line =>
+      assert(line.contains("Cross"), s"non-scalar nested loop join: $line")
+    }
+  }
+
+  test("q_knn_graph: candidate pairing is the in-cell equi join; rank window is per vector") {
+    val p = plan("q_knn_graph")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // every ranking window is keyed (per-vector), never global
+    "windowspecdefinition\\(".r.findAllMatchIn(p).foreach { m =>
+      val head = p.substring(m.end).takeWhile(_ != 'A') // up to first ASC
+      assert(head.contains("#"), s"unpartitioned window: '${head.take(80)}'")
+    }
+  }
+
+  test("q_feature_hashing: one doc scan, map-side-combinable count, zero joins") {
+    val p = plan("q_feature_hashing")
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("Join"), "hash features must not join anything")
+  }
+
+  test("q_negative_sampling: index + anti-filter are equi joins; windows are per range-partition") {
+    val p = plan("q_negative_sampling")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("__pid"), "expected the zipWithIndexOrdered offset machinery")
+  }
+
+  test("q_bloom_probe: bit table is aggregated before the semi probe; no product join") {
+    val p = plan("q_bloom_probe")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
