@@ -165,6 +165,39 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("term"))
   }
 
+  /** Per-group [[histogramQuantiles]]: the same mergeable fixed-bin sketch,
+    * keyed — (group, bin) counts in one map-side-combinable aggregate, then
+    * the cumulative pass as a window PARTITIONED BY GROUP over the
+    * post-aggregation bin table (per-partition size = that group's bin
+    * count, a domain constant). The grouped-percentile shape
+    * (`p50/p95 per language/source/tenant`) that an exact per-group
+    * percentile would pay a full sort per group for.
+    */
+  def histogramQuantilesByGroup(df: DataFrame, group: Column, value: Column,
+                                binWidth: Double, ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = df
+      .select(group.as("g"), floor(value / binWidth).cast("long").as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val n = binned.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val cum = binned.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val sp = df.sparkSession
+    import sp.implicits._
+    val targets = n.crossJoin(broadcast(ps.toDF("p")))
+      .withColumn("target", ceil(col("p") * col("n")).cast("long"))
+    val chosen = cum.join(targets, Seq("g"))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("g"), col("p"), col("target"), col("n"))
+      .agg(min(col("bin")).as("bin"))
+    chosen.join(cum, Seq("g", "bin"))
+      .withColumn("estimate", detRound(
+        col("bin") * lit(binWidth) + lit(binWidth) *
+          (col("target") - (col("cum") - col("cnt"))).cast("double") / col("cnt"), 4))
+      .select(col("g"), col("p"), col("n"), col("target"), col("bin"), col("estimate"))
+  }
+
   /** Probe a prebuilt CMS cell table (r, c, cnt) — e.g. one materialized by
     * the streaming register build — for each term in `terms`: the estimate
     * is the min over the d hash rows. */

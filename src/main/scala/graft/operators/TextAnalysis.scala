@@ -436,6 +436,56 @@ object TextAnalysis {
         (Dedup.hash60(lower(col("token"))) % dim).as("bucket"))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("f"))
 
+  /** Sparse TF-IDF cosine near-duplicate pairs via the inverted index —
+    * the TOKEN-space sibling of the dense embedding near-dup: candidate
+    * pairs form only where two documents SHARE a token (one equi join on
+    * the token), and rare-token pruning (`df <= maxDf`) bounds every
+    * inverted list, so the quadratic step is Σ df² over surviving tokens
+    * instead of n²/2. Weights are tf/df (∝ tf·idf; the N factor cancels in
+    * the cosine); every float accumulation — norms and dots — quantizes
+    * products to 1e-4 integers BEFORE summing, so partition order can't
+    * move a pair across the threshold on any engine.
+    */
+  def sparseCosinePairs(docs: DataFrame, id: String, text: String,
+                        maxDf: Int = 20, threshold: Double = 0.75,
+                        quantScale: Double = 1e4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // BIGRAM terms, not unigrams: unigram vocabularies are small enough
+    // that every token's inverted list is corpus-sized and the df-prune
+    // deletes the whole index; bigram df falls off fast (V² vocabulary),
+    // which is exactly what keeps the lists bounded
+    val toks = tokenStream(docs, id, text)
+      .select(col("doc_id"), col("token_idx"), lower(col("token")).as("u"))
+    val nxt = Window.partitionBy(col("doc_id")).orderBy(col("token_idx"))
+    val tf = toks
+      .withColumn("nw", lead(col("u"), 1).over(nxt))
+      .filter(col("nw").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("u"), col("nw")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val weighted = tf.join(dfreq, Seq("w"))
+      .select(col("doc_id"), col("w"),
+        (col("tf").cast("double") / col("df")).as("wt"))
+    val norms = weighted
+      .groupBy(col("doc_id"))
+      .agg(sqrt(sum(floor(col("wt") * col("wt") * quantScale + 0.5)) / quantScale)
+        .as("nrm"))
+    val a = weighted.select(col("w"), col("doc_id").as("doc_a"), col("wt").as("wa"))
+    val b = weighted.select(col("w"), col("doc_id").as("doc_b"), col("wt").as("wb"))
+    val dots = a.join(b, Seq("w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(floor(col("wa") * col("wb") * quantScale + 0.5)) / quantScale)
+        .as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("norm_a")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("norm_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        detRound(col("dot") / (col("norm_a") * col("norm_b")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Bigram language-model count tables — the Kneser–Ney numerators:
     * per surviving bigram (count ≥ minCount) its raw count, the
     * continuation count N₁₊(•w₂) (distinct left contexts of w₂) and the

@@ -331,6 +331,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.length === 4) // a-b, b-a, b-c, c-b
   }
 
+  test("sparseCosinePairs: identical docs score 1.0, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "red fox jumps high over lazy dog"),
+      (2L, "red fox jumps high over lazy dog"),
+      (3L, "blue cat sits low under busy sky")).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseCosinePairs(docs, "doc_id", "text",
+      maxDf = 10, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   // ---- Top n-grams per language -------------------------------------------
 
   test("topNgramsPerLang: counts and ranks bigrams within each language") {

@@ -110,6 +110,15 @@ class SketchesSpec extends SparkSpec {
     assert(disj.getAs[Long]("exact_intersect") === 0L)
   }
 
+  test("histogramQuantilesByGroup: per-group estimates land within one bin") {
+    val df = ((1 to 100).map(v => ("a", v.toDouble)) ++
+      (1 to 50).map(v => ("b", (v * 10).toDouble))).toDF("g", "v")
+    val out = Sketches.histogramQuantilesByGroup(df, $"g", $"v", 10.0, Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(math.abs(out("a") - 50.0) <= 10.0, s"a p50 ${out("a")}")
+    assert(math.abs(out("b") - 250.0) <= 10.0, s"b p50 ${out("b")}")
+  }
+
   test("bloomProbe: no false negatives ever; counts reconcile") {
     val build = (1 to 200).map(i => s"k$i").toDF("it")
     val probe = (101 to 400).map(i => s"k$i").toDF("it")
