@@ -395,4 +395,44 @@ object Dedup {
         graft.functions.GraftFunctions.detRound(
           col("n_dup_lines").cast("double") / col("n_lines"), 4))
   }
+
+  /** Duplicate-span fraction (the practical reading of Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better": a span is
+    * duplicated text if it also occurs ELSEWHERE in the corpus): per
+    * document, the fraction of its distinct word `n`-grams whose corpus
+    * document-frequency is ≥ 2. Where [[lineDedup]] deletes at line grain
+    * and [[minhashLshPairs]] finds whole-document twins, this scores how
+    * much of EACH document is made of cross-document boilerplate — the
+    * filter signal for "mostly templated" pages.
+    *
+    * Shape: distinct grams per doc (ShingleSet — docs shorter than n words
+    * fall back to one whole-text gram, so every doc scores), gram
+    * document-frequency via one map-side-combinable count on the 60-bit
+    * gram hash, duplicated grams back to their docs via a semi join on the
+    * same hash. Two shuffles, both keyed on the gram hash — never a corpus
+    * self-join. At 100 TB the df-table side can be thinned to `df ≥ 2` rows
+    * only (done here) or replaced by a Bloom filter of duplicated grams
+    * ([[graft.operators.Sketches]] bloom machinery) when even that table is
+    * too hot to join.
+    */
+  def duplicateSpanStats(docs: DataFrame, id: String, text: String,
+                         n: Int = 5, flagThreshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(id).as("doc_id"),
+      graft.functions.VectorExpressions.shingleSet(col(text), n).as("sh"))
+    // ShingleSet is distinct-within-doc, so count(*) per hash == doc freq
+    val grams = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), hash60(col("s")).as("h"))
+    val dupGrams = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("h"))
+    val perDoc = grams.join(dupGrams, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_fraction",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(graft.functions.GraftFunctions.detRound(
+            col("n_dup").cast("double") / col("n_grams"), 4)))
+      .withColumn("flagged", col("dup_fraction") >= flagThreshold)
+  }
 }

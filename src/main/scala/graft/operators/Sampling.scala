@@ -158,4 +158,50 @@ object Sampling {
       .filter(col("__hit").isNull)
       .select(col("user"), col("pos_item"), col("j"), col("neg_item"))
   }
+
+  /** Temperature-scaled mixture sampling (the multilingual-corpus mixing
+    * rule of XLM-R/mT5: sample language l with probability ∝ (n_l/N)^α,
+    * α < 1 flattening the power-law so head languages shrink and tail
+    * languages survive). α is fixed at 0.5 so the exponent is `sqrt` — an
+    * IEEE-exact operation, which keeps the per-stratum cut byte-identical
+    * across engines where a general `pow` would not be.
+    *
+    * Arithmetic is quantize-before-sum: per-stratum weight
+    * s_l = floor(sqrt(n_l)·1e6) is an exact BIGINT on both engines, the
+    * normalizer is an integer sum, and the final fraction
+    * min(1, budget·s_l / (S·n_l)) is integer products (< 2^53, exact)
+    * followed by ONE division — so the sampled id set is a pure function
+    * of the counts. Same scale story as [[rebalanceToTarget]]: one tiny
+    * count aggregate, fractions broadcast back, keep decision stateless
+    * per row.
+    */
+  def temperatureMix(df: DataFrame, key: Column, stratum: Column,
+                     budget: Long): DataFrame = {
+    val withS = df.withColumn("__s", stratum)
+    val counts = withS.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+      .withColumn("__sw", floor(sqrt(col("__n").cast("double")) * 1e6).cast("long"))
+    val total = counts.agg(sum(col("__sw")).as("__swsum"))
+    val fracs = counts.crossJoin(broadcast(total))
+      .withColumn("__frac",
+        least(lit(1.0),
+          (lit(budget) * col("__sw")).cast("double") / (col("__swsum") * col("__n"))))
+      .withColumn("__cut", floor(col("__frac") * HashSpace).cast("long"))
+      .select(col("__s"), col("__cut"))
+    withS.join(broadcast(fracs), Seq("__s"))
+      .filter(Dedup.hash60(key.cast("string")) < col("__cut"))
+      .drop("__s", "__cut")
+  }
+
+  /** Leakage-safe group k-fold assignment: fold = md5(group) mod k, so
+    * EVERY row of a group (domain, author, conversation…) lands in the same
+    * fold — the split that keeps near-duplicate documents from straddling
+    * train and validation. Stateless per row (the group key is already on
+    * the row): no shuffle, no group table, reproducible across engines,
+    * reruns, partitionings and incremental appends.
+    */
+  def groupKFold(df: DataFrame, group: Column, k: Int,
+                 foldCol: String = "fold"): DataFrame = {
+    require(k > 0, s"groupKFold needs k > 0, got $k")
+    df.withColumn(foldCol, Dedup.hash60(group.cast("string")) % k)
+  }
 }

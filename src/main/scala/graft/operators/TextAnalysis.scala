@@ -514,4 +514,85 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c_bigram"),
         col("n_left_ctx"), col("n_right_ctx"))
   }
+
+  /** CCNet-style LM quality bucketing (Wenzek et al. 2020 §4.3: score every
+    * document with a language model, cut the corpus into head/middle/tail
+    * terciles). The "LM" is the corpus's own bigram MLE — per doc-bigram
+    * occurrence p = c(w1,w2)/c(w1·), averaged over the doc — so high scores
+    * mean "made of common continuations" (fluent/templated) and low scores
+    * mean rare constructions, exactly the axis CCNet buckets on. ln-free on
+    * purpose: the average of probabilities is monotone enough to rank and
+    * keeps every accumulation integer (log-probs would need cross-engine
+    * libm parity).
+    *
+    * Cross-engine determinism: each p quantizes to floor(p·1e6) BEFORE the
+    * per-doc sum (integer, order-free); the per-doc score is then ONE
+    * division; tercile cuts are exact interpolated percentiles of those
+    * scores (a broadcast 1-row table), so bucket membership is a pure
+    * function of the corpus. Scale: bigram TOKEN stream → one
+    * map-side-combinable count on (w1,w2), c(w1·) derived from that
+    * already-aggregated type table, one equi join back — the corpus is
+    * read once, and the only per-doc state is a sum and a count.
+    */
+  def lmQualityBuckets(docs: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenStream(docs, id, text)
+      .select(col("doc_id"), col("token_idx"), lower(col("token")).as("w"))
+    val nxt = Window.partitionBy(col("doc_id")).orderBy(col("token_idx"))
+    val bigrams = toks.withColumn("w2", lead(col("w"), 1).over(nxt))
+      .filter(col("w2").isNotNull).select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val cBig = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+    val cLeft = cBig.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_w1"))
+    val scored = bigrams
+      .join(cBig, Seq("w1", "w2")).join(cLeft, Seq("w1"))
+      .withColumn("q",
+        floor(col("c_bigram").cast("double") / col("c_w1") * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .withColumn("score", col("sq").cast("double") / col("n_bigrams"))
+    // docs with < 2 tokens have no bigrams: score 0 (they land in the tail)
+    val all = docs.select(col(id).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+    val cuts = all.agg(
+      expr("percentile(score, CAST(1 AS DOUBLE) / 3)").as("t1"),
+      expr("percentile(score, CAST(2 AS DOUBLE) / 3)").as("t2"))
+    all.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("score") > col("t2"), lit("head"))
+          .when(col("score") > col("t1"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_bigrams"),
+        detRound(col("score"), 4).as("score"), col("bucket"))
+  }
+
+  /** Hashed-feature linear quality scorer — the plumbing of a fastText-style
+    * model-based filter (CCNet / GPT-3's quality classifier), with the
+    * learned weights replaced by a DETERMINISTIC md5-derived weight per
+    * bucket so the whole path is oracle-checkable. Everything a real scorer
+    * needs is here and relational: hashing-trick features (no vocabulary,
+    * no fit pass — [[hashFeatures]]), a weight per bucket computed INLINE
+    * from the bucket id (a real model would broadcast-join its ≤dim-row
+    * weight table instead), integer margin accumulation (weights are
+    * integers in [-1000, 1000]; contribution f·w is an exact BIGINT,
+    * quantize-before-sum), and ONE division normalizing by token count.
+    * One corpus scan, one map-side-combinable aggregate, zero joins.
+    *
+    * Output: margin = (Σ_b f_b·w_b) / (1000·Σ_b f_b) ∈ [-1, 1] — the
+    * pre-sigmoid linear score (σ is monotone, so keep/drop thresholds on
+    * the margin and on the probability are the same decision boundary).
+    */
+  def hashLinearScore(docs: DataFrame, id: String, text: String,
+                      dim: Int = 1024): DataFrame =
+    hashFeatures(docs, id, text, dim)
+      .withColumn("w",
+        Dedup.hash60(concat(lit("w"), col("bucket").cast("string"))) % 2001L - 1000L)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("f") * col("w")).as("m"), sum(col("f")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        detRound(col("m").cast("double") / (col("n_tokens") * 1000.0), 6)
+          .as("margin"))
+      .withColumn("keep", col("margin") >= 0.0)
 }

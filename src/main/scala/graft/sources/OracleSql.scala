@@ -169,11 +169,18 @@ object OracleSql {
     s"(CAST('0x' || substr(md5($e), 16, 15) AS BIGINT) % 1000000007)"
 
   /** Mirror of Dedup.shingles3 (word 3-shingles, whole text when short). */
-  def shingles3Sql(text: String): String = {
+  def shingles3Sql(text: String): String = shinglesKSql(text, 3)
+
+  /** Word k-shingle list with the ShingleSet whole-text fallback for docs
+    * shorter than k words (mirror of functions.VectorExpressions.ShingleSet
+    * minus the sort/distinct — wrap in list_distinct when set semantics are
+    * needed). */
+  def shinglesKSql(text: String, k: Int): String = {
     val ws = s"string_split($text, ' ')"
-    s"""CASE WHEN len($ws) < 3 THEN [$text]
-       | ELSE list_transform(range(0, len($ws) - 2),
-       |        i -> $ws[i + 1] || ' ' || $ws[i + 2] || ' ' || $ws[i + 3]) END""".stripMargin
+    val joined = (1 to k).map(j => s"$ws[i + $j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($ws) < $k THEN [$text]
+       | ELSE list_transform(range(0, len($ws) - ${k - 1}),
+       |        i -> $joined) END""".stripMargin
       .replace("\n", "")
   }
 

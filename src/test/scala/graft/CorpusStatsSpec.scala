@@ -358,4 +358,59 @@ class CorpusStatsSpec extends SparkSpec {
     assert(en.length === 2 && en(1)._4 === 1L) // second rank is one of the 1-count ties
     assert(out.filter(_._1 == "pt").toSeq === Seq(("pt", 1L, "x y", 1L)))
   }
+
+  // ---- LM quality buckets -------------------------------------------------
+
+  test("lmQualityBuckets: repeated-bigram docs score high, rare-bigram docs low") {
+    // "a a" occurs 8 times (docs 1-2), each one-off doc contributes bigrams
+    // with low p(w2|w1) only for the shared-start tokens
+    val docs = Seq(
+      (1L, "a a a a a"), (2L, "a a a a a"),   // p(a|a)=16/18 per bigram
+      (3L, "a b c d e"), (4L, "a c e b d")    // mostly count-1 continuations
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmQualityBuckets(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(out.forall(_._2 === 4L))
+    val byDoc = out.map(t => t._1 -> t._3).toMap
+    assert(byDoc(1L) === byDoc(2L))
+    assert(byDoc(1L) > byDoc(3L) && byDoc(1L) > byDoc(4L),
+      s"fluent docs must outscore rare-bigram docs: $byDoc")
+    // 4 docs → t2 = max score, so nothing clears `> t2`: the high scorers
+    // land in middle (score > t1), the low ties at t1 land in tail
+    val buckets = out.map(t => t._1 -> t._4).toMap
+    assert(buckets(1L) === "middle" && buckets(2L) === "middle", buckets.toString)
+    assert(buckets(3L) === "tail" && buckets(4L) === "tail", buckets.toString)
+  }
+
+  test("lmQualityBuckets: docs with fewer than two tokens land in the tail at score 0") {
+    val docs = Seq((1L, "x x x x"), (2L, "x x x"), (3L, "solo"), (4L, "y y y y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmQualityBuckets(docs, "doc_id", "text")
+      .filter($"doc_id" === 3L).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(out.toSeq === Seq((0L, 0.0, "tail")))
+  }
+
+  // ---- Hashed-feature linear scorer ---------------------------------------
+
+  test("hashLinearScore matches a hand-computed margin and is partition-stable") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def w(tok: String): Long = h60("w" + (h60(tok) % 1024L)) % 2001L - 1000L
+    val expected1 = (2 * w("alpha") + 1 * w("beta")).toDouble / (3 * 1000.0)
+    val out = TextAnalysis.hashLinearScore(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out(0)._1 === 1L && out(0)._2 === 3L)
+    assert(math.abs(out(0)._3 - expected1) < 1e-6)
+    assert(out(0)._4 === (out(0)._3 >= 0.0))
+    val again = TextAnalysis.hashLinearScore(docs.repartition(5), "doc_id", "text")
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(again.map(_._2).toSeq === out.map(_._3).toSeq)
+  }
 }

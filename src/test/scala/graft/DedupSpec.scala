@@ -123,4 +123,30 @@ class DedupSpec extends SparkSpec {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 9L, 10L -> 9L))
   }
+
+  test("duplicateSpanStats: shared 5-gram spans are counted, unique text is not") {
+    val shared = "one two three four five six" // 6 words → 2 distinct 5-grams
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma delta"), // shares both 5-grams with doc 2
+      (2L, s"prefix words here then $shared"),
+      (3L, "entirely unrelated text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // doc1: 10 words → 6 grams, 2 duplicated; doc2: 10 words → 6 grams, 2 dup
+    assert(out(0) === ((1L, 6L, 2L, 0.3333, false)))
+    assert(out(1) === ((2L, 6L, 2L, 0.3333, false)))
+    assert(out(2)._3 === 0L && out(2)._5 === false)
+  }
+
+  test("duplicateSpanStats: short-doc whole-text fallback flags exact twins") {
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4)))
+    assert(out(0) === ((1L, 1.0, true)))
+    assert(out(1) === ((2L, 1.0, true)))
+    assert(out(2) === ((3L, 0.0, false)))
+  }
 }

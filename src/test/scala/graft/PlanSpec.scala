@@ -295,4 +295,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_dup_span: gram df is a map-side-combinable count, dup grams probe via semi join") {
+    val p = plan("q_dup_span")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_count"), "gram document-frequency must combine map-side")
+    assert(p.contains("LeftSemi"), "duplicated grams must reach docs via a semi join")
+  }
+
+  test("q_logreg_score: one doc scan, zero joins, map-side-combinable margin") {
+    val p = plan("q_logreg_score")
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+    assert(!p.contains("Join"), "the inline weight must not join anything")
+    assert(p.contains("partial_sum"), "margin accumulation must combine map-side")
+  }
+
+  test("q_lm_bucket: count joins are equi joins; only the 1-row tercile cut attaches Cross") {
+    val p = plan("q_lm_bucket")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { line =>
+      assert(line.contains("Cross"), s"non-scalar nested loop join: $line")
+    }
+    // bigram windows are per-document, never global
+    "windowspecdefinition\\(".r.findAllMatchIn(p).foreach { m =>
+      val head = p.substring(m.end).takeWhile(_ != 'A')
+      assert(head.contains("#"), s"unpartitioned window: '${head.take(80)}'")
+    }
+  }
+
+  test("q_temperature_mix: per-stratum cuts broadcast back; no product joins") {
+    val p = plan("q_temperature_mix")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "stratum cut must broadcast to the scan")
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { line =>
+      assert(line.contains("Cross"), s"non-scalar nested loop join: $line")
+    }
+  }
 }

@@ -68,4 +68,44 @@ class SamplingSpec extends SparkSpec {
     val strat = keys.withColumn("s", ($"k" % 2).cast("string"))
     assert(Sampling.stratifiedSample(strat, $"k", $"s", Map.empty).count() === 0L)
   }
+
+  test("temperatureMix flattens the power law: tail keeps a larger share than head") {
+    // head 4000 docs, tail 40 docs; α=0.5 weights ∝ sqrt(n)
+    val df = ((1L to 4000L).map(i => (i, "head")) ++ (9001L to 9040L).map(i => (i, "tail")))
+      .toDF("k", "s")
+    val kept = Sampling.temperatureMix(df, $"k", $"s", budget = 400)
+    val byS = kept.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt weights: sw_head ≈ 63.2e6, sw_tail ≈ 6.32e6 → shares 0.909/0.091;
+    // head frac ≈ 400·0.909/4000 ≈ 0.0909, tail frac ≈ 400·0.091/40 ≈ 0.91.
+    // Proportional sampling would keep tail at 400·(40/4040) ≈ 4 docs;
+    // temperature keeps ~36 — the flattening is the point.
+    assert(byS("tail") > 25, s"tail under-sampled: ${byS.mkString(",")}")
+    val headFrac = byS("head").toDouble / 4000
+    val tailFrac = byS("tail").toDouble / 40
+    assert(tailFrac > headFrac * 5, s"no flattening: head=$headFrac tail=$tailFrac")
+    // determinism across partitionings
+    val again = Sampling.temperatureMix(df.repartition(7), $"k", $"s", budget = 400)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(again === kept.select("k").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("temperatureMix keeps a stratum whole when its fair share exceeds its size") {
+    val df = ((1L to 1000L).map(i => (i, "big")) ++ Seq((5001L, "tiny"), (5002L, "tiny")))
+      .toDF("k", "s")
+    val byS = Sampling.temperatureMix(df, $"k", $"s", budget = 500)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("tiny") === 2L, "min(1, ·) cap must keep tiny strata whole")
+  }
+
+  test("groupKFold: every group lands in exactly one fold, folds cover 0..k-1") {
+    val df = (1L to 2000L).map(i => (i, s"domain${i % 37}")).toDF("k", "g")
+    val out = Sampling.groupKFold(df, $"g", 5).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(out.forall { case (_, f) => f >= 0 && f < 5 })
+    // leakage-safety: one fold per group
+    assert(out.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1))
+    // with 37 domains over 5 folds, every fold should be populated
+    assert(out.map(_._2).distinct.size === 5)
+  }
 }
