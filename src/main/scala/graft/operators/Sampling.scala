@@ -135,13 +135,15 @@ object Sampling {
     */
   def negativeSample(pos: DataFrame, userCol: Column, itemCol: Column,
                      k: Int): DataFrame = {
-    // NOT cached: the four reads of the positives (candidates, anti-filter,
-    // index offsets+main) all shuffle on the same keys and exchange-reuse
-    // dedups them — an explicit cache measured 1.5x SLOWER at sf0.1
+    // The distinct positives and the item index are each consumed by
+    // multiple branches (candidates + anti-filter; offsets + main + count):
+    // caching both measured 1.8x faster than relying on exchange reuse at
+    // sf0.1 (11.7 s -> 6.5 s isolated). Both are bounded artifacts (distinct
+    // pairs / distinct items), LRU-evictable with the session's storage.
     val p = pos.select(userCol.cast("long").as("user"),
-      itemCol.cast("long").as("item")).distinct()
+      itemCol.cast("long").as("item")).distinct().cache()
     val items = Surrogate.zipWithIndexOrdered(
-      p.select(col("item")).distinct(), "idx", Seq(col("item")))
+      p.select(col("item")).distinct(), "idx", Seq(col("item"))).cache()
     val n = items.agg(count(lit(1)).as("n_items"))
     val cand = p
       .select(col("user"), col("item"),
