@@ -199,6 +199,67 @@ object Dedup {
     result
   }
 
+  /** INCREMENTAL MinHash-LSH near-dup pairs: the nightly-feed shape, where
+    * a delta batch must be deduplicated against itself AND against the
+    * already-ingested base WITHOUT re-pairing the base. Candidate
+    * generation puts ONLY delta docs on the probe side of the band-bucket
+    * join (base×base pairs can never form); the build side is the full
+    * banded signature table — at 100 TB that side is the persisted
+    * signature artifact ([[minhashLshPairs]] scaladoc), so the nightly run
+    * hashes just the delta and equi-joins it into existing buckets.
+    *
+    * Emits exactly the [[minhashLshPairs]] pairs that involve ≥1 delta doc
+    * (ids normalized a < b) — the spec pins that equivalence. Same eager
+    * build-once lifecycle as the full-pair operator.
+    */
+  def minhashLshPairsIncremental(docs: DataFrame, id: String, text: String,
+                                 isDelta: Column, k: Int = 32, bands: Int = 8,
+                                 threshold: Double = 0.6): DataFrame = {
+    val rows = k / bands
+    val prepared = docs.select(col(id).as("doc_id"),
+      graft.functions.VectorExpressions.shingleSet(col(text), 3).as("sh"),
+      isDelta.cast("int").as("__delta")).cache()
+    val hashed = prepared
+      .select(col("doc_id"), col("__delta"), explode(col("sh")).as("s"))
+      .withColumn("m", md5(col("s")))
+      .select(col("doc_id"), col("__delta"),
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(col("m"), 16, 15), 16, 10).cast("long") % 1000000007L).as("h2"))
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(min(col("h1")).as("mh0"),
+        ((1 until k).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j")) :+
+          max(col("__delta")).as("__delta")): _*)
+    val banded = sig
+      .select(col("doc_id"), col("__delta"), posexplode(array((0 until bands).map { b =>
+        hash60(concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      .cache()
+    val probe = banded.filter(col("__delta") === 1)
+      .select(col("band"), col("band_hash"), col("doc_id").as("id_d"))
+    val build = banded
+      .select(col("band"), col("band_hash"), col("doc_id").as("id_o"),
+        col("__delta").as("delta_o"))
+    val candidates = probe.join(build, Seq("band", "band_hash"))
+      .filter(col("id_d") =!= col("id_o"))
+      // delta-delta pairs land in both orientations: keep one; delta-base
+      // pairs have a single orientation (base never probes)
+      .filter(col("delta_o") === 0 || col("id_d") < col("id_o"))
+      .select(least(col("id_d"), col("id_o")).as("doc_id_a"),
+        greatest(col("id_d"), col("id_o")).as("doc_id_b")).distinct()
+    val result = candidates
+      .join(prepared.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+      .join(prepared.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+      .cache()
+    result.count()
+    prepared.unpersist()
+    banded.unpersist()
+    result
+  }
+
   /** Containment (asymmetric) near-dup pairs: emit (a, b) when
     * |sh(a) ∩ sh(b)| / |sh(a)| ≥ t — "a is (near-)subsumed in b", the
     * quote/boilerplate/excerpt relation MinHash cannot see (a short doc

@@ -428,4 +428,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
+
+  /** ANN index-quality evaluation: recall@k of the IVF index against the
+    * exact top-k, per query — the monitoring number every production ANN
+    * deployment tracks (recall traded against the nprobe/cells scan
+    * fraction). recall = |approx ∩ exact| / k with the constant-k
+    * denominator, so truncated IVF result lists (a probed cell set holding
+    * fewer than k neighbors) show up as lost recall, not a shrunk
+    * denominator.
+    *
+    * Scale: the exact side is the evaluation ANCHOR and runs only over the
+    * sampled query set (recall eval always samples — brute force over all
+    * queries is exactly what the index exists to avoid); the overlap is an
+    * id-only semi join, and both inputs are already-gated operators.
+    */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                centroidEvery: Int = 40, nprobe: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ivfTopK(corpus, queries, k, centroidEvery, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val nApprox = approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(nApprox, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        detRound(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4).as("recall"))
+  }
 }

@@ -215,6 +215,33 @@ object OracleSql {
        |WHERE jaccard >= $threshold ORDER BY doc_id_a, doc_id_b""".stripMargin
   }
 
+  /** q_dedup_incr mirror: the full-pair pipeline restricted to pairs with
+    * ≥1 delta member — the spec-pinned equivalence of the incremental
+    * probe-side-only band join. `deltaSel` is a predicate template over a
+    * qualified doc_id column (e.g. `c => s"$c % 4 = 0"`). */
+  def minhashLshIncrSql(k: Int, bands: Int, threshold: Double,
+                        deltaSel: String => String): String = {
+    val rows = k / bands
+    s"""WITH d AS (SELECT doc_id, list_distinct(${shingles3Sql("text")}) AS sh FROM documents),
+       |hs AS (SELECT doc_id, sh,
+       |        list_transform(sh, s -> ${hash60Sql("s")}) AS h1,
+       |        list_transform(sh, s -> ${hash60bSql("s")}) AS h2 FROM d),
+       |sigs AS (SELECT doc_id, list_transform(range(0, $k),
+       |          j -> list_min(list_transform(range(1, len(h1) + 1),
+       |                 t -> h1[t] + j * h2[t]))) AS sig FROM hs),
+       |banded AS (SELECT doc_id, b,
+       |        ${hash60Sql(s"array_to_string(sig[b * $rows + 1 : b * $rows + $rows], ',')")} AS band_hash
+       |      FROM sigs, range(0, $bands) tb(b)),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+       |      FROM banded l JOIN banded r
+       |        ON l.b = r.b AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+       |        AND (${deltaSel("l.doc_id")} OR ${deltaSel("r.doc_id")})),
+       |pairs AS (SELECT doc_id_a, doc_id_b, ${listJaccardSql("da.sh", "db.sh")} AS jaccard
+       |      FROM cand JOIN d da ON doc_id_a = da.doc_id JOIN d db ON doc_id_b = db.doc_id)
+       |SELECT doc_id_a, doc_id_b, jaccard FROM pairs
+       |WHERE jaccard >= $threshold ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
   /** Full q_dedup_simhash mirror: word counts → 60-bit md5 word hashes →
     * per-bit signed votes → signature → 4×15-bit chunk bucket join →
     * Hamming verification.
@@ -431,6 +458,51 @@ object OracleSql {
        |  FROM scored)
        |SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** q_ann_recall mirror: exact top-k (annTopKSql's pipeline) ∩ IVF top-k
+    * (annIvfSql's pipeline), recall@k with the constant-k denominator. */
+  def annRecallSql(k: Int, querySel: String, centroidEvery: Int, nprobe: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS emb_q
+       |      FROM embeddings WHERE $querySel),
+       |x_scored AS (SELECT q.query_id, e.vec_id,
+       |    ${detRoundSql(cosineSql("q.emb_q", "e.embedding"), 4)} AS cos
+       |  FROM embeddings e JOIN q ON q.query_id <> e.vec_id),
+       |x_r AS (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM x_scored),
+       |x AS (SELECT query_id, vec_id FROM x_r WHERE rank <= $k),
+       |c0 AS (SELECT vec_id AS cent_id, embedding AS emb_cent
+       |      FROM embeddings WHERE vec_id % $centroidEvery = 0),
+       |assign AS (SELECT vec_id, emb_c, cell FROM (
+       |      SELECT e.vec_id, e.embedding AS emb_c, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM embeddings e, c0) WHERE rn = 1),
+       |probes AS (SELECT query_id, emb_q, cell FROM (
+       |      SELECT q.query_id, q.emb_q, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY ${detRoundSql(cosineSql("q.emb_q", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM q, c0) WHERE rn <= $nprobe),
+       |a_scored AS (SELECT p.query_id, a.vec_id,
+       |        ${detRoundSql(cosineSql("p.emb_q", "a.emb_c"), 4)} AS cos
+       |      FROM assign a JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id),
+       |a_r AS (SELECT query_id, vec_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |      FROM a_scored),
+       |a AS (SELECT query_id, vec_id FROM a_r WHERE rank <= $k),
+       |na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx FROM a GROUP BY 1),
+       |nh AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM a JOIN x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+       |       GROUP BY 1)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+       |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       |  ${detRoundSql(s"COALESCE(nh.n_hits, 0)::DOUBLE / $k", 4)} AS recall
+       |FROM q LEFT JOIN na ON q.query_id = na.query_id
+       |       LEFT JOIN nh ON q.query_id = nh.query_id
+       |ORDER BY q.query_id""".stripMargin
 
   // ---- CRM input CTEs (mirror graft.sources.Crm) ---------------------------
 

@@ -124,6 +124,23 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 9L, 10L -> 9L))
   }
 
+  test("minhashLshPairsIncremental == full LSH pairs restricted to >=1 delta member") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    val incr = Dedup.minhashLshPairsIncremental(docs, "doc_id", "text",
+      col("doc_id") % 4 === 0)
+    val expected = full
+      .filter(col("doc_id_a") % 4 === 0 || col("doc_id_b") % 4 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = incr.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    // and base×base pairs really are excluded relative to the full run
+    val baseOnly = full.filter(col("doc_id_a") % 4 =!= 0 && col("doc_id_b") % 4 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(baseOnly.intersect(got.map(t => (t._1, t._2))).isEmpty)
+    full.unpersist(); incr.unpersist()
+  }
+
   test("duplicateSpanStats: shared 5-gram spans are counted, unique text is not") {
     val shared = "one two three four five six" // 6 words → 2 distinct 5-grams
     val docs = Seq(

@@ -85,4 +85,23 @@ class SimilaritySpec extends SparkSpec {
       assert(bf(( r.getLong(0), r.getLong(2))) === r.getDouble(3))
     }
   }
+
+  test("annRecall: one row per query, n_hits <= n_approx <= k, recall = n_hits/k") {
+    val k = 5
+    val out = Similarity.annRecall(corpus, queries, k, centroidEvery = 20, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nQueries = queries.count()
+    assert(out.length.toLong === nQueries)
+    out.foreach { case (q, nApprox, nHits, recall) =>
+      assert(nHits <= nApprox && nApprox <= k, s"query $q: $nHits/$nApprox")
+      assert(math.abs(recall - nHits.toDouble / k) < 1e-9)
+    }
+    // the overlap is computed against the true exact top-k: spot-verify one query
+    val q0 = out.head._1
+    val exact = Similarity.bruteForceTopK(corpus, queries.filter($"vec_id" === q0), k)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfTopK(corpus, queries.filter($"vec_id" === q0), k,
+      centroidEvery = 20, nprobe = 2).select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.head._3 === approx.intersect(exact).size.toLong)
+  }
 }
