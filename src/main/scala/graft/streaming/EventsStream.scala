@@ -199,6 +199,40 @@ object EventsStream {
     docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Streaming ingest dedup against a HISTORICAL corpus via its Bloom
+    * filter: newly arriving documents are admitted only if their content
+    * misses the history's bit table — the shape that dedups a delta stream
+    * against a 100 TB base without ever joining the base. The filter is the
+    * relational ≤m-row bit-position table ([[graft.operators.Sketches]]
+    * bloom machinery), used as the STATIC side of k stream-static broadcast
+    * joins (one per bloom hash) — stateless, append mode, no watermark, no
+    * state store; at scale the bit table is the persisted nightly artifact
+    * and m is sized ≈1.44·k·n_history for the target false-positive rate
+    * (the 4096-bit default matches the sf0.01 gate corpus; Bloom semantics
+    * — no false negatives, deterministic md5-derived false positives — are
+    * exactly mirrored by the oracle).
+    *
+    * `history` must be built on the SAME session as the stream (pass the
+    * [[runToCompletion]] clone's reads), so both sides share one analyzer.
+    */
+  def bloomDedupStream(history: DataFrame, stream: DataFrame,
+                       item: String): DataFrame = {
+    import graft.operators.Sketches
+    val bits = history
+      .select(explode(array((0 until Sketches.BloomHashes).map(i =>
+        Sketches.bloomBit(col(item), i).cast("long")): _*)).as("pos"))
+      .distinct()
+    val joined = (0 until Sketches.BloomHashes).foldLeft(stream) { (df, i) =>
+      df.join(
+        broadcast(bits.select(col("pos").as(s"__p$i"), lit(true).as(s"__set$i"))),
+        Sketches.bloomBit(col(item), i) === col(s"__p$i"), "left")
+    }
+    val allSet = (0 until Sketches.BloomHashes)
+      .map(i => col(s"__set$i").isNotNull).reduce(_ && _)
+    joined.filter(!allSet)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Streaming HLL register build: the 64-row max-rho state that gives a
     * running distinct-user estimate over an unbounded stream with CONSTANT
     * state — where streaming `countDistinct` would hold every identity

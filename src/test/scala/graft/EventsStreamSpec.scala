@@ -269,4 +269,33 @@ class EventsStreamSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq(("aa", 1L, 3L), ("bb", 2L, 1L)))
   }
+
+  test("bloom dedup stream: history content never re-admitted, novel content passes") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = Files.createTempDirectory("docs_bloom")
+    // history: docs 1-2; delta: docs 3-5, where doc 3 repeats history text
+    val hist = Seq((1L, "seen before", "en", "s", 11L), (2L, "also ingested", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val delta = Seq((3L, "seen before", "en", "s", 11L),
+      (4L, "fresh document body", "en", "s", 19L),
+      (5L, "another novel text entirely", "en", "s", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    hist.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/hist")
+    delta.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/delta")
+
+    val kept = EventsStream.runToCompletion(spark, "sbloom_test",
+      OutputMode.Append()) { ss =>
+      EventsStream.bloomDedupStream(
+        ss.read.parquet(dir.toString + "/hist"),
+        ss.readStream.schema(EventsStream.documentsSchema)
+          .parquet(dir.toString + "/delta"),
+        "text")
+    }.orderBy(col("doc_id")).collect().map(_.getLong(0))
+    // Bloom contract: no false negatives — doc 3 (exact history content)
+    // CANNOT be admitted. Docs 4-5 pass unless an (astronomically unlikely
+    // at 2 keys / 4096 bits, and deterministic) collision flags them.
+    assert(!kept.contains(3L), "historical content re-admitted")
+    assert(kept.toSeq === Seq(4L, 5L))
+  }
 }
