@@ -429,6 +429,73 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** IVF-PQ ANN search (Jégou et al., TPAMI 2011 — the production ANN
+    * memory/compute shape): the coarse IVF quantizer prunes the corpus to
+    * the probed cells, and within them candidates are scored by ASYMMETRIC
+    * DISTANCE (ADC) — the query meets only each vector's m-byte PQ code,
+    * never the full vector. Per query the ADC table (m × |codebook| exact
+    * sub-distances) is a tiny broadcast artifact; the candidate score is
+    * then ONE equi join on (query, sub, code) + a sum — at 100 TB the full
+    * vectors stay in cold storage and the scan reads codes only,
+    * nprobe/|cells| of them.
+    *
+    * Determinism: sub-distances are detRound-quantized, summed as 1e-4
+    * integers (m values per candidate — quantize-before-sum, so partition
+    * order can't move a rank), ranks tie-break on vec_id. Returns
+    * (query_id, rank, vec_id, approx_l2) ranked by ascending approximate
+    * L2² — compare against [[bruteForceTopK]]/[[annRecall]] to read the
+    * compression-recall trade.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                m: Int = 4, dim: Int = 64, centroidEvery: Int = 40,
+                nprobe: Int = 2): DataFrame = {
+    val subDim = dim / m
+    val subs = (0 until m).map(s =>
+      struct(lit(s).cast("long").as("sub"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("sv")))
+    val cells = assignCells(corpus, centroidEvery).select(col("vec_id"), col("cell"))
+    val codes = pqCode(corpus, m, dim, centroidEvery)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("emb_cent"),
+        sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_cent"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
+        sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_q"))
+      .join(broadcast(cents))
+      .withColumn("cent_cos",
+        detRound(dotFP(col("emb_q"), col("emb_cent")) / (col("norm_q") * col("norm_cent")), 4))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    // ADC table: exact sub-distance from each query subvector to each
+    // codebook entry — m × |codebook| rows per query, broadcastable
+    val qsub = queries.select(col("vec_id").as("query_id"), explode(array(subs: _*)).as("x"))
+      .select(col("query_id"), col("x.sub").as("sub"), col("x.sv").as("qs"))
+    val cb = corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), explode(array(subs: _*)).as("c"))
+      .select(col("cent_id"), col("c.sub").as("sub"), col("c.sv").as("cs"))
+    val adc = qsub.join(broadcast(cb), Seq("sub"))
+      .withColumn("d", detRound(
+        dotFP(col("qs"), col("qs")) + dotFP(col("cs"), col("cs"))
+          - lit(2.0) * dotFP(col("qs"), col("cs")), 4))
+      .select(col("query_id"), col("sub"), col("cent_id").as("code"), col("d"))
+    val cand = cells.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(adc, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(floor(col("d") * 1e4 + 0.5).cast("long")).as("ds"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ds"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (col("ds").cast("double") / 1e4).as("approx_l2"))
+  }
+
   /** ANN index-quality evaluation: recall@k of the IVF index against the
     * exact top-k, per query — the monitoring number every production ANN
     * deployment tracks (recall traded against the nprobe/cells scan

@@ -459,6 +459,61 @@ object OracleSql {
        |SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q_ann_ivfpq mirror: IVF cell pruning (annIvfSql's assign/probes) + PQ
+    * asymmetric-distance scoring (pqCodeSql's code assignment + a per-query
+    * ADC table), 1e-4-integer distance sums, rank by ascending approx L2². */
+  def ivfPqSql(k: Int, querySel: String, m: Int, dim: Int,
+               centroidEvery: Int, nprobe: Int): String = {
+    val subDim = dim / m
+    val subVals = (0 until m).map(s => s"($s)").mkString(", ")
+    def sl(e: String) = s"$e[(sub * $subDim + 1):(sub * $subDim + $subDim)]"
+    val dist = s"${dotSql("xs", "xs")} + ${dotSql("cs", "cs")} - 2.0 * ${dotSql("xs", "cs")}"
+    val adcDist =
+      s"${dotSql("qs2.qs", "qs2.qs")} + ${dotSql("c.cs", "c.cs")} - 2.0 * ${dotSql("qs2.qs", "c.cs")}"
+    s"""WITH subs AS (SELECT CAST(sub AS BIGINT) AS sub FROM (VALUES $subVals) t(sub)),
+       |c0 AS (SELECT vec_id AS cent_id, embedding AS emb_cent
+       |      FROM embeddings WHERE vec_id % $centroidEvery = 0),
+       |assign AS (SELECT vec_id, cell FROM (
+       |      SELECT e.vec_id, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM embeddings e, c0) WHERE rn = 1),
+       |xs AS (SELECT vec_id, sub, ${sl("embedding")} AS xs FROM embeddings, subs),
+       |cb AS (SELECT vec_id AS cent_id, sub, ${sl("embedding")} AS cs
+       |       FROM embeddings, subs WHERE vec_id % $centroidEvery = 0),
+       |codes AS (SELECT vec_id, sub, cent_id AS code FROM (
+       |      SELECT x.vec_id, x.sub, c.cent_id,
+       |        row_number() OVER (PARTITION BY x.vec_id, x.sub
+       |          ORDER BY ${detRoundSql(dist, 4)}, c.cent_id) AS rn
+       |      FROM xs x JOIN cb c ON x.sub = c.sub) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS emb_q
+       |      FROM embeddings WHERE $querySel),
+       |probes AS (SELECT query_id, cell FROM (
+       |      SELECT q.query_id, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY ${detRoundSql(cosineSql("q.emb_q", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM q, c0) WHERE rn <= $nprobe),
+       |qsub AS (SELECT query_id, sub, ${sl("emb_q")} AS qs FROM q, subs),
+       |adc AS (SELECT query_id, qs2.sub, cent_id AS code,
+       |        ${detRoundSql(adcDist, 4)} AS d
+       |      FROM qsub qs2 JOIN cb c ON qs2.sub = c.sub),
+       |cand AS (SELECT p.query_id, a.vec_id FROM assign a
+       |      JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id),
+       |sc AS (SELECT cand.query_id, cand.vec_id,
+       |        CAST(sum(CAST(floor(d * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ds
+       |      FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+       |      JOIN adc ON adc.query_id = cand.query_id
+       |        AND adc.sub = codes.sub AND adc.code = codes.code
+       |      GROUP BY 1, 2),
+       |r AS (SELECT query_id, vec_id, ds,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY ds, vec_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, rank, vec_id, CAST(ds AS DOUBLE) / 10000.0 AS approx_l2
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q_ann_recall mirror: exact top-k (annTopKSql's pipeline) ∩ IVF top-k
     * (annIvfSql's pipeline), recall@k with the constant-k denominator. */
   def annRecallSql(k: Int, querySel: String, centroidEvery: Int, nprobe: Int): String =

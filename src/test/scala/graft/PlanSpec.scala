@@ -323,6 +323,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_ivfpq: centroid/codebook sides broadcast, ADC lookup is an equi join") {
+    val p = plan("q_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "codebook/centroid joins must broadcast")
+    // every ranking window is keyed (per vector-sub or per query), never global
+    "windowspecdefinition\\(".r.findAllMatchIn(p).foreach { m =>
+      val head = p.substring(m.end).takeWhile(_ != 'A')
+      assert(head.contains("#"), s"unpartitioned window: '${head.take(80)}'")
+    }
+  }
+
   test("q_temperature_mix: per-stratum cuts broadcast back; no product joins") {
     val p = plan("q_temperature_mix")
     assert(!p.contains("CartesianProduct"), p.take(2000))

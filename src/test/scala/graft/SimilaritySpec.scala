@@ -86,6 +86,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: candidates come from probed cells, ranks ascend by quantized ADC sum") {
+    val out = Similarity.ivfPqTopK(corpus, queries, k = 5, centroidEvery = 20, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // per query: ranks 1..n dense, approx_l2 non-decreasing, no self match
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq, s"query $q not ascending")
+      assert(!rows.exists(_._3 == q))
+    }
+    // IVF pruning: every scored vector is in a probed cell — i.e. it appears
+    // in the (same-parameter) IVF candidate ranking with an unbounded k
+    val ivfAll = Similarity.ivfTopK(corpus, queries, k = Int.MaxValue,
+      centroidEvery = 20, nprobe = 2)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (q, _, v, _) =>
+      assert(ivfAll.contains((q, v)), s"($q, $v) scored outside the probed cells")
+    }
+  }
+
   test("annRecall: one row per query, n_hits <= n_approx <= k, recall = n_hits/k") {
     val k = 5
     val out = Similarity.annRecall(corpus, queries, k, centroidEvery = 20, nprobe = 2)
