@@ -194,6 +194,49 @@ object Sampling {
       .drop("__s", "__cut")
   }
 
+  /** Cumulative Poisson(1) CDF cut points in the 60-bit hash space:
+    * replicate weight w(u) = #{j : u ≥ cut(j)} is Poisson(1)-distributed
+    * for uniform u (inverse-CDF; tail truncated at 7, losing ~8e-5 mass).
+    * Computed ONCE here and embedded as the same literals in the DuckDB
+    * oracle, so no cross-engine `exp` is ever evaluated.
+    */
+  val PoissonCuts: Seq[Long] = {
+    // p(j) = e^-1 / j!, cumulative, scaled into the hash space
+    val pj = (0 until 7).map(j => math.exp(-1.0) / (1 to j).product)
+    pj.scanLeft(0.0)(_ + _).tail.map(c => (c * HashSpace).toLong)
+  }
+
+  /** Deterministic Poisson bootstrap (the resampling scheme for massive
+    * data: each of `b` replicates gives every row an independent
+    * Poisson(1) multiplicity, approximating a with-replacement resample
+    * without ever materializing one). The multiplicity is a pure function
+    * of (row key, replicate): u = md5(key#r) mapped through the Poisson
+    * inverse CDF — seven integer comparisons against [[PoissonCuts]], no
+    * RNG, so replicates are identical across engines/reruns/partitionings
+    * and the whole estimate is oracle-checkable.
+    *
+    * Emits per replicate: effective row count, exact decimal total of
+    * `value` and its mean — the spread across replicates IS the sampling
+    * uncertainty of the mean. Scale: one explode (×b) + one map-side
+    * combinable aggregate into b groups; weights never leave the row.
+    */
+  def poissonBootstrap(df: DataFrame, key: Column, value: Column,
+                      b: Int = 16): DataFrame = {
+    val rep = df
+      .select(key.cast("string").as("__k"), value.cast("decimal(18,2)").as("__v"))
+      .withColumn("r", explode(sequence(lit(0L), lit((b - 1).toLong))))
+      .withColumn("__u", Dedup.hash60(concat_ws("#", col("__k"), col("r"))))
+      .withColumn("w",
+        PoissonCuts.map(c => when(col("__u") >= c, 1L).otherwise(0L)).reduce(_ + _))
+    rep.groupBy(col("r"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("__v")).as("__t"))
+      .select(col("r"), col("n_eff"),
+        col("__t").cast("double").as("total"),
+        graft.functions.GraftFunctions.detRound(
+          col("__t").cast("double") / col("n_eff"), 4).as("mean"))
+  }
+
   /** Leakage-safe group k-fold assignment: fold = md5(group) mod k, so
     * EVERY row of a group (domain, author, conversation…) lands in the same
     * fold — the split that keeps near-duplicate documents from straddling

@@ -69,6 +69,29 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedSample(strat, $"k", $"s", Map.empty).count() === 0L)
   }
 
+  test("poissonBootstrap: Poisson(1) replicate weights — mean n_eff near n, deterministic") {
+    val df = keys.withColumn("v", ($"k" % 100).cast("double"))
+    val out = Sampling.poissonBootstrap(df, $"k", $"v", b = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 8 && out.map(_._1).toSet === (0L to 7L).toSet)
+    // E[n_eff] = 5000 per replicate; Poisson sd ≈ 71 — allow 5σ
+    out.foreach { case (r, nEff, total, mean) =>
+      assert(math.abs(nEff - 5000L) < 360, s"replicate $r n_eff=$nEff")
+      assert(math.abs(mean - total / nEff) < 1e-3)
+    }
+    // replicates differ (independent weights), but reruns are identical
+    assert(out.map(_._2).distinct.length > 1)
+    val again = Sampling.poissonBootstrap(df.repartition(11), $"k", $"v", b = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === out.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("PoissonCuts are monotone and cover all but ~1e-4 of the hash space") {
+    val cuts = Sampling.PoissonCuts
+    assert(cuts === cuts.sorted && cuts.distinct.length === cuts.length)
+    assert(cuts.last > (Sampling.HashSpace * 0.9999).toLong)
+  }
+
   test("temperatureMix flattens the power law: tail keeps a larger share than head") {
     // head 4000 docs, tail 40 docs; α=0.5 weights ∝ sqrt(n)
     val df = ((1L to 4000L).map(i => (i, "head")) ++ (9001L to 9040L).map(i => (i, "tail")))
