@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.detRound
 
@@ -86,6 +87,30 @@ object Graph {
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+  }
+
+  /** One label-propagation step (community detection's inner loop): every
+    * node takes the MODE of its neighbors' labels, ties to the smallest
+    * label — where [[graft.operators.Dedup.connectedComponents]] spreads
+    * the min over any connectivity, mode-voting respects edge density, so
+    * iterating partitions the graph into communities. One step is (join
+    * labels to the directed edge list) + a map-side-combinable (node,
+    * label) count + a per-node window bounded by the node's distinct
+    * neighbor-label count; feed the output back per iteration, O(diameter)
+    * rounds like the CC loop.
+    */
+  def labelPropStep(pairs: DataFrame, aCol: String, bCol: String,
+                    labels: DataFrame): DataFrame = {
+    val dir = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    val votes = dir
+      .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
+      .groupBy(col("src").as("node"), col("nl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("node")).orderBy(col("votes").desc, col("nl"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("node"), col("nl").as("label"), col("votes"))
   }
 
   /** Uniform 1/N starting ranks for the nodes appearing in `edges`. */

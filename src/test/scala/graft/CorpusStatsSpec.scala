@@ -236,6 +236,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") === 1L)
   }
 
+  test("labelPropStep takes the neighbor-label MODE, not the min (ties to smaller)") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 5L), (2L, 7L), (3L, 7L), (4L, 0L)).toDF("node", "label")
+    val out = graft.operators.Graph.labelPropStep(pairs, "a", "b", labels)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // node 1 sees labels {7, 7, 0}: mode 7 wins over min 0 — NOT connected components
+    assert(out(1L) === ((7L, 2L)))
+    // leaves see only node 1's label
+    assert(out(2L) === ((5L, 1L)) && out(3L) === ((5L, 1L)) && out(4L) === ((5L, 1L)))
+  }
+
   test("skyline2d: frontier keeps non-dominated points, all both-dim ties") {
     // (id, price, size): 1 dominates 3 (cheaper, bigger); 2 on frontier
     // (biggest); 4 on frontier (cheapest); 5 ties 1 on both dims -> kept.
