@@ -148,6 +148,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("poissonBootstrap mass: replicate row counts concentrate around n") {
+    (1 to 2).foreach { _ =>
+      val n = 2000 + rnd.nextInt(2000)
+      val df = (1L to n.toLong).toDF("k").withColumn("v", ($"k" % 50).cast("double"))
+      val out = graft.operators.Sampling.poissonBootstrap(df, $"k", $"v", b = 6)
+        .collect().map(r => r.getLong(1))
+      // each replicate's n_eff ~ Poisson(n): sd = sqrt(n); allow 6σ
+      val sd = math.sqrt(n.toDouble)
+      out.foreach(ne => assert(math.abs(ne - n) < 6 * sd, s"n=$n n_eff=$ne"))
+    }
+  }
+
+  test("duplicateSpanStats: exact clones are fully duplicated, flags survive permutation") {
+    (1 to 2).foreach { _ =>
+      val base = (1L to 12L).map(i => (i, randWords(8 + rnd.nextInt(6), 30)))
+      val clones = base.take(4).map { case (id, t) => (id + 100L, t) } // 4 exact clones
+      val df = rnd.shuffle(base ++ clones).toDF("doc_id", "text")
+      val out = graft.operators.Dedup.duplicateSpanStats(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      clones.foreach { case (cid, _) =>
+        assert(out(cid) === 1.0, s"clone $cid not fully duplicated")
+        assert(out(cid - 100L) === 1.0, s"original ${cid - 100} not fully duplicated")
+      }
+    }
+  }
+
   test("interleave fairness: while all sources have docs, every n-sized block is distinct") {
     (1 to 3).foreach { _ =>
       val sizes = Seq("a" -> (3 + rnd.nextInt(5)), "b" -> (3 + rnd.nextInt(5)),
