@@ -29,6 +29,42 @@ object Curation {
       .filter(Sampling.keep(col(id), sampleFraction))
   }
 
+  /** Curation FUNNEL audit — the observability twin of [[curate]]: how many
+    * documents survive each successive filter stage (language → quality →
+    * dedup-keeper → subsample), and how many each stage drops. Production
+    * pipelines publish exactly this per run; a stage suddenly eating 40% of
+    * the corpus is the first signal a filter regressed. Same fused shape as
+    * the pipeline itself: the stage flags are cumulative boolean COLUMNS in
+    * one projection (plus the keeper left join), and the whole funnel is
+    * ONE conditional aggregate row, unpivoted to a 5-row report.
+    */
+  def curationFunnel(docs: DataFrame, id: String, text: String, lang: String,
+                     minQuality: Double, sampleFraction: Double): DataFrame = {
+    val keepers = Dedup.exactDedup(docs, col(text), col(id))
+      .select(col("doc_id").as(id), lit(true).as("__keeper"))
+    val f1 = TextAnalysis.langPredCol(col(text)) === lang
+    val f2 = f1 && TextAnalysis.qualityScoreCol(col(text)) >= minQuality
+    val f3Base = col("__keeper").isNotNull
+    val flags = docs
+      .join(keepers, Seq(id), "left")
+      .select(col(id), f1.as("__f1"), f2.as("__f2"),
+        (f2 && f3Base).as("__f3"))
+      .withColumn("__f4", col("__f3") && Sampling.keep(col(id), sampleFraction))
+    val row = flags.agg(count(lit(1)).as("n0"),
+      sum(when(col("__f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__f2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("__f3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("__f4"), 1L).otherwise(0L)).as("n4"))
+    row.select(expr(
+      """stack(5,
+        | CAST(0 AS BIGINT), 'total',        n0, CAST(0 AS BIGINT),
+        | CAST(1 AS BIGINT), 'lang_filter',  n1, n0 - n1,
+        | CAST(2 AS BIGINT), 'quality_gate', n2, n1 - n2,
+        | CAST(3 AS BIGINT), 'dedup_keeper', n3, n2 - n3,
+        | CAST(4 AS BIGINT), 'subsample',    n4, n3 - n4)
+        | AS (stage_idx, stage, n_pass, n_dropped)""".stripMargin))
+  }
+
   /** Per-domain cap — the web-corpus rebalancing step: no single source may
     * contribute more than `cap` documents, and the kept documents are the
     * BEST of that source (quality desc, id tiebreak). Web crawls are

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions.col
-import graft.operators.{Privacy, Sampling, TextAnalysis}
+import graft.operators.{Curation, Privacy, Sampling, TextAnalysis}
 
 /** Round-4 corpus-curation operators: PII redaction, contamination check,
   * repetition score, stratified sampling.
@@ -61,6 +61,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0) === ((1L, 5L, 2L, 0.6)))
     assert(out(1) === ((2L, 3L, 3L, 0.0)))
     assert(out(2) === ((3L, 0L, 0L, 0.0)))
+  }
+
+  test("curationFunnel: monotone survivors, drops reconcile, final stage == curate output") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val funnel = Curation.curationFunnel(docs, "doc_id", "text", "en", 0.45, 0.5)
+      .orderBy(col("stage_idx")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(funnel.map(_._2).toSeq ===
+      Seq("total", "lang_filter", "quality_gate", "dedup_keeper", "subsample"))
+    // survivors never increase; each stage's drop is the adjacent difference
+    funnel.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._3 <= prev._3, s"stage ${cur._2} gained rows")
+      assert(cur._4 === prev._3 - cur._3, s"stage ${cur._2} drop mismatch")
+    }
+    assert(funnel.head._3 === docs.count())
+    val curated = Curation.curate(docs, "doc_id", "text", "en", 0.45, 0.5).count()
+    assert(funnel.last._3 === curated, "funnel tail must equal the pipeline output")
   }
 
   test("stratifiedSample applies per-stratum fractions and drops unlisted strata") {
