@@ -65,6 +65,33 @@ object Curation {
         | AS (stage_idx, stage, n_pass, n_dropped)""".stripMargin))
   }
 
+  /** Token-budget epoch scheduling (the data-constrained regime of
+    * Muennighoff et al. 2023: when fresh data runs out, repeating a source
+    * up to ~4 epochs still helps): given a training token budget, allocate
+    * to each source proportionally to its token mass, capped at
+    * `maxEpochs` passes over the source. Emits per source its token count,
+    * cap, allocation and implied epoch count — the mixing table a training
+    * run consumes. One corpus scan (token counting) into a sources-sized
+    * aggregate; the proportional split is one double multiply/divide per
+    * source against the broadcast total, floor-then-cast like every
+    * fraction in this library.
+    */
+  def tokenBudget(docs: DataFrame, text: String, source: String,
+                  budget: Long, maxEpochs: Int): DataFrame = {
+    val counts = docs.groupBy(col(source).as("source"))
+      .agg(sum(size(regexp_extract_all(col(text),
+        lit(TextAnalysis.TokenPattern), lit(0))).cast("long")).as("n_tokens"))
+    val total = counts.agg(sum(col("n_tokens")).as("total_tokens"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("alloc", least(col("cap"),
+        floor(lit(budget) * col("n_tokens").cast("double") / col("total_tokens"))
+          .cast("long")))
+      .select(col("source"), col("n_tokens"), col("cap"), col("alloc"),
+        graft.functions.GraftFunctions.detRound(
+          col("alloc").cast("double") / col("n_tokens"), 4).as("epochs"))
+  }
+
   /** Per-domain cap — the web-corpus rebalancing step: no single source may
     * contribute more than `cap` documents, and the kept documents are the
     * BEST of that source (quality desc, id tiebreak). Web crawls are

@@ -80,6 +80,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(funnel.last._3 === curated, "funnel tail must equal the pipeline output")
   }
 
+  test("tokenBudget: allocations respect the epoch cap and track token mass") {
+    // source a: ~100 tokens, source b: ~1000 tokens, budget lets a cap out
+    val docs = ((1 to 10).map(i => (i.toLong, Seq.fill(10)("tok").mkString(" "), "a")) ++
+      (11 to 110).map(i => (i.toLong, Seq.fill(10)("tok").mkString(" "), "b")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.tokenBudget(docs, "text", "source", budget = 2000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (na, capA, allocA, epochsA) = out("a")
+    val (nb, capB, allocB, epochsB) = out("b")
+    assert(na === 100L && nb === 1000L)
+    assert(capA === 400L && allocA <= capA && allocB <= capB)
+    // proportional split: b gets 2000*1000/1100 ≈ 1818 (under its 4000 cap);
+    // a's share 181 is under its 400 cap too — both uncapped here
+    assert(allocB === 1818L && allocA === 181L)
+    assert(epochsA === 1.81 && epochsB === 1.818)
+    // shrink the budget ↑ epochs stay ≤ maxEpochs even when one source caps
+    val capped = Curation.tokenBudget(docs, "text", "source", budget = 20000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(capped.values.forall(_ <= 4.0))
+    assert(capped("a") === 4.0, "source a should cap at maxEpochs under a huge budget")
+  }
+
   test("stratifiedSample applies per-stratum fractions and drops unlisted strata") {
     val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
       .toDF("id", "lang")
