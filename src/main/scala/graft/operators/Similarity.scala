@@ -429,6 +429,39 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Embedding covariance matrix (upper triangle) — the one-pass second
+    * moment that feeds whitening / full PCA (the power-iteration step's
+    * batch sibling): cov(i,j) = E[xᵢxⱼ] − μᵢμⱼ with every accumulation
+    * quantized to integers BEFORE summing (the [[labelCentroids]] recipe),
+    * so 1000 executors' partials merge bit-identically. The pair explode
+    * is d² per vector — fine at d=64 (2,080 upper-triangle cells); at
+    * d≥1024 block the dimensions and run this per block pair. One scan,
+    * one map-side-combinable shuffle into d² cells.
+    */
+  def covarianceMatrix(emb: DataFrame, quantScale: Double = 1e6): DataFrame = {
+    val x = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("i"),
+        col("col").cast("double").as("xi"))
+    val pairs = x
+      .join(x.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")), Seq("vec_id"))
+      .filter(col("i") <= col("j"))
+    val moments = pairs.groupBy(col("i"), col("j"))
+      .agg(sum(floor(col("xi") * col("xj") * quantScale + 0.5)).as("sq"))
+    val means = x.groupBy(col("i"))
+      .agg(sum(floor(col("xi") * quantScale + 0.5)).as("sm"))
+    val n = emb.agg(count(lit(1)).as("n_vectors"))
+    moments
+      .join(broadcast(means.select(col("i"), col("sm").as("sm_i"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("sm").as("sm_j"))), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        detRound(
+          col("sq").cast("double") / quantScale / col("n_vectors")
+            - (col("sm_i").cast("double") / quantScale / col("n_vectors"))
+            * (col("sm_j").cast("double") / quantScale / col("n_vectors")), 6)
+          .as("cov"))
+  }
+
   /** IVF-PQ ANN search (Jégou et al., TPAMI 2011 — the production ANN
     * memory/compute shape): the coarse IVF quantizer prunes the corpus to
     * the probed cells, and within them candidates are scored by ASYMMETRIC

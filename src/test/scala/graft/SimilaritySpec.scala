@@ -86,6 +86,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("covarianceMatrix matches the closed form on a tiny 2-d corpus") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f)), (4L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.covarianceMatrix(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // means (.5, .5); E[x0^2]=E[x1^2]=.5 -> var .25; E[x0 x1]=.25 -> cov 0
+    assert(out === Map((0L, 0L) -> 0.25, (0L, 1L) -> 0.0, (1L, 1L) -> 0.25))
+  }
+
   test("ivfPqTopK: candidates come from probed cells, ranks ascend by quantized ADC sum") {
     val out = Similarity.ivfPqTopK(corpus, queries, k = 5, centroidEvery = 20, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
