@@ -34,4 +34,32 @@ object Reconcile {
       .select(col(key) +: col("status") +:
         payload.flatMap(c => Seq(col(s"a_$c"), col(s"b_$c"))): _*)
   }
+
+  /** Distribution drift between two snapshots of a population — the
+    * monitoring number that catches "this week's crawl looks nothing like
+    * last week's" before it reaches training. Chi-square over a shared
+    * bucketing: χ² = Σ_buckets (c_a − c_b)²/(c_a + c_b), chosen over PSI
+    * because every term is integer arithmetic plus ONE division (PSI's ln
+    * is not engine-portable). Per-bucket terms quantize to 1e-6 integers
+    * before the total sum, so partition order cannot move the statistic.
+    * Two count aggregates + a bucket-keyed full outer join (buckets are
+    * histogram-sized, not data-sized) + one summary row.
+    */
+  def histogramDrift(a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
+    val ca = a.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("c_a"))
+    val cb = b.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("c_b"))
+    val terms = ca.join(cb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .withColumn("qc", floor(
+        ((col("c_a") - col("c_b")) * (col("c_a") - col("c_b"))).cast("double")
+          / (col("c_a") + col("c_b")) * 1e6 + 0.5).cast("long"))
+    terms.agg(count(lit(1)).as("n_buckets"),
+        sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+        sum(col("qc")).as("__s"))
+      .select(col("n_buckets"), col("n_a"), col("n_b"),
+        graft.functions.GraftFunctions.detRound(
+          col("__s").cast("double") / 1e6, 4).as("chi2"))
+  }
 }

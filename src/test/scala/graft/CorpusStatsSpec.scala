@@ -183,6 +183,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
   }
 
+  test("histogramDrift: identical snapshots give chi2 0; disjoint buckets give n_a + n_b") {
+    val a = (1L to 100L).map(i => (i, i % 5)).toDF("id", "f")
+    val same = Reconcile.histogramDrift(a, a, col("f")).head()
+    assert(same.getAs[Long]("n_buckets") === 5L)
+    assert(same.getAs[Double]("chi2") === 0.0)
+    // disjoint bucket support: every bucket contributes its full count
+    val b = (1L to 60L).map(i => (i, 100L + i % 3)).toDF("id", "f")
+    val dis = Reconcile.histogramDrift(a, b, col("f")).head()
+    assert(dis.getAs[Long]("n_buckets") === 8L)
+    assert(dis.getAs[Double]("chi2") === 160.0)
+  }
+
   // ---- Regional revenue (Q5 shape) ---------------------------------------
 
   test("regionalRevenue enforces the non-FK customer-nation = supplier-nation edge") {
