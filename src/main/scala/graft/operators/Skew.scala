@@ -33,4 +33,31 @@ object Skew {
         probeKey === buildKey && col("__psalt") === col("__bsalt"), "inner")
       .drop("__psalt", "__bsalt")
   }
+
+  /** Join-fanout audit — the "why did my join explode" diagnostic read
+    * BEFORE running a suspect join (the output-size sibling of
+    * [[graft.operators.Quality]]'s key-skew read): for an equi join on
+    * `key`, the exact output cardinality is Σ_k left(k)·right(k), computed
+    * here from the two per-key count aggregates WITHOUT materializing the
+    * join, next to each side's row/key counts and the worst per-key fanout
+    * product. Two map-side-combinable aggregates + one key-sized equi join
+    * — at 100 TB this costs two shuffles of (key, count) pairs instead of
+    * the join's full output.
+    */
+  def joinFanoutAudit(left: DataFrame, leftKey: Column,
+                      right: DataFrame, rightKey: Column): DataFrame = {
+    val lc = left.groupBy(leftKey.as("k")).agg(count(lit(1)).as("nl"))
+    val rc = right.groupBy(rightKey.as("k")).agg(count(lit(1)).as("nr"))
+    lc.join(rc, Seq("k"))
+      .select(col("k"), (col("nl") * col("nr")).as("fan"))
+      .agg(count(lit(1)).as("n_matching_keys"),
+        sum(col("fan")).as("n_out_rows"), max(col("fan")).as("max_key_fanout"))
+      .crossJoin(broadcast(left.agg(count(lit(1)).as("n_left"))))
+      .crossJoin(broadcast(right.agg(count(lit(1)).as("n_right"))))
+      .select(col("n_left"), col("n_right"), col("n_matching_keys"),
+        col("n_out_rows"), col("max_key_fanout"),
+        graft.functions.GraftFunctions.detRound(
+          col("n_out_rows").cast("double") / col("n_matching_keys"), 4)
+          .as("avg_key_fanout"))
+  }
 }

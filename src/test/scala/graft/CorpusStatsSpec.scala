@@ -183,6 +183,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
   }
 
+  test("joinFanoutAudit predicts the exact equi-join output size without running it") {
+    val left = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "a")
+    val right = Seq((1L, 10), (1L, 20), (1L, 30), (2L, 40), (9L, 50)).toDF("k", "b")
+    val r = graft.operators.Skew.joinFanoutAudit(left, col("k"), right, col("k")).head()
+    val actual = left.join(right, Seq("k")).count()
+    assert(r.getAs[Long]("n_out_rows") === actual)
+    assert(r.getAs[Long]("n_left") === 4L && r.getAs[Long]("n_right") === 5L)
+    assert(r.getAs[Long]("n_matching_keys") === 2L)
+    assert(r.getAs[Long]("max_key_fanout") === 6L) // key 1: 2 x 3
+    assert(r.getAs[Double]("avg_key_fanout") === 3.5) // (6 + 1) / 2
+  }
+
   test("histogramDrift: identical snapshots give chi2 0; disjoint buckets give n_a + n_b") {
     val a = (1L to 100L).map(i => (i, i % 5)).toDF("id", "f")
     val same = Reconcile.histogramDrift(a, a, col("f")).head()
