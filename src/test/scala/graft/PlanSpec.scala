@@ -334,6 +334,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bootstrap: replicate weights stay in the row — one partial aggregate, no joins") {
+    val p = plan("q_bootstrap")
+    assert(!p.contains("Join"), "bootstrap must not join anything")
+    assert(p.contains("partial_sum"), "replicate sums must combine map-side")
+  }
+
+  test("q_embed_cov: cell accumulation is a partial aggregate; windows never appear") {
+    val p = plan("q_embed_cov")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_sum"), "moment sums must combine map-side")
+    assert(!p.contains("windowspecdefinition"), "no window should exist in the covariance plan")
+  }
+
+  test("q_join_fanout and q_drift: audits are aggregate-only — scans, hash joins, no windows") {
+    Seq("q_join_fanout", "q_drift").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q: counts must combine map-side")
+      assert(!p.contains("windowspecdefinition"), s"$q must not use windows")
+    }
+  }
+
+  test("q_curation_funnel: scoring fused into the scan — at most 2 document reads") {
+    val p = plan("q_curation_funnel")
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_temperature_mix: per-stratum cuts broadcast back; no product joins") {
     val p = plan("q_temperature_mix")
     assert(!p.contains("CartesianProduct"), p.take(2000))
