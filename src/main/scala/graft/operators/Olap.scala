@@ -175,6 +175,25 @@ object Olap {
       .select(col("grp"), col("n"), col("corr_r"))
   }
 
+  /** Lag-k autocorrelation of the daily revenue series — the seasonality
+    * probe behind the seasonal-naive forecast (a strong lag-7 r says
+    * weekly structure exists; near-zero says don't bother): build the
+    * exact-decimal daily series, self-join it at a `lagDays` shift (an
+    * equi join on the shifted date — robust to missing days, same trick as
+    * the forecast backtest), and run the [[pearsonByGroup]] quantized-sum
+    * recipe over the (xₜ, xₜ₋ₖ) pairs. The series table is days-sized, so
+    * every step after the first aggregate is calendar-scale, not
+    * data-scale.
+    */
+  def revenueAutocorr(orders: DataFrame, lagDays: Int): DataFrame = {
+    val daily = orders.groupBy(col("o_orderdate").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("x"))
+    val lagged = daily.select(col("day").as("lday"), col("x").as("y"))
+    val pairs = daily.join(lagged, col("day") === date_add(col("lday"), lagDays))
+    pearsonByGroup(pairs, lit(lagDays.toLong), col("x"), col("y"))
+      .select(col("grp").as("lag"), col("n"), col("corr_r"))
+  }
+
   /** Two-sample Welch z-test between two segments — the experimentation
     * primitive: means and variances from the same exact quantized sums as
     * [[pearsonByGroup]] (one conditional aggregate, no per-group pass),

@@ -71,4 +71,16 @@ class OlapSpec extends SparkSpec {
     assert(r(2).getLong(0) === 6L &&
       r(2).getTimestamp(3) === Timestamp.valueOf("2024-01-01 11:00:00"))
   }
+
+  test("revenueAutocorr: a perfectly weekly series has lag-7 correlation 1") {
+    val days = (0 until 28).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i).toString),
+        100.0 + (i % 7) * 10.0)
+    }
+    val orders = days.toDF("o_orderdate", "o_totalprice")
+    val r = Olap.revenueAutocorr(orders, lagDays = 7).head()
+    assert(r.getAs[Long]("lag") === 7L)
+    assert(r.getAs[Long]("n") === 21L) // 28 days, 7 lost to the shift
+    assert(r.getAs[Double]("corr_r") === 1.0)
+  }
 }
