@@ -45,9 +45,15 @@ object Reconcile {
     * Two count aggregates + a bucket-keyed full outer join (buckets are
     * histogram-sized, not data-sized) + one summary row.
     */
-  def histogramDrift(a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
-    val ca = a.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("c_a"))
-    val cb = b.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("c_b"))
+  def histogramDrift(a: DataFrame, b: DataFrame, bucket: Column): DataFrame =
+    driftFromCounts(
+      a.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("c_a")),
+      b.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("c_b")))
+
+  /** The χ² finish over PRE-AGGREGATED (bucket, count) tables — the entry
+    * point when one side's histogram comes from elsewhere (a streaming
+    * complete-mode count, a persisted profile from last week's run). */
+  def driftFromCounts(ca: DataFrame, cb: DataFrame): DataFrame = {
     val terms = ca.join(cb, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
