@@ -237,6 +237,25 @@ object Sampling {
           col("__t").cast("double") / col("n_eff"), 4).as("mean"))
   }
 
+  /** Deterministic weighted Bernoulli sampling: row inclusion probability
+    * ∝ its weight (keep iff md5(key) < frac·(w/w_max)·2⁶⁰) — the
+    * quality-weighted subsampling step ("sample good documents more") that
+    * needs no `pow`, no RNG and no sorting: w/w_max is ONE division against
+    * the broadcast max, so the kept set is a pure function of (keys,
+    * weights) on any engine. `targetFraction` scales the whole acceptance
+    * envelope: the max-weight row is kept w.p. `targetFraction`, everything
+    * else proportionally below it.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     targetFraction: Double): DataFrame = {
+    val wmax = df.agg(max(weight.cast("double")).as("__wmax"))
+    df.crossJoin(broadcast(wmax))
+      .filter(Dedup.hash60(key.cast("string")) <
+        floor(lit(targetFraction) * (weight.cast("double") / col("__wmax"))
+          * HashSpace).cast("long"))
+      .drop("__wmax")
+  }
+
   /** Leakage-safe group k-fold assignment: fold = md5(group) mod k, so
     * EVERY row of a group (domain, author, conversation…) lands in the same
     * fold — the split that keeps near-duplicate documents from straddling

@@ -121,6 +121,20 @@ class SamplingSpec extends SparkSpec {
     assert(byS("tiny") === 2L, "min(1, ·) cap must keep tiny strata whole")
   }
 
+  test("weightedSample keeps high-weight rows at a higher rate, deterministically") {
+    val df = (1L to 4000L).toDF("k")
+      .withColumn("w", when($"k" <= 2000L, 1.0).otherwise(10.0))
+    val kept = Sampling.weightedSample(df, $"k", $"w", targetFraction = 0.9)
+      .collect().map(_.getLong(0))
+    val lo = kept.count(_ <= 2000L) / 2000.0  // p = 0.9 * 1/10 = 0.09
+    val hi = kept.count(_ > 2000L) / 2000.0   // p = 0.9
+    assert(hi > 0.8 && hi < 1.0, s"hi rate $hi")
+    assert(lo > 0.04 && lo < 0.15, s"lo rate $lo")
+    val again = Sampling.weightedSample(df.repartition(9), $"k", $"w", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === kept.toSet)
+  }
+
   test("groupKFold: every group lands in exactly one fold, folds cover 0..k-1") {
     val df = (1L to 2000L).map(i => (i, s"domain${i % 37}")).toDF("k", "g")
     val out = Sampling.groupKFold(df, $"g", 5).collect()
