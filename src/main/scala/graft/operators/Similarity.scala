@@ -343,6 +343,26 @@ object Similarity {
         col("vid_b").as("neighbor_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per vector,
+    * the CLOSEST neighbors that are NOT near-duplicates — similar enough
+    * to be informative negatives, distinct enough not to be false ones
+    * (mislabeled positives are the classic hard-negative failure mode).
+    * Candidates come from the IVF-pruned [[knnGraph]] with a wider k, the
+    * duplicate band (cos ≥ `dupThreshold`) is cut, and the survivors
+    * re-rank per vector. Same scale bound as the kNN graph: quadratic only
+    * within a cell, rank windows per vector.
+    */
+  def hardNegatives(corpus: DataFrame, k: Int = 3, candidateK: Int = 10,
+                    dupThreshold: Double = 0.9, centroidEvery: Int = 40): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    knnGraph(corpus, candidateK, centroidEvery)
+      .filter(col("cos") < dupThreshold)
+      .withColumn("hard_rank", row_number().over(w).cast("long"))
+      .filter(col("hard_rank") <= k)
+      .select(col("vec_id"), col("hard_rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Nearest-label-centroid classification audit — the confusion matrix of
     * "would a centroid classifier recover the labels?", the standard cheap
     * embedding-quality probe. Fully relational dot products: embeddings

@@ -86,6 +86,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: duplicate band excluded, results are re-ranked knn candidates") {
+    val out = Similarity.hardNegatives(corpus, k = 3, candidateK = 10,
+      dupThreshold = 0.9, centroidEvery = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._4 < 0.9), "duplicate band must be cut")
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.reverse.toSeq)
+    }
+    val knn = Similarity.knnGraph(corpus, k = 10, centroidEvery = 20)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (v, _, n, _) => assert(knn.contains((v, n))) }
+  }
+
   test("covarianceMatrix matches the closed form on a tiny 2-d corpus") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
