@@ -161,13 +161,14 @@ object Dedup {
     * DataFrame is cached and owned by the caller (`unpersist` when done);
     * merely constructing it for plan inspection executes the job.
     */
-  def minhashLshPairs(docs: DataFrame, id: String, text: String,
-                      k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+  /** The (doc_id, band, band_hash) signature table shared by the full and
+    * incremental LSH operators — md5 each shingle ONCE, derive the k
+    * minhash slots arithmetically (Kirsch–Mitzenmacher), hash `rows`-slot
+    * groups into band buckets. ONE definition so the incremental operator's
+    * spec-pinned equivalence to the full pair set cannot drift (review r5).
+    */
+  private def bandHashes(prepared: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    // Cached: the shingle sets feed the hash pipeline AND both sides of the
-    // verification join — at scale these signatures would be persisted
-    // artifacts anyway (built once, reused by every dedup run).
-    val prepared = withShingles(docs, id, text).cache()
     val hashed = prepared
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("m", md5(col("s")))
@@ -177,11 +178,20 @@ object Dedup {
     val sig = hashed.groupBy(col("doc_id"))
       .agg(min(col("h1") + lit(0L) * col("h2")).as("mh0"),
         (1 until k).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j")): _*)
-    val banded = sig
+    sig
       .select(col("doc_id"), posexplode(array((0 until bands).map { b =>
         hash60(concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  def minhashLshPairs(docs: DataFrame, id: String, text: String,
+                      k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+    // Cached: the shingle sets feed the hash pipeline AND both sides of the
+    // verification join — at scale these signatures would be persisted
+    // artifacts anyway (built once, reused by every dedup run).
+    val prepared = withShingles(docs, id, text).cache()
+    val banded = bandHashes(prepared, k, bands)
       .cache() // both sides of the candidate self-join read this
     val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_id_b"))
@@ -222,25 +232,14 @@ object Dedup {
   def minhashLshPairsIncremental(docs: DataFrame, id: String, text: String,
                                  isDelta: Column, k: Int = 32, bands: Int = 8,
                                  threshold: Double = 0.6): DataFrame = {
-    val rows = k / bands
     val prepared = docs.select(col(id).as("doc_id"),
       graft.functions.VectorExpressions.shingleSet(col(text), 3).as("sh"),
       isDelta.cast("int").as("__delta")).cache()
-    val hashed = prepared
-      .select(col("doc_id"), col("__delta"), explode(col("sh")).as("s"))
-      .withColumn("m", md5(col("s")))
-      .select(col("doc_id"), col("__delta"),
-        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h1"),
-        (conv(substring(col("m"), 16, 15), 16, 10).cast("long") % 1000000007L).as("h2"))
-    val sig = hashed.groupBy(col("doc_id"))
-      .agg(min(col("h1")).as("mh0"),
-        ((1 until k).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j")) :+
-          max(col("__delta")).as("__delta")): _*)
-    val banded = sig
-      .select(col("doc_id"), col("__delta"), posexplode(array((0 until bands).map { b =>
-        hash60(concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
-      }: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // the SAME signature pipeline as minhashLshPairs (shared bandHashes —
+    // the equivalence the spec pins); the delta flag rides back in via a
+    // doc-count-sized join against the cached prepared table
+    val banded = bandHashes(prepared, k, bands)
+      .join(prepared.select(col("doc_id"), col("__delta")), Seq("doc_id"))
       .cache()
     val probe = banded.filter(col("__delta") === 1)
       .select(col("band"), col("band_hash"), col("doc_id").as("id_d"))

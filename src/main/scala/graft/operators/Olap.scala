@@ -186,12 +186,24 @@ object Olap {
     * data-scale.
     */
   def revenueAutocorr(orders: DataFrame, lagDays: Int): DataFrame = {
+    import graft.functions.GraftFunctions.stableSumScaled
     val daily = orders.groupBy(col("o_orderdate").as("day"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("x"))
     val lagged = daily.select(col("day").as("lday"), col("x").as("y"))
     val pairs = daily.join(lagged, col("day") === date_add(col("lday"), lagDays))
-    pearsonByGroup(pairs, lit(lagDays.toLong), col("x"), col("y"))
-      .select(col("grp").as("lag"), col("n"), col("corr_r"))
+    // GLOBAL aggregate, not a groupBy: a series too short for the lag must
+    // still emit its one (n=0, null r) row — the oracle's ungrouped shape
+    // (review r5); pearsonByGroup would return zero rows instead
+    pairs.agg(count(lit(1)).as("n"),
+        stableSumScaled(col("x"), 4).as("sx"), stableSumScaled(col("y"), 4).as("sy"),
+        stableSumScaled(col("x") * col("y"), 0).as("sxy"),
+        stableSumScaled(col("x") * col("x"), 0).as("sxx"),
+        stableSumScaled(col("y") * col("y"), 0).as("syy"))
+      .select(lit(lagDays.toLong).as("lag"), col("n"),
+        detRound(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_r"))
   }
 
   /** Two-sample Welch z-test between two segments — the experimentation

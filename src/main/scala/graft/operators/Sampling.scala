@@ -183,10 +183,14 @@ object Sampling {
     val counts = withS.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
       .withColumn("__sw", floor(sqrt(col("__n").cast("double")) * 1e6).cast("long"))
     val total = counts.agg(sum(col("__sw")).as("__swsum"))
+    // denominator in DOUBLE: __swsum · __n as a long product overflows
+    // around 4e8-row strata (ANSI throw / silent wrap / DuckDB throw —
+    // review r5); double degrades gracefully and identically on both engines
     val fracs = counts.crossJoin(broadcast(total))
       .withColumn("__frac",
         least(lit(1.0),
-          (lit(budget) * col("__sw")).cast("double") / (col("__swsum") * col("__n"))))
+          (lit(budget) * col("__sw")).cast("double")
+            / (col("__swsum").cast("double") * col("__n"))))
       .withColumn("__cut", floor(col("__frac") * HashSpace).cast("long"))
       .select(col("__s"), col("__cut"))
     withS.join(broadcast(fracs), Seq("__s"))

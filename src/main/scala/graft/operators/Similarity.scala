@@ -234,17 +234,38 @@ object Similarity {
     * construction), per-(vector, subspace) argmin window bounded by
     * codebook size.
     */
-  def pqCode(corpus: DataFrame, m: Int = 4, dim: Int = 64,
-             centroidEvery: Int = 40): DataFrame = {
+  /** (sub, subvector) struct columns splitting `embedding` into m blocks —
+    * the ONE sub-vector slicing definition shared by [[pqCode]] and
+    * [[ivfPqTopK]] (codes and ADC tables must come from the same codebook
+    * geometry — review r5). */
+  private def subStructs(m: Int, dim: Int): Seq[Column] = {
     val subDim = dim / m
-    val subs = (0 until m).map(s =>
+    (0 until m).map(s =>
       struct(lit(s).cast("long").as("sub"),
         slice(col("embedding"), s * subDim + 1, subDim).as("sv")))
-    val xs = corpus.select(col("vec_id"), explode(array(subs: _*)).as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("xs"))
-    val cs = corpus.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cent_id"), explode(array(subs: _*)).as("c"))
+  }
+
+  /** The PQ codebook (cent_id, sub, cs): deterministic-sample vectors split
+    * into sub-vectors — shared by [[pqCode]] (code assignment) and
+    * [[ivfPqTopK]] (ADC tables). */
+  private def pqCodebook(corpus: DataFrame, m: Int, dim: Int,
+                         centroidEvery: Int): DataFrame =
+    corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), explode(array(subStructs(m, dim): _*)).as("c"))
       .select(col("cent_id"), col("c.sub").as("sub"), col("c.sv").as("cs"))
+
+  /** Coarse-quantizer centroid table (cent_id, emb_cent, norm_cent) —
+    * shared by [[ivfTopK]] and [[ivfPqTopK]]. */
+  private def centroidTable(corpus: DataFrame, centroidEvery: Int): DataFrame =
+    corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("emb_cent"),
+        sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_cent"))
+
+  def pqCode(corpus: DataFrame, m: Int = 4, dim: Int = 64,
+             centroidEvery: Int = 40): DataFrame = {
+    val xs = corpus.select(col("vec_id"), explode(array(subStructs(m, dim): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("xs"))
+    val cs = pqCodebook(corpus, m, dim, centroidEvery)
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("dist"), col("cent_id"))
     xs.join(broadcast(cs), Seq("sub"))
@@ -410,9 +431,7 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Int = 40, nprobe: Int = 2): DataFrame = {
-    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("emb_cent"),
-        sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_cent"))
+    val cents = centroidTable(corpus, centroidEvery)
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
     // index build: assign every vector to its nearest centroid by cosine
@@ -502,16 +521,10 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 m: Int = 4, dim: Int = 64, centroidEvery: Int = 40,
                 nprobe: Int = 2): DataFrame = {
-    val subDim = dim / m
-    val subs = (0 until m).map(s =>
-      struct(lit(s).cast("long").as("sub"),
-        slice(col("embedding"), s * subDim + 1, subDim).as("sv")))
     val cells = assignCells(corpus, centroidEvery).select(col("vec_id"), col("cell"))
     val codes = pqCode(corpus, m, dim, centroidEvery)
       .select(col("vec_id"), col("sub"), col("code"))
-    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("emb_cent"),
-        sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_cent"))
+    val cents = centroidTable(corpus, centroidEvery)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val probes = queries
@@ -525,11 +538,10 @@ object Similarity {
       .select(col("query_id"), col("cent_id").as("cell"))
     // ADC table: exact sub-distance from each query subvector to each
     // codebook entry — m × |codebook| rows per query, broadcastable
-    val qsub = queries.select(col("vec_id").as("query_id"), explode(array(subs: _*)).as("x"))
+    val qsub = queries
+      .select(col("vec_id").as("query_id"), explode(array(subStructs(m, dim): _*)).as("x"))
       .select(col("query_id"), col("x.sub").as("sub"), col("x.sv").as("qs"))
-    val cb = corpus.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cent_id"), explode(array(subs: _*)).as("c"))
-      .select(col("cent_id"), col("c.sub").as("sub"), col("c.sv").as("cs"))
+    val cb = pqCodebook(corpus, m, dim, centroidEvery)
     val adc = qsub.join(broadcast(cb), Seq("sub"))
       .withColumn("d", detRound(
         dotFP(col("qs"), col("qs")) + dotFP(col("cs"), col("cs"))

@@ -52,8 +52,12 @@ object Skew {
       .select(col("k"), (col("nl") * col("nr")).as("fan"))
       .agg(count(lit(1)).as("n_matching_keys"),
         sum(col("fan")).as("n_out_rows"), max(col("fan")).as("max_key_fanout"))
-      .crossJoin(broadcast(left.agg(count(lit(1)).as("n_left"))))
-      .crossJoin(broadcast(right.agg(count(lit(1)).as("n_right"))))
+      // side totals from the already-built count tables — no second scan
+      // of either input (review r5)
+      .crossJoin(broadcast(
+        lc.agg(coalesce(sum(col("nl")), lit(0L)).as("n_left"))))
+      .crossJoin(broadcast(
+        rc.agg(coalesce(sum(col("nr")), lit(0L)).as("n_right"))))
       .select(col("n_left"), col("n_right"), col("n_matching_keys"),
         col("n_out_rows"), col("max_key_fanout"),
         graft.functions.GraftFunctions.detRound(

@@ -497,15 +497,27 @@ object TextAnalysis {
     * bounded, already aggregated) rather than re-scanning the token
     * stream, so the corpus is read exactly once.
     */
-  def bigramLmCounts(docs: DataFrame, id: String, text: String,
-                     minCount: Int = 3): DataFrame = {
+  /** Per-document bigram occurrence stream (doc_id, w1, w2), lowercased —
+    * the `lead`-window construction shared by the LM count tables and the
+    * LM quality buckets (one definition so a tokenization change cannot
+    * skew one consumer's oracle silently — review r5). The window
+    * partitions by document: its size is a doc's token count, never
+    * corpus-sized.
+    */
+  private def bigramStream(docs: DataFrame, id: String, text: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokenStream(docs, id, text)
       .select(col("doc_id"), col("token_idx"), lower(col("token")).as("w"))
     val nxt = Window.partitionBy(col("doc_id")).orderBy(col("token_idx"))
-    val types = toks.withColumn("w2", lead(col("w"), 1).over(nxt))
+    toks.withColumn("w2", lead(col("w"), 1).over(nxt))
       .filter(col("w2").isNotNull)
-      .groupBy(col("w").as("w1"), col("w2"))
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+  }
+
+  def bigramLmCounts(docs: DataFrame, id: String, text: String,
+                     minCount: Int = 3): DataFrame = {
+    val types = bigramStream(docs, id, text)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bigram"))
     val leftCtx = types.groupBy(col("w2")).agg(count(lit(1)).as("n_left_ctx"))
     val rightDiv = types.groupBy(col("w1")).agg(count(lit(1)).as("n_right_ctx"))
@@ -535,12 +547,7 @@ object TextAnalysis {
     * read once, and the only per-doc state is a sum and a count.
     */
   def lmQualityBuckets(docs: DataFrame, id: String, text: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = tokenStream(docs, id, text)
-      .select(col("doc_id"), col("token_idx"), lower(col("token")).as("w"))
-    val nxt = Window.partitionBy(col("doc_id")).orderBy(col("token_idx"))
-    val bigrams = toks.withColumn("w2", lead(col("w"), 1).over(nxt))
-      .filter(col("w2").isNotNull).select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val bigrams = bigramStream(docs, id, text)
     val cBig = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
     val cLeft = cBig.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_w1"))
     val scored = bigrams

@@ -229,8 +229,10 @@ object EventsStream {
     }
     val allSet = (0 until Sketches.BloomHashes)
       .map(i => col(s"__set$i").isNotNull).reduce(_ && _)
+    // admitted rows keep the STREAM's own schema (the bit-table helper
+    // columns are internal) — the operator is not documents-specific
     joined.filter(!allSet)
-      .select(col("doc_id"), col("lang"))
+      .select(stream.columns.map(col): _*)
   }
 
   /** Streaming HLL register build: the 64-row max-rho state that gives a
