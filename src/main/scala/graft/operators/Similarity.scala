@@ -364,6 +364,37 @@ object Similarity {
         col("vid_b").as("neighbor_id"), col("cos"))
   }
 
+  /** Late-interaction MaxSim scoring (the ColBERT retrieval shape): treat
+    * each embedding as m sub-vectors ("token" representations), score a
+    * (query, doc) pair as Σ over query sub-vectors of the MAX dot against
+    * any doc sub-vector — finer-grained than single-vector cosine (a doc
+    * matching every aspect of the query beats one matching one aspect
+    * strongly). Two grouped aggregates after the scan: max per (query,
+    * doc, query-sub) then a quantize-before-sum over the m maxes, so the
+    * score is partition-order-proof. The query side broadcasts like
+    * [[bruteForceTopK]] — this is the exact-scoring anchor; at scale the
+    * candidate set comes from an ANN prefilter ([[ivfTopK]]) first.
+    */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 m: Int = 4, dim: Int = 64): DataFrame = {
+    val dsub = corpus.select(col("vec_id"), explode(array(subStructs(m, dim): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub_d"), col("x.sv").as("ds"))
+    val qsub = queries
+      .select(col("vec_id").as("query_id"), explode(array(subStructs(m, dim): _*)).as("x"))
+      .select(col("query_id"), col("x.sub").as("sub_q"), col("x.sv").as("qs"))
+    val dots = dsub.join(broadcast(qsub), col("query_id") =!= col("vec_id"))
+      .withColumn("dot", detRound(dotFP(col("qs"), col("ds")), 4))
+    val maxes = dots.groupBy(col("query_id"), col("vec_id"), col("sub_q"))
+      .agg(max(col("dot")).as("mx"))
+    val scores = maxes.groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(floor(col("mx") * 1e4 + 0.5).cast("long")).as("qsum"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qsum").desc, col("vec_id"))
+    scores.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (col("qsum").cast("double") / 1e4).as("maxsim"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per vector,
     * the CLOSEST neighbors that are NOT near-duplicates — similar enough
     * to be informative negatives, distinct enough not to be false ones

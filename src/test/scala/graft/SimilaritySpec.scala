@@ -86,6 +86,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("maxSimTopK: sub-vector matches count wherever they sit (late interaction)") {
+    val emb = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // the query
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),  // same parts, SWAPPED halves
+      (2L, Array(1.0f, 0.0f, 0.0f, 1.0f)),  // aligned twin
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))   // nothing
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.maxSimTopK(emb, emb.filter($"vec_id" === 10L),
+      k = 3, m = 2, dim = 4)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    // single-vector cosine would score doc 1 ZERO; MaxSim matches each query
+    // half against its best counterpart wherever it sits: both score 2
+    assert(out(1L) === 2.0 && out(2L) === 2.0)
+    assert(out(3L) === 0.0)
+  }
+
   test("hardNegatives: duplicate band excluded, results are re-ranked knn candidates") {
     val out = Similarity.hardNegatives(corpus, k = 3, candidateK = 10,
       dupThreshold = 0.9, centroidEvery = 20).collect()
