@@ -395,6 +395,28 @@ object Similarity {
         (col("qsum").cast("double") / 1e4).as("maxsim"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — the hybrid-search
+    * standard): fuse any two per-query rankings by
+    * RRF(d) = Σ_lists 1/(c + rank_list(d)) — rank-based, so scores on
+    * incomparable scales (cosine vs MaxSim vs BM25) combine without
+    * calibration. Inputs are (query_id, rank, vec_id) frames (any of the
+    * top-k operators here); each contribution quantizes to a 1e-9 integer
+    * before the sum. One union + one map-side-combinable aggregate + a
+    * per-query window bounded by the lists' combined k.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    def contrib(df: DataFrame) = df.select(col("query_id"), col("vec_id"),
+      floor(lit(1.0) / (lit(c) + col("rank")) * 1e9 + 0.5).cast("long").as("q"))
+    val fused = contrib(a).unionAll(contrib(b))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qsum").desc, col("vec_id"))
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("fused_rank"), col("vec_id"), col("n_lists"),
+        detRound(col("qsum").cast("double") / 1e9, 6).as("rrf"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per vector,
     * the CLOSEST neighbors that are NOT near-duplicates — similar enough
     * to be informative negatives, distinct enough not to be false ones

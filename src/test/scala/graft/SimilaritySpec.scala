@@ -86,6 +86,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: both-list docs beat single-list docs; ranks follow 1/(c+rank) sums") {
+    val a = Seq((1L, 1L, 100L), (1L, 2L, 200L)).toDF("query_id", "rank", "vec_id")
+    val b = Seq((1L, 1L, 200L), (1L, 2L, 300L)).toDF("query_id", "rank", "vec_id")
+    val out = Similarity.rrfFuse(a, b, k = 3).orderBy($"fused_rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // d200 in both lists (1/61 + 1/62) > d100 (1/61) > d300 (1/62)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((1L, 200L, 2L), (2L, 100L, 1L), (3L, 300L, 1L)))
+    val e = (x: Double) => math.floor(x * 1e9 + 0.5) / 1e9
+    assert(math.abs(out(0)._4 - (e(1.0 / 61) + e(1.0 / 62))) < 1e-6)
+  }
+
   test("maxSimTopK: sub-vector matches count wherever they sit (late interaction)") {
     val emb = Seq(
       (10L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // the query
