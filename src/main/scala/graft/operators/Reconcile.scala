@@ -35,6 +35,27 @@ object Reconcile {
         payload.flatMap(c => Seq(col(s"a_$c"), col(s"b_$c"))): _*)
   }
 
+  /** Data-integrity manifest — the per-partition record a transfer or
+    * replication job publishes so the receiving side can verify content
+    * without re-reading the source: row count, an ORDER-INDEPENDENT
+    * content checksum (sum of 60-bit md5 row hashes mod 2⁶⁰ — associative,
+    * so partial checksums from 1000 executors combine; any changed,
+    * dropped or duplicated row moves it), and the key range. One
+    * map-side-combinable aggregate per partition key.
+    */
+  def manifest(df: DataFrame, part: Column, key: Column,
+               content: Column): DataFrame =
+    df.select(part.as("part"), key.cast("long").as("k"),
+        Dedup.hash60(content.cast("string")).as("h"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        // exact DECIMAL(38,0) total (a BIGINT sum of 2^60-sized terms
+        // overflows after ~8 rows), one mod at the end — DuckDB's HUGEINT
+        // sum mirrors the same exact-total-then-mod arithmetic
+        (sum(col("h").cast("decimal(38,0)")) % lit(1152921504606846976L))
+          .cast("long").as("content_checksum"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+
   /** Distribution drift between two snapshots of a population — the
     * monitoring number that catches "this week's crawl looks nothing like
     * last week's" before it reaches training. Chi-square over a shared

@@ -183,6 +183,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
   }
 
+  test("manifest checksum is partition-order-free and moves on any row change") {
+    import graft.operators.Reconcile
+    val df = (1L to 500L).map(i => (i, s"content $i", s"p${i % 3}"))
+      .toDF("id", "text", "p")
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      Reconcile.manifest(d, col("p"), col("id"), col("text"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = sums(df)
+    assert(sums(df.repartition(17)) === base, "checksum must not depend on layout")
+    // one changed row flips exactly its partition's checksum, counts unchanged
+    val changed = sums(df.withColumn("text",
+      when($"id" === 7L, lit("tampered")).otherwise($"text")))
+    assert(changed("p1")._2 !== base("p1")._2)
+    assert(changed("p1")._1 === base("p1")._1)
+    assert(changed("p0") === base("p0"))
+    assert(changed("p2") === base("p2"))
+    // a dropped row moves both the count and the checksum
+    val dropped = sums(df.filter($"id" =!= 9L))
+    assert(dropped("p0")._1 === base("p0")._1 - 1)
+    assert(dropped("p0")._2 !== base("p0")._2)
+  }
+
   test("joinFanoutAudit predicts the exact equi-join output size without running it") {
     val left = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "a")
     val right = Seq((1L, 10), (1L, 20), (1L, 30), (2L, 40), (9L, 50)).toDF("k", "b")
