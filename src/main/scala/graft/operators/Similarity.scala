@@ -395,6 +395,44 @@ object Similarity {
         (col("qsum").cast("double") / 1e4).as("maxsim"))
   }
 
+  /** 1/log2(i+1) DCG discounts for ranks 1..k, quantized to 1e-9 integers —
+    * computed ONCE here and embedded as the same literals in the DuckDB
+    * oracle (the [[graft.operators.Sampling.PoissonCuts]] trick), so no
+    * cross-engine log is ever evaluated. */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** nDCG@k of the IVF index against the exact ranking — the
+    * order-sensitive sibling of [[annRecall]] (recall says WHETHER the true
+    * neighbors were found; nDCG says whether they arrived in the right
+    * ORDER, which is what a downstream re-ranker actually consumes).
+    * Graded relevance = k+1 − exact_rank (0 outside the exact top-k); DCG
+    * sums integer rel·discount products, and the ideal DCG is the
+    * query-independent constant Σ (k+1−i)·disc(i), so the final nDCG is
+    * ONE division. Same id-only join shape as annRecall.
+    */
+  def annNdcg(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidEvery: Int = 40, nprobe: Int = 2): DataFrame = {
+    val disc = ndcgDiscounts(k)
+    val idcg = (1 to k).map(i => (k + 1 - i).toLong * disc(i - 1)).sum
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"), (lit((k + 1).toLong) - col("rank")).as("rel"))
+    val approx = ivfTopK(corpus, queries, k, centroidEvery, nprobe)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    val perQuery = approx
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .withColumn("contrib",
+        coalesce(col("rel"), lit(0L))
+          * element_at(array(disc.map(lit): _*), col("rank").cast("int")))
+      .groupBy(col("query_id")).agg(sum(col("contrib")).as("qdcg"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        detRound(coalesce(col("qdcg"), lit(0L)).cast("double") / 1e9, 6).as("dcg"),
+        detRound(coalesce(col("qdcg"), lit(0L)).cast("double") / idcg, 6).as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009 — the hybrid-search
     * standard): fuse any two per-query rankings by
     * RRF(d) = Σ_lists 1/(c + rank_list(d)) — rank-based, so scores on

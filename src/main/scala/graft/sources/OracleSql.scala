@@ -514,6 +514,57 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q_ann_ndcg mirror: graded relevance from the exact ranking, DCG over
+    * the IVF list with the SAME quantized discount literals the engine
+    * embeds (Similarity.ndcgDiscounts — no cross-engine log). */
+  def annNdcgSql(k: Int, querySel: String, centroidEvery: Int, nprobe: Int): String = {
+    val disc = graft.operators.Similarity.ndcgDiscounts(k)
+    val idcg = (1 to k).map(i => (k + 1 - i).toLong * disc(i - 1)).sum
+    val discVals = disc.zipWithIndex.map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS emb_q
+       |      FROM embeddings WHERE $querySel),
+       |x_scored AS (SELECT q.query_id, e.vec_id,
+       |    ${detRoundSql(cosineSql("q.emb_q", "e.embedding"), 4)} AS cos
+       |  FROM embeddings e JOIN q ON q.query_id <> e.vec_id),
+       |x AS (SELECT query_id, vec_id, CAST(${k + 1} - rank AS BIGINT) AS rel FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM x_scored) WHERE rank <= $k),
+       |c0 AS (SELECT vec_id AS cent_id, embedding AS emb_cent
+       |      FROM embeddings WHERE vec_id % $centroidEvery = 0),
+       |assign AS (SELECT vec_id, emb_c, cell FROM (
+       |      SELECT e.vec_id, e.embedding AS emb_c, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM embeddings e, c0) WHERE rn = 1),
+       |probes AS (SELECT query_id, emb_q, cell FROM (
+       |      SELECT q.query_id, q.emb_q, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY ${detRoundSql(cosineSql("q.emb_q", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM q, c0) WHERE rn <= $nprobe),
+       |a_scored AS (SELECT p.query_id, a.vec_id,
+       |        ${detRoundSql(cosineSql("p.emb_q", "a.emb_c"), 4)} AS cos
+       |      FROM assign a JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id),
+       |a AS (SELECT query_id, vec_id, rank FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM a_scored) WHERE rank <= $k),
+       |disc AS (SELECT CAST(rank AS BIGINT) AS rank, CAST(d AS BIGINT) AS d
+       |      FROM (VALUES $discVals) t(rank, d)),
+       |dcg AS (SELECT a.query_id,
+       |        CAST(sum(COALESCE(x.rel, 0) * disc.d) AS BIGINT) AS qdcg
+       |      FROM a JOIN disc ON a.rank = disc.rank
+       |      LEFT JOIN x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+       |      GROUP BY 1)
+       |SELECT q.query_id,
+       |  ${detRoundSql("COALESCE(dcg.qdcg, 0)::DOUBLE / 1000000000.0", 6)} AS dcg,
+       |  ${detRoundSql(s"COALESCE(dcg.qdcg, 0)::DOUBLE / $idcg", 6)} AS ndcg
+       |FROM q LEFT JOIN dcg ON q.query_id = dcg.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   /** q_ann_recall mirror: exact top-k (annTopKSql's pipeline) ∩ IVF top-k
     * (annIvfSql's pipeline), recall@k with the constant-k denominator. */
   def annRecallSql(k: Int, querySel: String, centroidEvery: Int, nprobe: Int): String =

@@ -86,6 +86,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annNdcg: bounded by 1, equals 1 exactly when the IVF list matches the exact list") {
+    val k = 5
+    val out = Similarity.annNdcg(corpus, queries, k, centroidEvery = 20, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0 + 1e-9), out.toString)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    val approx = Similarity.ivfTopK(corpus, queries, k, centroidEvery = 20, nprobe = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    exact.keys.foreach { q =>
+      if (approx.getOrElse(q, Nil) == exact(q))
+        assert(out(q) === 1.0, s"query $q: identical lists must score ndcg 1")
+      else assert(out(q) < 1.0, s"query $q: differing lists cannot score 1")
+    }
+    // at least one of each case should exist on this fixture for the test to bite
+    assert(exact.keys.exists(q => approx.getOrElse(q, Nil) == exact(q)) ||
+      out.values.forall(_ < 1.0))
+  }
+
   test("rrfFuse: both-list docs beat single-list docs; ranks follow 1/(c+rank) sums") {
     val a = Seq((1L, 1L, 100L), (1L, 2L, 200L)).toDF("query_id", "rank", "vec_id")
     val b = Seq((1L, 1L, 200L), (1L, 2L, 300L)).toDF("query_id", "rank", "vec_id")
