@@ -205,6 +205,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(dropped("p0")._2 !== base("p0")._2)
   }
 
+  test("manifest merges: manifest(a union b) is derivable from the two part manifests") {
+    import graft.operators.Reconcile
+    val a = (1L to 300L).map(i => (i, s"doc $i", "p")).toDF("id", "text", "p")
+    val b = (301L to 500L).map(i => (i, s"doc $i", "p")).toDF("id", "text", "p")
+    def one(d: org.apache.spark.sql.DataFrame) =
+      Reconcile.manifest(d, col("p"), col("id"), col("text")).head()
+    val (ma, mb, mu) = (one(a), one(b), one(a.unionAll(b)))
+    val m = 1152921504606846976L
+    assert(mu.getLong(1) === ma.getLong(1) + mb.getLong(1))
+    // checksums combine by modular addition — the 1000-executor merge rule
+    assert(mu.getLong(2) === (ma.getLong(2) + mb.getLong(2)) % m)
+    assert(mu.getLong(3) === math.min(ma.getLong(3), mb.getLong(3)))
+    assert(mu.getLong(4) === math.max(ma.getLong(4), mb.getLong(4)))
+  }
+
   test("joinFanoutAudit predicts the exact equi-join output size without running it") {
     val left = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "a")
     val right = Seq((1L, 10), (1L, 20), (1L, 30), (2L, 40), (9L, 50)).toDF("k", "b")
