@@ -363,6 +363,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_maxsim: max-then-sum stays in partial aggregates after the broadcast scan") {
+    val p = plan("q_maxsim")
+    assert(p.contains("partial_max"), "per-sub max must combine map-side")
+    assert(p.contains("partial_sum"), "the MaxSim sum must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_manifest: one scan, one combinable aggregate, zero joins") {
+    val p = plan("q_manifest")
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+    assert(!p.contains("Join"))
+    assert(p.contains("partial_count"), "manifest counts must combine map-side")
+  }
+
+  test("q_rrf_fusion: fusion is a union + combinable aggregate; windows are per query") {
+    val p = plan("q_rrf_fusion")
+    assert(p.contains("Union"), p.take(1500))
+    assert(p.contains("partial_sum"), "RRF contributions must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+    "windowspecdefinition\\(".r.findAllMatchIn(p).foreach { m =>
+      val head = p.substring(m.end).takeWhile(_ != 'A')
+      assert(head.contains("#"), s"unpartitioned window: '${head.take(80)}'")
+    }
+  }
+
   test("q_temperature_mix: per-stratum cuts broadcast back; no product joins") {
     val p = plan("q_temperature_mix")
     assert(!p.contains("CartesianProduct"), p.take(2000))
