@@ -97,25 +97,35 @@ object VectorExpressions {
     }
   }
 
-  /** Jaccard similarity of two SORTED, DISTINCT string arrays via a single
-    * merge pass: |A∩B| / (|A|+|B|-|A∩B|). Null if both arrays are empty or
-    * any element is null. Equals
+  /** Jaccard similarity of two SORTED, DISTINCT arrays (string, int, or
+    * long elements — both sides the same type) via a single merge pass:
+    * |A∩B| / (|A|+|B|-|A∩B|). Null if both arrays are empty or any element
+    * is null. Equals
     * `size(array_intersect(a,b)) / size(array_union(a,b))` on sorted-distinct
-    * inputs, without building either intermediate array.
+    * inputs, without building either intermediate array. The int/long forms
+    * exist for dictionary-encoded token sets ([[graft.operators.Dedup
+    * .jaccardPairs]]): an int compare in the merge loop instead of a UTF8
+    * byte-wise compare.
     */
   case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult = {
-      def ok(dt: DataType): Boolean = dt match {
-        case ArrayType(StringType, _) => true
-        case _ => false
+      def elem(dt: DataType): Option[DataType] = dt match {
+        case ArrayType(e @ (StringType | IntegerType | LongType), _) => Some(e)
+        case _ => None
       }
-      if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"requires array<string> inputs, got ${left.dataType} / ${right.dataType}")
+      (elem(left.dataType), elem(right.dataType)) match {
+        case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "requires two array<string>, array<int> or array<bigint> inputs of " +
+            s"the same element type, got ${left.dataType} / ${right.dataType}")
+      }
     }
     override def prettyName: String = "graft_sorted_jaccard"
+
+    private def elemType: DataType =
+      left.dataType.asInstanceOf[ArrayType].elementType
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -126,12 +136,17 @@ object VectorExpressions {
       val na = a.numElements()
       val nb = b.numElements()
       if (na + nb == 0) return null
+      val et = elemType
       var i = 0
       var j = 0
       var inter = 0
       while (i < na && j < nb) {
         if (a.isNullAt(i) || b.isNullAt(j)) return null
-        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        val c = et match {
+          case StringType => a.getUTF8String(i).compareTo(b.getUTF8String(j))
+          case IntegerType => java.lang.Integer.compare(a.getInt(i), b.getInt(j))
+          case LongType => java.lang.Long.compare(a.getLong(i), b.getLong(j))
+        }
         if (c == 0) { inter += 1; i += 1; j += 1 }
         else if (c < 0) i += 1
         else j += 1
@@ -147,6 +162,11 @@ object VectorExpressions {
         val j = ctx.freshName("j")
         val inter = ctx.freshName("inter")
         val c = ctx.freshName("c")
+        val cmp = elemType match {
+          case StringType => s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+          case IntegerType => s"java.lang.Integer.compare($a.getInt($i), $b.getInt($j))"
+          case LongType => s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        }
         s"""
            |int $na = $a.numElements();
            |int $nb = $b.numElements();
@@ -156,7 +176,7 @@ object VectorExpressions {
            |  int $i = 0, $j = 0, $inter = 0;
            |  while ($i < $na && $j < $nb) {
            |    if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-           |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |    int $c = $cmp;
            |    if ($c == 0) { $inter++; $i++; $j++; }
            |    else if ($c < 0) { $i++; } else { $j++; }
            |  }

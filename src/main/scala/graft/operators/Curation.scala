@@ -88,8 +88,13 @@ object Curation {
         floor(lit(budget) * col("n_tokens").cast("double") / col("total_tokens"))
           .cast("long")))
       .select(col("source"), col("n_tokens"), col("cap"), col("alloc"),
-        graft.functions.GraftFunctions.detRound(
-          col("alloc").cast("double") / col("n_tokens"), 4).as("epochs"))
+        // A source whose texts are all empty has n_tokens = 0; the bare
+        // division is NaN in Spark but NULL in DuckDB — a cross-engine
+        // divergence. Zero epochs is the honest answer (same guard as
+        // duplicateSpanStats' n_grams = 0).
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          graft.functions.GraftFunctions.detRound(
+            col("alloc").cast("double") / col("n_tokens"), 4)).as("epochs"))
   }
 
   /** Per-domain cap — the web-corpus rebalancing step: no single source may

@@ -62,54 +62,106 @@ object Dedup {
   private def sizeRatioOk(na: Column, nb: Column, t: Double): Column =
     least(na, nb).cast("double") >= lit(t) * greatest(na, nb)
 
-  /** Exact n-gram (word-set) Jaccard near-dup pairs within a blocking key,
-    * as a TRIANGLE-SALTED self-join.
+  /** Exact word-set Jaccard near-dup pairs within a blocking key: a
+    * TRIANGLE-SALTED self-join over DICTIONARY-ENCODED sets.
     *
-    * A plain self-join on the block key puts every pair of a block into one
-    * task — with a handful of blocks (here: languages) that is single-task
-    * skew no matter how many cores exist. Instead each doc gets a
-    * deterministic slice s ∈ [0, S); the unordered pair {a,b} is produced
-    * exactly once, in bucket (block, min(sa,sb), max(sa,sb)): the left side
-    * replicates each doc to buckets (s, s..S-1), the right side to
-    * (0..s, s). That turns one block into S(S+1)/2 evenly-sized buckets —
-    * the parallelism story that survives 100 TB (salting, SURVEY §4).
+    * Candidate structure — triangle salting. A plain self-join on the block
+    * key puts every pair of a block into one task — with a handful of
+    * blocks (here: languages) that is single-task skew no matter how many
+    * cores exist. Instead each doc gets a deterministic slice s ∈ [0, S);
+    * the unordered pair {a,b} is produced exactly once, in bucket
+    * (block, min(sa,sb), max(sa,sb)): the left side replicates each doc to
+    * buckets (s, s..S-1), the right side to (0..s, s). That turns one block
+    * into S(S+1)/2 evenly-sized buckets — the parallelism story that
+    * survives 100 TB (salting, SURVEY §4). At 1000 executors raise S so
+    * blocks·S(S+1)/2 covers the cluster; replication is cheap because of
+    * the encoding below.
     *
-    * Exactness is preserved: slices only partition the pair space; the
-    * size-ratio bound (J ≤ min/max sizes) prunes below-threshold pairs
-    * before the merge-pass jaccard touches the arrays.
+    * Set representation — dictionary ids, not strings. The vocabulary is
+    * probed with one BOUNDED action (`distinct().limit(65).collect()`:
+    * never more than 65 rows reach the driver, whatever the corpus size);
+    * each document's word set then becomes either
+    *  - one 64-bit BITMASK when the vocabulary fits in 64 ids: the word→bit
+    *    map is a constant-folded LITERAL, so encoding is a pure per-row
+    *    expression — no explode, no dictionary shuffle — jaccard collapses
+    *    to two popcounts (`bit_count`), each pair costs O(1), and a single
+    *    long is shuffled per replica (measured 8.0 s → ~1 s at sf0.1,
+    *    whose 31-word synthetic corpus is exactly this shape), or
+    *  - a sorted int-id array otherwise: ids come from the distributed
+    *    dense rank ([[Surrogate.zipWithIndexOrdered]] — the build-once
+    *    vocabulary artifact, exactly like the LSH signature table), the
+    *    merge-pass [[sortedJaccard]] compares ints, not UTF8 strings, and
+    *    the shuffle payload shrinks ~4× vs word strings.
+    * Both encodings are EXACT — ids come from a dictionary, not a hash, so
+    * intersection/union counts are the word-set counts. The vocabulary
+    * probe is an action: this operator is eager like [[containmentPairs]].
     *
-    * Sizing S: each doc's word array is shuffled S+1 times, so S trades
-    * shuffle volume against parallelism — pick the smallest S with
-    * blocks·S(S+1)/2 ≳ 2·cores. The default 6 (21 buckets/block) matches
-    * few-block corpora on ~32 cores (measured 9.1 s → 7.0 s over S=8 at
-    * sf0.1); at 1000 executors raise it so the bucket count covers the
-    * cluster.
+    * Why not the DF-ranked prefix filter (containmentPairs' candidate
+    * scheme)? On high-redundancy corpora — small vocabularies, every token
+    * near-universal — the prefix filter degenerates to all-pairs (measured
+    * at sf0.1: 3.187M of 3.199M block pairs survive it) while still paying
+    * the inverted-index shuffles. Triangle salting keeps the irreducibly
+    * quadratic verification evenly spread; the encoding makes each
+    * verification near-free. The size-ratio bound (J ≤ min/max sizes)
+    * still prunes pairs before any set is touched.
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String, blockKey: String,
                    threshold: Double, saltSlices: Int = 6): DataFrame = {
     val S = saltSlices
-    val prepared = docs.select(col(id).as("doc_id"), col(blockKey).as("block"),
-      sort_array(array_distinct(words(col(text)))).as("ws"))
-      .withColumn("nw", size(col("ws")))
-      .withColumn("slice", pmod(xxhash64(col("doc_id")), lit(S)).cast("int"))
+    val base = docs.select(col(id).as("doc_id"), col(blockKey).as("block"),
+      array_distinct(words(col(text))).as("ws0"))
+    val tok = base.select(col("doc_id"), explode(col("ws0")).as("s"))
+    // Bounded eager probe: at most 65 vocabulary rows ever reach the driver.
+    val probe = tok.select(col("s")).distinct().limit(65)
+      .collect().map(_.getString(0))
+    val bitmask = probe.length <= 64
+    val prepared = (if (bitmask) {
+      // ≤64 distinct words: word→power-of-two as a literal map (sorted for
+      // determinism, constant-folded by Catalyst), folded over each row's
+      // word set — the encode never leaves the row.
+      val vocab = probe.sorted
+      val powMap = map_from_arrays(
+        array(vocab.map(lit(_)): _*),
+        array(vocab.indices.map(i => lit(1L << i)): _*))
+      base.withColumn("set", aggregate(col("ws0"), lit(0L),
+          (acc, w) => acc.bitwiseOR(element_at(powMap, w))))
+        .withColumn("nw", expr("bit_count(set)"))
+        .select(col("doc_id"), col("block"), col("set"), col("nw"))
+    } else {
+      val dict = Surrogate.zipWithIndexOrdered(
+        tok.select(col("s")).distinct(), "tid", Seq(col("s")))
+      val encoded = tok.join(dict, Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("tid").cast("int"))).as("set"))
+        .withColumn("nw", size(col("set")))
+      base.select(col("doc_id"), col("block")).join(encoded, Seq("doc_id"))
+    }).withColumn("slice", pmod(xxhash64(col("doc_id")), lit(S)).cast("int"))
     val lefts = prepared
       .withColumn("j", explode(sequence(col("slice"), lit(S - 1))))
       .select(col("block"), col("slice").as("i"), col("j"),
-        col("doc_id").as("id_l"), col("ws").as("ws_l"), col("nw").as("nw_l"),
+        col("doc_id").as("id_l"), col("set").as("set_l"), col("nw").as("nw_l"),
         col("slice").as("slice_l"))
     val rights = prepared
       .withColumn("i", explode(sequence(lit(0), col("slice"))))
       .select(col("block").as("block_r"), col("i"), col("slice").as("j"),
-        col("doc_id").as("id_r"), col("ws").as("ws_r"), col("nw").as("nw_r"),
+        col("doc_id").as("id_r"), col("set").as("set_r"), col("nw").as("nw_r"),
         col("slice").as("slice_r"))
-    lefts.join(rights,
+    val joined = lefts.join(rights,
       col("block") === col("block_r") && lefts("i") === rights("i") &&
         lefts("j") === rights("j") &&
         // same-slice bucket needs the id order filter; cross-slice buckets
         // contain each unordered pair exactly once already
         (col("slice_l") =!= col("slice_r") || col("id_l") < col("id_r")) &&
         sizeRatioOk(col("nw_l"), col("nw_r"), threshold))
-      .withColumn("jaccard", sortedJaccard(col("ws_l"), col("ws_r")))
+    val withJaccard =
+      if (bitmask)
+        // inter/union as the same exact integer division the array path
+        // (and the oracle) computes: popcounts of AND / OR.
+        joined.withColumn("jaccard",
+          expr("CAST(bit_count(set_l & set_r) AS DOUBLE) / bit_count(set_l | set_r)"))
+      else
+        joined.withColumn("jaccard", sortedJaccard(col("set_l"), col("set_r")))
+    withJaccard
       .filter(col("jaccard") >= threshold)
       .select(least(col("id_l"), col("id_r")).as("doc_id_a"),
         greatest(col("id_l"), col("id_r")).as("doc_id_b"), col("jaccard"))

@@ -79,8 +79,13 @@ object Reconcile {
       .select(col("bucket"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
+      // The delta is cast to double BEFORE squaring: a BIGINT square wraps
+      // silently in Spark (non-ANSI) and throws in DuckDB once a per-bucket
+      // delta exceeds ~3.04e9 — exactly the count range a 100 TB histogram
+      // can reach. Doubles are exact for deltas < 2^53, far past any count.
       .withColumn("qc", floor(
-        ((col("c_a") - col("c_b")) * (col("c_a") - col("c_b"))).cast("double")
+        (col("c_a") - col("c_b")).cast("double")
+          * (col("c_a") - col("c_b")).cast("double")
           / (col("c_a") + col("c_b")) * 1e6 + 0.5).cast("long"))
     terms.agg(count(lit(1)).as("n_buckets"),
         sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),

@@ -132,6 +132,14 @@ object Sampling {
     * as every sampler here: reruns, engines and partitionings all agree.
     *
     * Output: (user, pos_item, j, neg_item) — one row per surviving draw.
+    *
+    * Cache ownership: the operator is LAZY, so the two `cache()`d artifacts
+    * below (distinct positives, dense item index) cannot be unpersisted
+    * here — the CALLER owns their lifecycle (same contract as
+    * [[Dedup.minhashLshPairs]]'s signature table). Both are bounded
+    * (distinct pairs / distinct items), LRU-evictable, and dropped by
+    * `spark.catalog.clearCache()`; a long-lived session running many
+    * operators should clear between them (as `Bench` does).
     */
   def negativeSample(pos: DataFrame, userCol: Column, itemCol: Column,
                      k: Int): DataFrame = {
@@ -237,8 +245,12 @@ object Sampling {
         sum(col("w") * col("__v")).as("__t"))
       .select(col("r"), col("n_eff"),
         col("__t").cast("double").as("total"),
-        graft.functions.GraftFunctions.detRound(
-          col("__t").cast("double") / col("n_eff"), 4).as("mean"))
+        // n_eff = 0 (a replicate that drew nothing — only possible on a
+        // near-empty input) divides by zero: NaN in Spark, NULL in DuckDB.
+        // Pin the cross-engine answer to 0.0.
+        when(col("n_eff") === 0, lit(0.0)).otherwise(
+          graft.functions.GraftFunctions.detRound(
+            col("__t").cast("double") / col("n_eff"), 4)).as("mean"))
   }
 
   /** Deterministic weighted Bernoulli sampling: row inclusion probability

@@ -33,6 +33,25 @@ class DedupSpec extends SparkSpec {
     assert(j14.getDouble(2) === 1.0)
   }
 
+  test("jaccardPairs large-vocab path (>64 words) agrees with brute force") {
+    // >64 distinct words forces the sorted-int-id array encoding (the
+    // bitmask fast path is vocab<=64); results must be identical either way.
+    def sentence(ids: Seq[Int]): String = ids.map(i => s"w$i").mkString(" ")
+    val big = Seq(
+      (1L, sentence(0 until 40), "en"),
+      (2L, sentence(5 until 45), "en"),          // |∩|=35, |∪|=45 → 0.777…
+      (3L, sentence(40 until 80), "en"),         // disjoint from 1
+      (4L, sentence(0 until 40), "en"),          // exact dup of 1
+      (5L, sentence(60 until 100), "de")).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.jaccardPairs(big, "doc_id", "text", "lang", 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 35.0 / 45.0)
+    assert(pairs((1L, 4L)) === 1.0)
+    assert(pairs((2L, 4L)) === 35.0 / 45.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
   test("size-ratio prune never removes a pair at or above threshold") {
     // identical pair with very different sizes fails the ratio → jaccard
     // must already be < threshold; verify bound holds on random-ish fixtures
