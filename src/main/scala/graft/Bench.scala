@@ -40,9 +40,36 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Fixed name order (r5 verdict): Map iteration is hash-dependent, so
+    // warm-cache attribution shifted whenever the query set changed. Sorted
+    // names make round-over-round per-query comparison meaningful.
+    val ordered = selected.toSeq.sortBy(_._1)
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // Cache hygiene at FAMILY boundaries: sorted order groups the queries
+    // that share build-once artifacts by name prefix (q_dim_* share the
+    // warehouse dims, q_dedup_* the LSH pair memo, q_ann_* the codebooks) —
+    // within a family the sharing is the designed materialized-view
+    // behavior and stays; at each boundary the cache is dropped so no query
+    // inherits 173 predecessors' storage. Without this the r5 driver run
+    // measured q_dedup_jaccard at 4x its isolated cost (accumulated caches
+    // squeezing the execution pool into GC/spill). Full clearing every
+    // query costs +16 s of artifact rebuilds (measured); boundary clearing
+    // keeps the protection at a fraction of that.
+    def family(n: String): String = n.split("_").take(2).mkString("_")
+    var prevFamily = ""
+    val results = ordered.map { case (name, fn) =>
+      if (family(name) != prevFamily) spark.catalog.clearCache()
+      prevFamily = family(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // A crashing query must FAIL the bench (r5 verdict: swallowing it
+          // records a near-zero time — a regression would improve the
+          // headline). Record, report, and exit nonzero below.
+          failed += name
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The harness records only the last ~2000 chars of output. Per-query
@@ -52,9 +79,10 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
     // Also persist the full result next to the build (harness tail keeps
     // only ~2000 chars of stdout; the file preserves every per-query time).
     // Anchored to the JVM working directory explicitly, and a write failure
@@ -65,5 +93,6 @@ object Bench {
       System.err.println(s"warning: could not persist $benchOut: $e") }
     println(line)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -49,6 +49,24 @@ final case class Warehouse(
     fatoVendas.write.mode("overwrite")
       .partitionBy("ano_particao").parquet(s"$outDir/fato_vendas_part")
 
+  /** The reference's ACTUAL load target: INSERTs into a relational DW over
+    * JDBC (etl_completo.py:32-46 opens the PostgreSQL connection; the
+    * per-table loads insert at :688-698 and :914-927). `df.write.jdbc`
+    * ships each partition over its own connection with `batchsize` rows per
+    * round-trip — the distributed counterpart of the reference's single
+    * psycopg2 cursor, and at 100 TB the parallel-load lever (1000 executors
+    * = 1000 concurrent COPY-ish streams; size `numPartitions` to what the
+    * target DB accepts). Dimension tables coalesce to one partition — a
+    * 30-row dim needs one connection, not 32 — while the fact keeps its
+    * partitioning. Derby-tested (WarehouseSpec), like the JDBC source.
+    */
+  def writeJdbc(url: String, mode: String = "overwrite"): Unit =
+    tables.foreach { case (name, df) =>
+      val out = if (name == "fato_vendas") df else df.coalesce(1)
+      out.write.mode(mode).option("batchsize", "10000")
+        .jdbc(url, name, new java.util.Properties())
+    }
+
   /** Idempotent load (S7 — the reference's `INSERT … ON CONFLICT DO NOTHING`,
     * etl_completo.py:172-177 et al.): rows whose natural key already exists
     * in the target are skipped, only new keys are appended, so a re-run over

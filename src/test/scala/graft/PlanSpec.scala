@@ -42,6 +42,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q_dedup_jaccard: bitmask encoding — popcount verify, no array payload in the pair join") {
+    val p = plan("q_dedup_jaccard")
+    // small-vocab corpus → the set is a constant-folded literal-map fold;
+    // jaccard must be bit_count arithmetic, never a string-array merge
+    assert(p.contains("bit_count"), p.take(2000))
+    assert(!p.contains("graft_sorted_jaccard"), "string/array merge path chosen for a <=64-word vocab")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_skew_join: salted join stays an equi hash/merge join on (key, salt)") {
     val p = plan("q_skew_join")
     assert(p.contains("__psalt"), "salt column missing from the join keys")

@@ -33,6 +33,30 @@ class WarehouseSpec extends SparkSpec {
     assert(fato.select("sk_venda").distinct().count() === counts("fato_vendas"))
   }
 
+  test("JDBC sink (S2/S8): write the DW to Derby, read back consistent") {
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft_derby_dw")}/dw;create=true"
+    w.writeJdbc(url)
+
+    // every table round-trips with the same count, through the SAME jdbc:
+    // locator dispatch the CRM source uses
+    w.tables.foreach { case (name, df) =>
+      val reread = graft.sources.Crm.table(spark, url, name)
+      assert(reread.count() === df.count(), s"jdbc count mismatch for $name")
+    }
+    // a value-level probe, not just counts: fact revenue survives the trip
+    import org.apache.spark.sql.functions.{col, sum}
+    def revenue(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("valor_final").cast("decimal(18,4)"))).collect()(0)
+        .getDecimal(0)
+    assert(revenue(graft.sources.Crm.table(spark, url, "fato_vendas"))
+      === revenue(w.fatoVendas))
+    // overwrite mode is a true replace, not an append
+    w.writeJdbc(url)
+    assert(graft.sources.Crm.table(spark, url, "dim_localidade").count()
+      === w.dimLocalidade.count())
+  }
+
   test("partitioned fact write: year filter prunes partitions at the scan") {
     val w = Warehouse.build(spark, "/root/testdata/sf0.001")
     val out = Files.createTempDirectory("dw_part").toString
