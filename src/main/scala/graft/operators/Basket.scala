@@ -43,7 +43,11 @@ object Basket {
       .join(cnt.select(col("pk").as("pk_b"), col("c").as("c_b")), Seq("pk_b"))
       .crossJoin(broadcast(nOrders))
       .withColumn("lift",
-        detRound(col("c_ab") * col("n_orders").cast("double") / (col("c_a") * col("c_b")), 4))
+        // c_a·c_b stays in DOUBLE: a BIGINT product wraps silently in Spark
+        // (throws in DuckDB) once two items each appear in >3e9 baskets —
+        // the same overflow class driftFromCounts fixed (r5 advice).
+        detRound(col("c_ab") * col("n_orders").cast("double")
+          / (col("c_a").cast("double") * col("c_b")), 4))
       .select(col("pk_a"), col("pk_b"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
   }
 }

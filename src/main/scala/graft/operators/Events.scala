@@ -120,11 +120,18 @@ object Events {
     val scored = counts
       .withColumn("n_trail", count(lit(1)).over(w))
       .withColumn("s1", sum(col("n_events")).over(w))
-      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      // c² and the Σc² window sum run in DECIMAL(38,0) (the oracle mirrors
+      // with HUGEINT): a BIGINT c·c wraps silently in Spark past c ≈ 3e9
+      // events per (type, hour) — reachable at 100 TB — while decimal stays
+      // exact integer arithmetic (order-independent) to 1e38.
+      .withColumn("s2", sum((col("n_events").cast("decimal(19,0)")
+        * col("n_events")).cast("decimal(38,0)")).over(w))
       .filter(col("n_trail") === trail)
       // integer numerators first; one divide each — deterministic
       .withColumn("mean", col("s1").cast("double") / n)
-      .withColumn("variance", (n * col("s2") - col("s1") * col("s1")).cast("double") / (n * n))
+      .withColumn("variance",
+        (n * col("s2") - col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+          .cast("double") / (n * n))
       .filter(col("variance") > 0)
       .withColumn("z",
         detRound((col("n_events").cast("double") - col("mean")) / sqrt(col("variance")), 4))

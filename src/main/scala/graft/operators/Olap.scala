@@ -168,10 +168,17 @@ object Olap {
         stableSumScaled(col("x") * col("y"), 0).as("sxy"),
         stableSumScaled(col("x") * col("x"), 0).as("sxx"),
         stableSumScaled(col("y") * col("y"), 0).as("syy"))
-      .withColumn("corr_r", detRound(
+      // A zero-variance side (constant column in a group) makes the
+      // denominator 0: DuckDB's x/0 is NULL, Spark's is NaN — pin NULL,
+      // the oracle's natural answer. Variances are exact quantized-integer
+      // arithmetic, so the === 0 test is exact, never an epsilon guess.
+      .withColumn("corr_r", when(
+        col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+          col("n") * col("syy") - col("sy") * col("sy") === 0,
+        lit(null).cast("double")).otherwise(detRound(
         (col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)))
       .select(col("grp"), col("n"), col("corr_r"))
   }
 
@@ -200,10 +207,14 @@ object Olap {
         stableSumScaled(col("x") * col("x"), 0).as("sxx"),
         stableSumScaled(col("y") * col("y"), 0).as("syy"))
       .select(lit(lagDays.toLong).as("lag"), col("n"),
-        detRound(
+        // same zero-variance NULL pin as pearsonByGroup
+        when(
+          col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+            col("n") * col("syy") - col("sy") * col("sy") === 0,
+          lit(null).cast("double")).otherwise(detRound(
           (col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_r"))
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)).as("corr_r"))
   }
 
   /** Two-sample Welch z-test between two segments — the experimentation
@@ -224,14 +235,23 @@ object Olap {
     df.select(group.as("g"), value.cast("double").as("v"))
       .filter(col("g").isin(a, b))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("mean_a_raw", col("s_a") / col("n_a"))
-      .withColumn("mean_b_raw", col("s_b") / col("n_b"))
-      .withColumn("var_a", (col("n_a") * col("ss_a") - col("s_a") * col("s_a")) /
-        (col("n_a") * (col("n_a") - 1)))
-      .withColumn("var_b", (col("n_b") * col("ss_b") - col("s_b") * col("s_b")) /
-        (col("n_b") * (col("n_b") - 1)))
-      .withColumn("z", detRound((col("mean_a_raw") - col("mean_b_raw")) /
-        sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 4))
+      // Degenerate segments go to NULL, matching DuckDB's x/0 = NULL where
+      // Spark would produce NaN/Infinity: an empty segment has no mean, a
+      // 1-row segment no variance, two constant segments no z.
+      .withColumn("mean_a_raw", when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(col("s_a") / col("n_a")))
+      .withColumn("mean_b_raw", when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(col("s_b") / col("n_b")))
+      .withColumn("var_a", when(col("n_a") <= 1, lit(null).cast("double"))
+        .otherwise((col("n_a") * col("ss_a") - col("s_a") * col("s_a")) /
+          (col("n_a") * (col("n_a") - 1))))
+      .withColumn("var_b", when(col("n_b") <= 1, lit(null).cast("double"))
+        .otherwise((col("n_b") * col("ss_b") - col("s_b") * col("s_b")) /
+          (col("n_b") * (col("n_b") - 1))))
+      .withColumn("se2", col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+      .withColumn("z", when(col("se2") === 0, lit(null).cast("double"))
+        .otherwise(detRound((col("mean_a_raw") - col("mean_b_raw")) /
+          sqrt(col("se2")), 4)))
       .select(col("n_a"), col("n_b"),
         detRound(col("mean_a_raw"), 4).as("mean_a"),
         detRound(col("mean_b_raw"), 4).as("mean_b"),

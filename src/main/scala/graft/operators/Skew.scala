@@ -49,9 +49,15 @@ object Skew {
     val lc = left.groupBy(leftKey.as("k")).agg(count(lit(1)).as("nl"))
     val rc = right.groupBy(rightKey.as("k")).agg(count(lit(1)).as("nr"))
     lc.join(rc, Seq("k"))
-      .select(col("k"), (col("nl") * col("nr")).as("fan"))
+      // DECIMAL(38,0) product (oracle: HUGEINT): the fanout estimate exists
+      // precisely to warn about explosive joins, where nl·nr is LARGE — a
+      // BIGINT product would wrap silently in Spark past ~3e9×3e9 on one
+      // key. Outputs cast back to BIGINT (exact to 9.2e18).
+      .select(col("k"),
+        (col("nl").cast("decimal(19,0)") * col("nr")).as("fan"))
       .agg(count(lit(1)).as("n_matching_keys"),
-        sum(col("fan")).as("n_out_rows"), max(col("fan")).as("max_key_fanout"))
+        sum(col("fan")).cast("long").as("n_out_rows"),
+        max(col("fan")).cast("long").as("max_key_fanout"))
       // side totals from the already-built count tables — no second scan
       // of either input (review r5)
       .crossJoin(broadcast(

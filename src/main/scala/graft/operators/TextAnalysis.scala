@@ -49,8 +49,14 @@ object TextAnalysis {
       size(ws).cast("long").as("n_words"),
       size(array_distinct(ws)).cast("long").as("n_distinct_words"),
       size(regexp_extract_all(col(text), lit(TokenPattern), lit(0))).cast("long").as("n_tokens"),
-      detRound(length(col(text)).cast("double") /
-        size(regexp_extract_all(col(text), lit(TokenPattern), lit(0))), 4).as("chars_per_token"))
+      // A tokenless text (whitespace/punctuation only) must yield NULL, not
+      // Spark's x/0 = Infinity — DuckDB returns NULL for every division by
+      // zero, so NULL is the cross-engine answer the oracle computes.
+      when(size(regexp_extract_all(col(text), lit(TokenPattern), lit(0))) === 0,
+        lit(null).cast("double")).otherwise(
+        detRound(length(col(text)).cast("double") /
+          size(regexp_extract_all(col(text), lit(TokenPattern), lit(0))), 4))
+        .as("chars_per_token"))
   }
 
   /** Quality scoring from length / lexical-diversity / stopword signals —

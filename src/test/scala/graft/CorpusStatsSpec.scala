@@ -368,6 +368,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_a") === 12.0 && r.getAs[Double]("mean_b") === 12.0)
   }
 
+  test("degenerate statistics yield NULL (DuckDB x/0 semantics), never NaN/Inf") {
+    // constant column in a group → zero variance → corr NULL
+    val const = Seq(("g", 1.0, 5.0), ("g", 2.0, 5.0), ("g", 3.0, 5.0)).toDF("k", "x", "y")
+    assert(Olap.pearsonByGroup(const, col("k"), col("x"), col("y"))
+      .head().isNullAt(2))
+    // 1-row segment → no variance → z NULL; empty segment → mean NULL too
+    val oneRow = Seq(("a", 10.0), ("a", 11.0), ("b", 7.0)).toDF("g", "v")
+    val r1 = Olap.abTestZ(oneRow, col("g"), col("v"), "a", "b").head()
+    assert(r1.isNullAt(r1.fieldIndex("z")))
+    val empty = Seq(("a", 10.0), ("a", 11.0)).toDF("g", "v")
+    val r2 = Olap.abTestZ(empty, col("g"), col("v"), "a", "b").head()
+    assert(r2.isNullAt(r2.fieldIndex("mean_b")) && r2.isNullAt(r2.fieldIndex("z")))
+    // constant values on BOTH sides → se = 0 → z NULL (not ±Inf)
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val r3 = Olap.abTestZ(flat, col("g"), col("v"), "a", "b").head()
+    assert(r3.isNullAt(r3.fieldIndex("z")))
+    // tokenless text → chars_per_token NULL (not Infinity)
+    val docs = Seq((1L, "   "), (2L, "ab cd")).toDF("doc_id", "text")
+    val t = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(t(0).isNullAt(t(0).fieldIndex("chars_per_token")))
+    assert(t(1).getAs[Double]("chars_per_token") === 2.5)
+  }
+
   // ---- Tokenizer stream ----------------------------------------------------
 
   test("tokenStream: letter/digit/punct splits, 1-based positions per doc") {
