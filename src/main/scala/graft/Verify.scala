@@ -19,11 +19,17 @@ object Verify {
     // Dev-only subset filter (the driver never sets it): comma-separated
     // query names to dump, for fast single-query oracle iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Sorted for deterministic run order; failures are reported per query,
+    // the remaining dumps still run (the driver marks the missing outputs),
+    // and the process exits nonzero so a partial dump can't look clean.
+    var nFailed = 0
     SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
+      .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -43,5 +49,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (nFailed > 0) {
+      System.err.println(s"[verify] $nFailed quer${if (nFailed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }
