@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 import graft.functions.TopKByScore
-import graft.functions.VectorExpressions.{DotProductFP, ShingleSet, SortedJaccard}
+import graft.functions.VectorExpressions.{DotProductFP, ShingleSet, SortedIntersectCount, SortedJaccard}
 
 /** SQL surface for the library's custom Catalyst expressions — the
   * `SparkSessionExtensions` hook a deployment enables with
@@ -16,6 +16,7 @@ import graft.functions.VectorExpressions.{DotProductFP, ShingleSet, SortedJaccar
   *   - `dot_fp(a, b)`           — sequential-fold dot product
   *   - `sorted_jaccard(a, b)`   — Jaccard of sorted-distinct string arrays
   *   - `shingle_set(text, n)`   — sorted distinct word n-shingles
+  *   - `sorted_intersect_count(a, b)` — merge-pass |A∩B| of sorted arrays
   *   - `topk_by_score(s, id, k)`— O(k)-state per-group top-k aggregate
   *
   * [[GraftExtensions.install]] registers the same functions into an
@@ -44,6 +45,8 @@ object GraftExtensions {
         args => DotProductFP(args(0), args(1))),
       (FunctionIdentifier("sorted_jaccard"), info("sorted_jaccard"),
         args => SortedJaccard(args(0), args(1))),
+      (FunctionIdentifier("sorted_intersect_count"), info("sorted_intersect_count"),
+        args => SortedIntersectCount(args(0), args(1))),
       (FunctionIdentifier("shingle_set"), info("shingle_set"),
         args => ShingleSet(args(0), intArg(args(1), "shingle_set"))),
       (FunctionIdentifier("topk_by_score"), info("topk_by_score"),

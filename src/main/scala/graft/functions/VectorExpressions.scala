@@ -255,4 +255,92 @@ object VectorExpressions {
   def sortedJaccard(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedJaccard(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** |A∩B| of two SORTED, DISTINCT arrays (string/int/long elements, both
+    * sides the same type) in one merge pass: equals
+    * `size(array_intersect(a, b))` without materializing the intermediate
+    * array (array_intersect builds a hash set + output array per ROW PAIR —
+    * pure overhead inside a quadratic verify join). 0 for empty inputs,
+    * null if any element is null.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def elem(dt: DataType): Option[DataType] = dt match {
+        case ArrayType(e @ (StringType | IntegerType | LongType), _) => Some(e)
+        case _ => None
+      }
+      (elem(left.dataType), elem(right.dataType)) match {
+        case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "requires two array<string>, array<int> or array<bigint> inputs of " +
+            s"the same element type, got ${left.dataType} / ${right.dataType}")
+      }
+    }
+    override def prettyName: String = "graft_sorted_intersect_count"
+
+    private def elemT: DataType = left.dataType.asInstanceOf[ArrayType].elementType
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements()
+      val nb = b.numElements()
+      val et = elemT
+      var i = 0
+      var j = 0
+      var inter = 0L
+      while (i < na && j < nb) {
+        if (a.isNullAt(i) || b.isNullAt(j)) return null
+        val c = et match {
+          case StringType => a.getUTF8String(i).compareTo(b.getUTF8String(j))
+          case IntegerType => java.lang.Integer.compare(a.getInt(i), b.getInt(j))
+          case LongType => java.lang.Long.compare(a.getLong(i), b.getLong(j))
+        }
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      inter
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val c = ctx.freshName("c")
+        val cmp = elemT match {
+          case StringType => s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+          case IntegerType => s"java.lang.Integer.compare($a.getInt($i), $b.getInt($j))"
+          case LongType => s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        }
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |long $inter = 0L;
+           |int $i = 0, $j = 0;
+           |while ($i < $na && $j < $nb) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  int $c = $cmp;
+           |  if ($c == 0) { $inter++; $i++; $j++; }
+           |  else if ($c < 0) { $i++; } else { $j++; }
+           |}
+           |if (!${ev.isNull}) {
+           |  ${ev.value} = $inter;
+           |}
+         """.stripMargin
+      })
+  }
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorExpressions.sortedJaccard
+import graft.functions.VectorExpressions.{sortedIntersectCount, sortedJaccard}
 
 /** Deduplication operators for large-scale training-data pipelines
   * (SURVEY.md §7.5 — beyond-parity extensions; no reference counterpart).
@@ -357,8 +357,11 @@ object Dedup {
     val result = cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      // merge-pass count, not array_intersect: shingle sets are sorted
+      // distinct (ShingleSet contract), so |A∩B| needs no hash set and no
+      // intermediate array per candidate pair
       .withColumn("containment", graft.functions.GraftFunctions.detRound(
-        size(array_intersect(col("sha"), col("shb"))).cast("double") / size(col("sha")), 4))
+        sortedIntersectCount(col("sha"), col("shb")).cast("double") / size(col("sha")), 4))
       .filter(col("containment") >= t)
       .select(col("a").as("doc_id_a"), col("b").as("doc_id_b"), col("containment"))
       .cache()

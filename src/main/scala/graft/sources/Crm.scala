@@ -37,6 +37,12 @@ object Crm {
       // schema inferred, no pushdown — an ingestion format, convert to
       // parquet before running at scale.
       spark.read.json(s"${dir.stripPrefix("json:")}/$name.json")
+    else if (dir.startsWith("orc:"))
+      // ORC: the other first-class columnar format — unlike the landing
+      // formats it keeps predicate pushdown, column pruning, and stripe
+      // min-max statistics, so it is a full-citizen RUNTIME format for
+      // deployments whose lake is ORC rather than parquet.
+      spark.read.orc(s"${dir.stripPrefix("orc:")}/$name.orc")
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Numeric split column per raw table: with it, the JDBC scan fans out as

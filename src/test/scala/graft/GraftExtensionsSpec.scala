@@ -32,7 +32,8 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("the extensions class wires the same functions (spark.sql.extensions path)") {
     val names = GraftExtensions.functions.map(_._1.funcName).toSet
-    assert(names === Set("dot_fp", "sorted_jaccard", "shingle_set", "topk_by_score"))
+    assert(names === Set("dot_fp", "sorted_jaccard", "sorted_intersect_count",
+      "shingle_set", "topk_by_score"))
     // the class applies without error against a fresh extensions holder
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

@@ -178,4 +178,24 @@ class SourcesSpec extends SparkSpec {
       assert(c.getString(1) === p.getString(1))
     }
   }
+
+  test("orc: locator is a full runtime format — same results, pushdown intact") {
+    val dir = Files.createTempDirectory("crm_orc").toString
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .write.orc(s"$dir/$t.orc")
+    }
+    val viaOrc = graft.sources.Crm.localidade(spark, s"orc:$dir")
+      .select("id_localidade", "cidade").orderBy("id_localidade").collect()
+    val viaParquet = graft.sources.Crm.localidade(spark, "/root/testdata/sf0.001")
+      .select("id_localidade", "cidade").orderBy("id_localidade").collect()
+    assert(viaOrc.map(r => (r.get(0).toString, r.getString(1))).toSeq
+      === viaParquet.map(r => (r.get(0).toString, r.getString(1))).toSeq)
+    // unlike csv/json, the ORC scan keeps pushdown + pruning
+    val plan = graft.sources.Crm.table(spark, s"orc:$dir", "nation")
+      .filter(org.apache.spark.sql.functions.col("n_nationkey") > 10)
+      .select("n_name").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)"), plan.take(1500))
+    assert(plan.contains("ReadSchema: struct<n_nationkey:int,n_name:string>"), plan.take(1500))
+  }
 }

@@ -55,6 +55,23 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("sortedIntersectCount equals size(array_intersect) across element types") {
+    import graft.functions.VectorExpressions.sortedIntersectCount
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "b c d e"), (3L, "x y"), (4L, "a b c d"), (5L, "")).toDF("id", "t")
+    val prepared = docs.select($"id", sort_array(array_distinct(split($"t", " "))).as("ws"))
+    val a = prepared.select($"id".as("ia"), $"ws".as("wa"))
+    val b = prepared.select($"id".as("ib"), $"ws".as("wb"))
+    val r = a.join(b, $"ia" < $"ib").select(
+      sortedIntersectCount($"wa", $"wb").as("fast"),
+      size(array_intersect($"wa", $"wb")).cast("long").as("ref")).collect()
+    r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
+    // int-typed arrays take the primitive-compare branch
+    val ints = Seq((Seq(1, 3, 5), Seq(1, 2, 3, 9)), (Seq(2, 4), Seq(1, 3))).toDF("xa", "xb")
+    val ri = ints.select(sortedIntersectCount($"xa", $"xb").as("n")).collect().map(_.getLong(0))
+    assert(ri.toSeq === Seq(2L, 0L))
+  }
+
   test("reworked cosineNearDupPairs matches the naive cosine formulation") {
     val df = vecs.toDF("vec_id", "embedding")
     val fast = Similarity.cosineNearDupPairs(df, threshold = -1.0)
