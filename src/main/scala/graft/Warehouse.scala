@@ -27,15 +27,17 @@ final case class Warehouse(
     fatoVendas: DataFrame) {
 
   /** The ETL "load" step (reference: per-row INSERTs into PostgreSQL DW
-    * tables, etl_completo.py §S7/S8): one atomic parquet directory per DW
-    * table. Parquet + min-max statistics take the role of the reference's 21
-    * post-load b-tree indices (SURVEY §2.1 S9); at 100 TB the fact would
-    * additionally be written `partitionBy` a date-derived column — not done
-    * here because the testdata fact is a single small table.
+    * tables, etl_completo.py §S7/S8): one atomic columnar directory per DW
+    * table. Columnar min-max statistics take the role of the reference's 21
+    * post-load b-tree indices (SURVEY §2.1 S9; see [[writeFactIndexed]] for
+    * the sorted form); at 100 TB the fact would additionally be written
+    * `partitionBy` a date-derived column ([[writeFactPartitioned]]).
+    * `format` accepts any columnar batch format on the classpath —
+    * "parquet" (default) or "orc", matching the `orc:` read locator.
     */
-  def write(outDir: String): Unit =
+  def write(outDir: String, format: String = "parquet"): Unit =
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      df.write.mode("overwrite").format(format).save(s"$outDir/$name")
     }
 
   /** The 100 TB fact layout: partitioned by sale year (`ano_particao`), so
@@ -48,6 +50,30 @@ final case class Warehouse(
   def writeFactPartitioned(outDir: String): Unit =
     fatoVendas.write.mode("overwrite")
       .partitionBy("ano_particao").parquet(s"$outDir/fato_vendas_part")
+
+  /** S9 analogue — the index-like layout. The reference's 21 post-load
+    * b-tree indices (sql/cria_indices_dw.sql:9-37) have no DDL counterpart
+    * in Spark; their ROLE — point/range lookups that touch a fraction of
+    * the fact — is played by SORTED parquet: globally range-partition and
+    * sort the fact by the hot lookup key (the reference indexes the fact
+    * by date, product, customer and store keys — pick the one the
+    * deployment's point queries lead with) so each row group's min-max
+    * envelope is narrow and the reader SKIPS row groups the predicate
+    * excludes. Same scan API, no index maintenance, and at 100 TB the skip
+    * happens at the footer before any column data is read. WarehouseSpec
+    * proves it with scan metrics: a point predicate over this layout emits
+    * a fraction of the rows the unsorted layout emits. `blockSize` shrinks
+    * row groups on small testdata so the skip is observable; production
+    * keeps the 128 MB default.
+    */
+  def writeFactIndexed(outDir: String, sortKey: String = "sk_produto",
+                       blockSize: Int = 128 * 1024 * 1024): Unit =
+    fatoVendas
+      .repartitionByRange(org.apache.spark.sql.functions.col(sortKey))
+      .sortWithinPartitions(sortKey)
+      .write.mode("overwrite")
+      .option("parquet.block.size", blockSize.toString)
+      .parquet(s"$outDir/fato_vendas_idx")
 
   /** The reference's ACTUAL load target: INSERTs into a relational DW over
     * JDBC (etl_completo.py:32-46 opens the PostgreSQL connection; the

@@ -33,6 +33,16 @@ class WarehouseSpec extends SparkSpec {
     assert(fato.select("sk_venda").distinct().count() === counts("fato_vendas"))
   }
 
+  test("ORC sink: the DW round-trips through the other columnar format") {
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("dw_orc").toString
+    w.write(out, format = "orc")
+    w.tables.foreach { case (name, df) =>
+      assert(spark.read.orc(s"$out/$name").count() === df.count(),
+        s"orc sink count mismatch for $name")
+    }
+  }
+
   test("JDBC sink (S2/S8): write the DW to Derby, read back consistent") {
     val w = Warehouse.build(spark, "/root/testdata/sf0.001")
     val url = s"jdbc:derby:${Files.createTempDirectory("graft_derby_dw")}/dw;create=true"
@@ -68,6 +78,38 @@ class WarehouseSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("ano_particao"),
       plan.take(1500))
     assert(filtered.count() > 0)
+  }
+
+  test("indexed layout (S9 analogue): sorted row groups are skipped by a point predicate") {
+    import org.apache.spark.sql.functions.col
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("dw_idx").toString
+    // tiny row groups so the small fact spans many of them
+    w.writeFactIndexed(out, sortKey = "sk_produto", blockSize = 16 * 1024)
+    w.fatoVendas.write.mode("overwrite")
+      .option("parquet.block.size", (16 * 1024).toString)
+      .parquet(s"$out/fato_vendas_plain")
+
+    // a product key that actually occurs (mid-range of the dense 1..N sks)
+    val probe = w.dimProduto.count() / 2
+    // rows the scan EMITS = rows of surviving row groups (record-level
+    // parquet filtering is off by default, so skipping is the only reducer)
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("sk_produto") === probe)
+      df.collect() // run the scan so metrics populate
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val total = w.fatoVendas.count()
+    val sortedRead = scanRows(s"$out/fato_vendas_idx")
+    val plainRead = scanRows(s"$out/fato_vendas_plain")
+    // the sorted layout's narrow envelopes must skip far more than whatever
+    // natural clustering the plain insert order happens to provide
+    assert(plainRead > 0 && sortedRead > 0)
+    assert(sortedRead * 3 <= plainRead,
+      s"sorted layout should skip most row groups: sorted=$sortedRead plain=$plainRead total=$total")
+    assert(sortedRead < total / 4,
+      s"sorted layout read $sortedRead of $total — envelopes not narrow")
   }
 
   test("idempotent load (S7): re-run appends nothing, partial target is topped up") {
