@@ -43,6 +43,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairs equals brute force in BOTH encodings (bitmask and int-array)") {
+    // vocab 12 → bitmask path; vocab 90 → dictionary int-array path. Both
+    // must be EXACTLY the all-pairs-within-block word-set jaccard.
+    Seq(12, 90).foreach { vocab =>
+      (1 to 2).foreach { _ =>
+        val docs = (1L to 30L).map(i =>
+          (i, randWords(3 + rnd.nextInt(12), vocab), s"b${i % 3}"))
+        val df = docs.toDF("doc_id", "text", "blk")
+        val t = 0.3
+        val got = graft.operators.Dedup.jaccardPairs(df, "doc_id", "text", "blk", t)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        val sets = docs.map { case (id, txt, b) => (id, b) -> txt.split(" ", -1).toSet }
+        val want = (for {
+          ((a, ba), sa) <- sets; ((b, bb), sb) <- sets
+          if a < b && ba == bb
+          j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+          if j >= t
+        } yield (a, b) -> j).toMap
+        assert(got.keySet === want.keySet,
+          s"vocab=$vocab missed=${want.keySet.diff(got.keySet)} extra=${got.keySet.diff(want.keySet)}")
+        want.foreach { case (k, j) => assert(got(k) === j, s"vocab=$vocab pair=$k") }
+      }
+    }
+  }
+
   test("applyChangeLog equals a naive latest-wins fold for random logs") {
     (1 to 3).foreach { _ =>
       val log = (1 to 80).map { i =>
