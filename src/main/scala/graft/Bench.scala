@@ -43,19 +43,25 @@ object Bench {
     // Fixed name order (r5 verdict): Map iteration is hash-dependent, so
     // warm-cache attribution shifted whenever the query set changed. Sorted
     // names make round-over-round per-query comparison meaningful.
-    val ordered = selected.toSeq.sortBy(_._1)
+    // Cache hygiene at FAMILY boundaries: queries that share a build-once
+    // artifact run contiguously (ordered by (family, name) — deterministic)
+    // and the cache is dropped at each family boundary, so no query
+    // inherits 173 predecessors' storage. Within a family the sharing is
+    // the designed materialized-view behavior. Without boundary clearing
+    // the r5 driver run measured q_dedup_jaccard at 4x its isolated cost
+    // (accumulated caches squeezing the execution pool into GC/spill);
+    // clearing before EVERY query instead costs +16 s of shared-artifact
+    // rebuilds (measured). Families are name prefixes (q_dim_* share the
+    // warehouse dims, q_dedup_* the LSH pair memo, q_ann_* the codebooks)
+    // except the explicit warehouse-consumer group, whose members are
+    // alphabetically scattered but all call Warehouse.build.
+    val warehouseFamily = Set(
+      "q_fato_vendas", "q_fato_vendas_v2", "q_report_summary", "q_stream_fato")
+    def family(n: String): String =
+      if (warehouseFamily(n)) "q_dim" // runs with the dim queries' window
+      else n.split("_").take(2).mkString("_")
+    val ordered = selected.toSeq.sortBy { case (n, _) => (family(n), n) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    // Cache hygiene at FAMILY boundaries: sorted order groups the queries
-    // that share build-once artifacts by name prefix (q_dim_* share the
-    // warehouse dims, q_dedup_* the LSH pair memo, q_ann_* the codebooks) —
-    // within a family the sharing is the designed materialized-view
-    // behavior and stays; at each boundary the cache is dropped so no query
-    // inherits 173 predecessors' storage. Without this the r5 driver run
-    // measured q_dedup_jaccard at 4x its isolated cost (accumulated caches
-    // squeezing the execution pool into GC/spill). Full clearing every
-    // query costs +16 s of artifact rebuilds (measured); boundary clearing
-    // keeps the protection at a fraction of that.
-    def family(n: String): String = n.split("_").take(2).mkString("_")
     var prevFamily = ""
     val results = ordered.map { case (name, fn) =>
       if (family(name) != prevFamily) spark.catalog.clearCache()
