@@ -40,6 +40,21 @@ object Quality {
           .as("null_rate"))
   }
 
+  /** k-anonymity audit over a quasi-identifier tuple — the privacy gate a
+    * corpus passes before publication: every row whose quasi-identifier
+    * combination is shared by fewer than k rows is re-identifiable at
+    * granularity k. Emits one row per combination with its size and risk
+    * flag; the caller suppresses/generalizes the flagged groups (the
+    * standard Samarati/Sweeney workflow). One hash aggregate on the
+    * quasi-identifier key — combination-cardinality output, never
+    * row-cardinality, so the audit is as scalable as any groupBy.
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[Column], k: Int): DataFrame =
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("k_threshold", lit(k.toLong))
+      .withColumn("at_risk", col("n_rows") < k)
+
   def report(tables: Map[String, DataFrame], rules: Seq[Rule]): DataFrame =
     rules.groupBy(_.table).toSeq.sortBy(_._1).map { case (t, rs0) =>
       val rs = rs0.sortBy(_.rule)

@@ -49,6 +49,27 @@ class CurationOpsSpec extends SparkSpec {
       === ((1L, 0L, 0.0, false)))
   }
 
+  test("kAnonymity flags quasi-identifier groups smaller than k") {
+    import graft.operators.Quality
+    val rows = Seq(
+      ("en", "web", 1L), ("en", "web", 2L), ("en", "web", 3L), // group of 3
+      ("en", "book", 4L),                                      // singleton
+      ("de", "web", 5L), ("de", "web", 6L))                    // group of 2
+      .toDF("lang", "source", "id")
+    val r = Quality.kAnonymity(rows, Seq(col("lang"), col("source")), k = 3)
+      .orderBy(col("lang"), col("source")).collect()
+    val byKey = r.map(x => (x.getString(0), x.getString(1)) ->
+      (x.getLong(2), x.getBoolean(4))).toMap
+    assert(byKey(("en", "web")) === (3L, false))
+    assert(byKey(("en", "book")) === (1L, true))
+    assert(byKey(("de", "web")) === (2L, true))
+    // the suppression step: rows surviving the audit keep k-anonymity
+    val safe = rows.join(
+      Quality.kAnonymity(rows, Seq(col("lang"), col("source")), k = 3)
+        .filter(!col("at_risk")).select("lang", "source"), Seq("lang", "source"))
+    assert(safe.count() === 3L)
+  }
+
   test("repetitionScore measures duplicate-bigram fraction") {
     val df = Seq(
       (1L, "a b a b a b"), // bigrams: ab ba ab ba ab → 5 total, 2 distinct
