@@ -55,6 +55,20 @@ object Quality {
       .withColumn("k_threshold", lit(k.toLong))
       .withColumn("at_risk", col("n_rows") < k)
 
+  /** l-diversity — k-anonymity's companion on the standard privacy ladder:
+    * a group can be large (k-anonymous) yet still leak if every member
+    * shares the same SENSITIVE value, so each quasi-identifier combination
+    * must also see ≥ l distinct sensitive values. Same single-aggregate
+    * shape as [[kAnonymity]] with one `countDistinct` alongside the count.
+    */
+  def lDiversity(df: DataFrame, quasiIds: Seq[Column], sensitive: Column,
+                 l: Int): DataFrame =
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("l_threshold", lit(l.toLong))
+      .withColumn("at_risk", col("n_sensitive") < l)
+
   def report(tables: Map[String, DataFrame], rules: Seq[Rule]): DataFrame =
     rules.groupBy(_.table).toSeq.sortBy(_._1).map { case (t, rs0) =>
       val rs = rs0.sortBy(_.rule)

@@ -70,6 +70,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(safe.count() === 3L)
   }
 
+  test("lDiversity flags groups whose sensitive values collapse") {
+    import graft.operators.Quality
+    val rows = Seq(
+      ("web", "en"), ("web", "de"), ("web", "fr"), // diverse group
+      ("book", "en"), ("book", "en"), ("book", "en")) // large but uniform
+      .toDF("source", "lang")
+    val r = Quality.lDiversity(rows, Seq(col("source")), col("lang"), l = 2)
+      .collect().map(x => x.getString(0) -> (x.getLong(2), x.getBoolean(4))).toMap
+    assert(r("web") === (3L, false))
+    assert(r("book") === (1L, true)) // k-anonymous at k=3 yet fully leaking
+  }
+
   test("repetitionScore measures duplicate-bigram fraction") {
     val df = Seq(
       (1L, "a b a b a b"), // bigrams: ab ba ab ba ab → 5 total, 2 distinct
