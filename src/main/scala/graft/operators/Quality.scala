@@ -69,6 +69,44 @@ object Quality {
       .withColumn("l_threshold", lit(l.toLong))
       .withColumn("at_risk", col("n_sensitive") < l)
 
+  /** t-closeness — the third rung of the privacy ladder: a group passes
+    * only if its sensitive-value DISTRIBUTION stays within distance t of
+    * the global one (diverse-but-skewed groups still leak; l-diversity
+    * can't see skew). Distance here is total variation
+    * TV = ½ Σ_v |p_g(v) − p(v)|, computed EXACTLY in integers:
+    * Σ|c_gv·n − c_v·n_g| / (2·n_g·n), products in DECIMAL(38,0) (oracle:
+    * HUGEINT) so 100 TB counts cannot wrap, one double division at the
+    * end. Shape: one (quasi, value) aggregate, two roll-ups, and a
+    * groups×values grid via a BROADCAST cross join — the sensitive
+    * attribute's cardinality is assumed dictionary-sized (languages,
+    * labels), never data-sized.
+    */
+  def tCloseness(df: DataFrame, quasiIds: Seq[Column], sensitive: Column,
+                 t: Double): DataFrame = {
+    val gv = df.groupBy((quasiIds :+ sensitive.as("__v")): _*)
+      .agg(count(lit(1)).as("c_gv"))
+    val names = gv.columns.dropRight(2).toSeq
+    val qc = names.map(col)
+    val gTot = gv.groupBy(qc: _*).agg(sum(col("c_gv")).as("n_g"))
+    val vTot = gv.groupBy(col("__v")).agg(sum(col("c_gv")).as("c_v"))
+    val nTot = vTot.agg(sum(col("c_v")).as("n_total"))
+    gTot.crossJoin(broadcast(vTot))
+      .join(gv, names :+ "__v", "left")
+      .na.fill(0L, Seq("c_gv"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("term", abs(
+        col("c_gv").cast("decimal(19,0)") * col("n_total")
+          - col("c_v").cast("decimal(19,0)") * col("n_g")))
+      .groupBy((qc :+ col("n_g")): _*)
+      .agg(sum(col("term")).as("num"), max(col("n_total")).as("n_total"))
+      .withColumn("tv", detRound(col("num").cast("double")
+        / (lit(2.0) * col("n_g") * col("n_total")), 4))
+      .withColumn("t_threshold", lit(t))
+      .withColumn("at_risk", col("tv") > t)
+      .select((qc ++ Seq(col("n_g").as("n_rows"), col("tv"),
+        col("t_threshold"), col("at_risk"))): _*)
+  }
+
   def report(tables: Map[String, DataFrame], rules: Seq[Rule]): DataFrame =
     rules.groupBy(_.table).toSeq.sortBy(_._1).map { case (t, rs0) =>
       val rs = rs0.sortBy(_.rule)

@@ -82,6 +82,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(r("book") === (1L, true)) // k-anonymous at k=3 yet fully leaking
   }
 
+  test("tCloseness: hand-computed TV distance, skewed group flagged") {
+    import graft.operators.Quality
+    // global: 6 en + 6 de = (1/2, 1/2).
+    // 'web'/'blog' (3 en, 1 de each): p_g = (3/4, 1/4) → TV = ½(¼+¼) = 0.25
+    // 'book' (4 de): p_g = (0, 1) → TV = ½(½+½) = 0.5
+    val rows = Seq(
+      ("web", "en"), ("web", "en"), ("web", "en"), ("web", "de"),
+      ("blog", "en"), ("blog", "en"), ("blog", "en"), ("blog", "de"),
+      ("book", "de"), ("book", "de"), ("book", "de"), ("book", "de"))
+      .toDF("source", "lang")
+    val r = Quality.tCloseness(rows, Seq(col("source")), col("lang"), t = 0.3)
+      .collect().map(x => x.getString(0) -> (x.getDouble(2), x.getBoolean(4))).toMap
+    assert(r("web") === (0.25, false))
+    assert(r("blog") === (0.25, false))
+    assert(r("book") === (0.5, true)) // uniform single-lang group leaks
+  }
+
   test("repetitionScore measures duplicate-bigram fraction") {
     val df = Seq(
       (1L, "a b a b a b"), // bigrams: ab ba ab ba ab → 5 total, 2 distinct
