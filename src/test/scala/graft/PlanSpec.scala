@@ -405,4 +405,22 @@ class PlanSpec extends SparkSpec {
       assert(line.contains("Cross"), s"non-scalar nested loop join: $line")
     }
   }
+
+  test("privacy audits: one aggregate pass, no windows, no data-sized products") {
+    Seq("q_k_anonymity", "q_l_diversity").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("HashAggregate"),
+        s"$q should be a combinable aggregate: ${p.take(1000)}")
+      assert(!p.contains("windowspecdefinition"), s"$q must not need a window")
+      assert(!p.contains("CartesianProduct"), p.take(1500))
+    }
+    // t-closeness: the groups x values grid must come from a BROADCAST of
+    // the dictionary-sized sensitive domain, never a data-sized product
+    val p = plan("q_t_closeness")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { line =>
+      assert(line.contains("Cross"), s"non-broadcast grid join: $line")
+    }
+    assert(!p.contains("windowspecdefinition"), "t-closeness must not need a window")
+  }
 }
