@@ -665,6 +665,30 @@ object Similarity {
     * queries is exactly what the index exists to avoid); the overlap is an
     * id-only semi join, and both inputs are already-gated operators.
     */
+  /** MRR probe of the IVF index — the third standard retrieval metric next
+    * to recall@k (overlap count) and nDCG (whole-list grading): the rank at
+    * which the EXACT nearest neighbor surfaces in the IVF list, reciprocal
+    * 1/rank, 0 when the true neighbor escaped the probed cells
+    * (rank_of_true = 0 encodes the miss). 1/rank is a single IEEE division
+    * — correctly rounded on every engine, so no quantization table is
+    * needed (unlike nDCG's log2 discounts). Same builders as annRecall:
+    * one brute-force top-1 (the ground truth), one IVF top-k, an equi join.
+    */
+  def annMrr(corpus: DataFrame, queries: DataFrame, k: Int,
+             centroidEvery: Int = 40, nprobe: Int = 2): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, 1)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ivfTopK(corpus, queries, k, centroidEvery, nprobe)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    val found = approx.join(truth, Seq("query_id", "vec_id"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(found.select(col("query_id"), col("rank")), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rank"), lit(0L)).as("rank_of_true"),
+        when(col("rank").isNull, lit(0.0))
+          .otherwise(detRound(lit(1.0) / col("rank"), 6)).as("rr"))
+  }
+
   def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
                 centroidEvery: Int = 40, nprobe: Int = 2): DataFrame = {
     val exact = bruteForceTopK(corpus, queries, k)

@@ -565,6 +565,50 @@ object OracleSql {
        |ORDER BY q.query_id""".stripMargin
   }
 
+  /** q_ann_mrr mirror: rank of the exact nearest neighbor (brute-force
+    * rank 1) within the IVF top-k list; rr = 1/rank (one IEEE division —
+    * engine-exact), 0 on a miss. Shares annRecallSql's CTE pipeline. */
+  def annMrrSql(k: Int, querySel: String, centroidEvery: Int, nprobe: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS emb_q
+       |      FROM embeddings WHERE $querySel),
+       |x_scored AS (SELECT q.query_id, e.vec_id,
+       |    ${detRoundSql(cosineSql("q.emb_q", "e.embedding"), 4)} AS cos
+       |  FROM embeddings e JOIN q ON q.query_id <> e.vec_id),
+       |x_r AS (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM x_scored),
+       |truth AS (SELECT query_id, vec_id FROM x_r WHERE rank = 1),
+       |c0 AS (SELECT vec_id AS cent_id, embedding AS emb_cent
+       |      FROM embeddings WHERE vec_id % $centroidEvery = 0),
+       |assign AS (SELECT vec_id, emb_c, cell FROM (
+       |      SELECT e.vec_id, e.embedding AS emb_c, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM embeddings e, c0) WHERE rn = 1),
+       |probes AS (SELECT query_id, emb_q, cell FROM (
+       |      SELECT q.query_id, q.emb_q, c0.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY ${detRoundSql(cosineSql("q.emb_q", "c0.emb_cent"), 4)} DESC,
+       |                   c0.cent_id) AS rn
+       |      FROM q, c0) WHERE rn <= $nprobe),
+       |a_scored AS (SELECT p.query_id, a.vec_id,
+       |        ${detRoundSql(cosineSql("p.emb_q", "a.emb_c"), 4)} AS cos
+       |      FROM assign a JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id),
+       |a_r AS (SELECT query_id, vec_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |      FROM a_scored),
+       |a AS (SELECT query_id, vec_id, rank FROM a_r WHERE rank <= $k),
+       |f AS (SELECT a.query_id, CAST(a.rank AS BIGINT) AS rank
+       |      FROM a JOIN truth ON a.query_id = truth.query_id
+       |        AND a.vec_id = truth.vec_id)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(f.rank, 0) AS BIGINT) AS rank_of_true,
+       |  CASE WHEN f.rank IS NULL THEN CAST(0 AS DOUBLE)
+       |       ELSE ${detRoundSql("CAST(1 AS DOUBLE) / f.rank", 6)} END AS rr
+       |FROM q LEFT JOIN f ON q.query_id = f.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   /** q_ann_recall mirror: exact top-k (annTopKSql's pipeline) ∩ IVF top-k
     * (annIvfSql's pipeline), recall@k with the constant-k denominator. */
   def annRecallSql(k: Int, querySel: String, centroidEvery: Int, nprobe: Int): String =

@@ -185,6 +185,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annMrr: rr = 1/rank of the exact neighbor, 0 encodes the miss") {
+    val k = 5
+    val out = Similarity.annMrr(corpus, queries, k, centroidEvery = 20, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length.toLong === queries.count())
+    out.foreach { case (q, rank, rr) =>
+      assert(rank >= 0 && rank <= k, s"query $q rank $rank")
+      if (rank == 0) assert(rr === 0.0, s"query $q: miss must have rr 0")
+      else assert(rr === math.floor(1e6 / rank + 0.5) / 1e6, s"query $q rank $rank rr $rr")
+    }
+    // cross-check one query against the builders directly
+    val (q0, rank0, _) = out.head
+    val truth = Similarity.bruteForceTopK(corpus, queries.filter($"vec_id" === q0), 1)
+      .select($"vec_id").collect().head.getLong(0)
+    val ivfRank = Similarity.ivfTopK(corpus, queries.filter($"vec_id" === q0), k,
+      centroidEvery = 20, nprobe = 2)
+      .filter($"vec_id" === truth).select($"rank").collect().headOption.map(_.getLong(0))
+    assert(rank0 === ivfRank.getOrElse(0L))
+  }
+
   test("annRecall: one row per query, n_hits <= n_approx <= k, recall = n_hits/k") {
     val k = 5
     val out = Similarity.annRecall(corpus, queries, k, centroidEvery = 20, nprobe = 2)
