@@ -52,6 +52,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("jaccardPairs drops null-text docs and keeps empty-string as a token") {
+    val withNull = Seq(
+      (1L, "a b c", "en"), (2L, "a b c", "en"),
+      (3L, null.asInstanceOf[String], "en"),
+      (4L, "", "en"), (5L, "", "en")).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.jaccardPairs(withNull, "doc_id", "text", "lang", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((4L, 5L))) // split("") = [""]: the empty token matches
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // null drops
+  }
+
   test("size-ratio prune never removes a pair at or above threshold") {
     // identical pair with very different sizes fails the ratio → jaccard
     // must already be < threshold; verify bound holds on random-ish fixtures
