@@ -40,9 +40,10 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None => SparkEntry.queries
     }
-    // Fixed name order (r5 verdict): Map iteration is hash-dependent, so
-    // warm-cache attribution shifted whenever the query set changed. Sorted
-    // names make round-over-round per-query comparison meaningful.
+    // Fixed (family, name) order (r5 verdict: Map iteration was
+    // hash-dependent, so warm-cache attribution shifted whenever the query
+    // set changed; a deterministic order makes round-over-round per-query
+    // comparison meaningful).
     // Cache hygiene at FAMILY boundaries: queries that share a build-once
     // artifact run contiguously (ordered by (family, name) — deterministic)
     // and the cache is dropped at each family boundary, so no query
