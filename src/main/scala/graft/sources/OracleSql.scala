@@ -159,6 +159,23 @@ object OracleSql {
 
   def inListSql(set: Seq[String]): String = set.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** Shared CTE chain for the pruned, skew-capped co-purchase graph —
+    * mirror of [[graft.operators.Basket.copurchasePairs]]: distinct
+    * (order, part) items, baskets above `maxBasketSize` distinct items
+    * dropped before pair generation, pairs kept at co-occurrence count
+    * ≥ `minSupport`. Exposes CTEs `items` (capped, BIGINT pk) and
+    * `und` (pk_a < pk_b, c_ab) for the graph-family oracles.
+    */
+  def copurchaseCtesSql(minSupport: Int = 3, maxBasketSize: Int = 1024): String =
+    s"""items AS (SELECT ok, pk FROM (
+       |    SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk,
+       |      count(*) OVER (PARTITION BY l_orderkey) AS bsz
+       |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+       |  WHERE bsz <= $maxBasketSize),
+       |und AS (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS c_ab
+       |        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |        GROUP BY 1, 2 HAVING count(*) >= $minSupport)""".stripMargin
+
   // ---- md5-derived 60-bit hash mirrors (graft.operators.Dedup) -------------
 
   /** Mirror of Dedup.hash60: first 15 md5 hex chars as a BIGINT. */

@@ -92,6 +92,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("lift") === 1.0)
   }
 
+  test("copurchasePairs: a mega-basket above the skew cap produces NO pairs") {
+    // one pathological 12-item basket + three honest 2-item baskets; with
+    // the cap at 10, the mega-basket is dropped BEFORE pair generation, so
+    // the quadratic blow-up (66 pairs here, 10^10 at 10^5 items) never forms
+    val mega = (1L to 12L).map(pk => (100L, pk))
+    val small = Seq(1L, 2L, 3L).flatMap(ok => Seq((ok, 1L), (ok, 2L)))
+    val li = (mega ++ small).toDF("l_orderkey", "l_partkey")
+    val out = Basket.copurchasePairs(li, minSupport = 3, maxBasketSize = 10).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1), out.head.getLong(2)) === ((1L, 2L, 3L)))
+    // and the capped item universe also excludes the mega-basket from
+    // marginals: lift sees n_orders = 3, c_a = c_b = 3 -> lift = 1.0
+    val lift = Basket.cooccurrenceLift(li, minSupport = 3, maxBasketSize = 10).collect()
+    assert(lift.length === 1 && lift.head.getAs[Double]("lift") === 1.0)
+  }
+
+  test("copurchaseEdges mirrors every pruned pair in both directions") {
+    val li = Seq(1L, 2L, 3L).flatMap(ok => Seq((ok, 10L), (ok, 20L)))
+      .toDF("l_orderkey", "l_partkey")
+    val edges = Basket.copurchaseEdges(Basket.copurchasePairs(li))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((10L, 20L), (20L, 10L)))
+  }
+
   // ---- BM25 ---------------------------------------------------------------
 
   test("bm25TopTerms: matches the hand-computed formula and saturates tf") {

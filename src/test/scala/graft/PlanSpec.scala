@@ -263,6 +263,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("windowspecdefinition"))
   }
 
+  test("q_pagerank_step: edges come from the pruned pair artifact, joins stay equi") {
+    val p = plan("q_pagerank_step")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // scalar n_nodes broadcast is the only permitted nested-loop attachment
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { line =>
+      assert(line.contains("Cross"), s"non-scalar nested loop join: $line")
+    }
+    // the skew cap's per-basket size window must sit under the pair join
+    assert(p.contains("windowspecdefinition"),
+      "expected the max-basket-size count window in the edge build")
+  }
+
   test("q_triangle_count: wedge formation and closing are equi joins, never all-pairs") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), p.take(2000))
