@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extract as per-partition batch functions.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
-  * [[stubDecode]] is a deterministic fake clearly marked as such. Everything
-  * around it (schema, batching, partitioning, output shape) is the real
-  * Spark plumbing a production decode (JNI codec / Pandas UDF in PySpark)
-  * would drop into.
+  * Container-header METADATA decode is REAL: [[decodeHeader]] parses the
+  * public PNG (IHDR), JPEG (SOF0/SOF2 frame header) and GIF (logical screen
+  * descriptor) formats to their true dimensions. PIXEL decode and feature
+  * extraction remain a deterministic stub ([[stubDecode]] — the container
+  * ships no codecs); payloads that match no real container signature (the
+  * synthetic UTF-8 fixtures) fall through to the stub, so the fabricated
+  * path exists ONLY for opaque synthetic bytes. Everything around the codec
+  * (schema, batching, partitioning, output shape) is the real Spark plumbing
+  * a production decode (JNI codec / Pandas UDF in PySpark) drops into.
   */
 object Multimodal {
 
@@ -29,10 +33,62 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("feature", ArrayType(DoubleType))))
 
-  /** ??? REAL DECODE GOES HERE ??? — stub: derives fake width/height and an
-    * 8-dim "feature vector" from the bytes deterministically. A real
-    * implementation would decode the image and run feature extraction; the
-    * signature (bytes in, struct + vector out) is what matters.
+  private def u8(b: Byte): Int = java.lang.Byte.toUnsignedInt(b)
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b(i)) << 8) | u8(b(i + 1))
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b(i)).toLong << 24) | (u8(b(i + 1)) << 16) | (u8(b(i + 2)) << 8) | u8(b(i + 3))
+  private def le16(b: Array[Byte], i: Int): Int = u8(b(i)) | (u8(b(i + 1)) << 8)
+
+  private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** REAL container-header parse — (format, width, height) from the public
+    * on-disk layouts, or None when the bytes match no known signature:
+    *
+    *  - PNG: 8-byte signature, then the mandatory first chunk is IHDR with
+    *    width/height as the first two big-endian u32s of its data
+    *    (offsets 16 and 20).
+    *  - JPEG: FF D8 SOI, then marker segments (FF xx + u16 big-endian
+    *    length including itself); dimensions live in the first frame header
+    *    SOF0–SOF15 (C0–CF minus the non-frame C4/C8/CC) as
+    *    [precision u8][height u16][width u16].
+    *  - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor's
+    *    little-endian u16 width/height at offsets 6 and 8.
+    */
+  def decodeHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes.length >= 24 && bytes.startsWith(PngSig) &&
+        new String(bytes, 12, 4, "US-ASCII") == "IHDR") {
+      val w = be32(bytes, 16); val h = be32(bytes, 20)
+      if (w > 0 && h > 0) return Some(("png", w.toInt, h.toInt))
+    }
+    if (bytes.length >= 4 && u8(bytes(0)) == 0xFF && u8(bytes(1)) == 0xD8) {
+      var i = 2
+      while (i + 9 <= bytes.length && u8(bytes(i)) == 0xFF) {
+        val marker = u8(bytes(i + 1))
+        if (marker == 0xFF) { i += 1 } // fill byte padding before a marker
+        else if (marker >= 0xC0 && marker <= 0xCF &&
+                 marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          val h = be16(bytes, i + 5); val w = be16(bytes, i + 7)
+          return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+        } else if (marker >= 0xD0 && marker <= 0xD9) {
+          i += 2 // standalone RST/SOI/EOI marker, no length field
+        } else {
+          i += 2 + be16(bytes, i + 2) // skip segment (length includes itself)
+        }
+      }
+      return None
+    }
+    if (bytes.length >= 10 && (new String(bytes, 0, 6, "US-ASCII") == "GIF87a" ||
+        new String(bytes, 0, 6, "US-ASCII") == "GIF89a")) {
+      val w = le16(bytes, 6); val h = le16(bytes, 8)
+      if (w > 0 && h > 0) return Some(("gif", w, h))
+    }
+    None
+  }
+
+  /** STUB for payloads with no real container signature (the synthetic
+    * UTF-8 fixtures): derives fake width/height and format from byte
+    * arithmetic, deterministically. Kept ONLY as the opaque-payload
+    * fallback behind [[decodeHeader]].
     */
   def stubDecode(bytes: Array[Byte]): (String, Int, Int, Array[Double]) = {
     val n = bytes.length
@@ -41,14 +97,29 @@ object Multimodal {
     }
     val width = 64 + (n % 512)
     val height = 64 + ((n * 7) % 512)
-    val feature = Array.tabulate(8) { i =>
+    (fmt, width, height, byteFoldFeature(bytes))
+  }
+
+  /** Deterministic 8-dim byte-fold "feature vector" — the feature-extraction
+    * stand-in for BOTH paths (no ML runtime in the container; a production
+    * pipeline swaps in its encoder here, same signature). */
+  def byteFoldFeature(bytes: Array[Byte]): Array[Double] = {
+    val n = bytes.length
+    Array.tabulate(8) { i =>
       var h = 1125899906842597L
       var j = i
       while (j < n) { h = h * 31 + bytes(j); j += 97 }
       (h % 1000L).toDouble / 1000.0
     }
-    (fmt, width, height, feature)
   }
+
+  /** Header-first decode: real container dimensions when the payload IS a
+    * real container, stub arithmetic otherwise. */
+  def decode(bytes: Array[Byte]): (String, Int, Int, Array[Double]) =
+    decodeHeader(bytes) match {
+      case Some((fmt, w, h)) => (fmt, w, h, byteFoldFeature(bytes))
+      case None => stubDecode(bytes)
+    }
 
   /** Per-partition decode → metadata table. `mapPartitions` is the Scala
     * analogue of `mapInPandas`: one batch of rows per partition flows
@@ -61,7 +132,7 @@ object Multimodal {
       it.map { r =>
         val docId = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val (fmt, w, h, feat) = stubDecode(bytes)
+        val (fmt, w, h, feat) = decode(bytes)
         Row(docId, bytes.length.toLong, fmt, w, h, feat.toSeq)
       }
     }
