@@ -35,8 +35,9 @@ final case class Warehouse(
     * `format` accepts any columnar batch format on the classpath —
     * "parquet" (default) or "orc", matching the `orc:` read locator.
     */
-  def write(outDir: String, format: String = "parquet"): Unit =
-    tables.foreach { case (name, df) =>
+  def write(outDir: String, format: String = "parquet",
+            decimalExact: Boolean = false): Unit =
+    sinkTables(decimalExact).foreach { case (name, df) =>
       df.write.mode("overwrite").format(format).save(s"$outDir/$name")
     }
 
@@ -86,12 +87,26 @@ final case class Warehouse(
     * 30-row dim needs one connection, not 32 — while the fact keeps its
     * partitioning. Derby-tested (WarehouseSpec), like the JDBC source.
     */
-  def writeJdbc(url: String, mode: String = "overwrite"): Unit =
-    tables.foreach { case (name, df) =>
+  def writeJdbc(url: String, mode: String = "overwrite",
+                decimalExact: Boolean = false): Unit =
+    sinkTables(decimalExact).foreach { case (name, df) =>
       val out = if (name == "fato_vendas") df else df.coalesce(1)
       out.write.mode(mode).option("batchsize", "10000")
         .jdbc(url, name, new java.util.Properties())
     }
+
+  /** Sink-facing table list. With `decimalExact`, money/percent columns are
+    * cast to the reference DW DDL's exact DECIMAL types
+    * (sql/cria_dw.sql:79-81,112,134-141) so a BI tool pointed at the sink
+    * sees money-typed columns, not doubles. The ENGINE keeps DoubleType
+    * throughout (SURVEY §1.2 — doubles reproduce the reference's observed
+    * Python-float arithmetic); the cast happens once, at the sink boundary,
+    * with HALF_UP rounding to the DDL scale — the same rounding PostgreSQL
+    * applies on INSERT of an over-precise value.
+    */
+  def sinkTables(decimalExact: Boolean): Seq[(String, DataFrame)] =
+    if (!decimalExact) tables
+    else tables.map { case (name, df) => name -> Warehouse.withDdlDecimals(name, df) }
 
   /** Idempotent load (S7 — the reference's `INSERT … ON CONFLICT DO NOTHING`,
     * etl_completo.py:172-177 et al.): rows whose natural key already exists
@@ -185,6 +200,38 @@ object Warehouse {
     * target's max on idempotent top-up appends.
     */
   val regeneratedSks: Map[String, String] = Map("fato_vendas" -> "sk_venda")
+
+  /** The reference DW DDL's DECIMAL column types, per table
+    * (sql/cria_dw.sql:79-81 dim_produto, :112 dim_promocao,
+    * :134-141 fato_vendas). Only columns present in the built table are
+    * cast — the engine's fact omits none of these, but the guard keeps the
+    * map robust to schema evolution.
+    */
+  val ddlDecimals: Map[String, Map[String, org.apache.spark.sql.types.DecimalType]] = {
+    import org.apache.spark.sql.types.DecimalType
+    val d10 = DecimalType(10, 2); val d12 = DecimalType(12, 2); val d5 = DecimalType(5, 2)
+    Map(
+      "dim_produto" -> Map(
+        "preco_unitario" -> d10, "custo_unitario" -> d10, "margem_lucro" -> d5),
+      "dim_promocao" -> Map("percentual_desconto" -> d5),
+      "fato_vendas" -> Map(
+        "preco_unitario_venda" -> d10, "valor_total_item" -> d12,
+        "custo_unitario" -> d10, "custo_total_item" -> d12,
+        "lucro_bruto" -> d12, "percentual_desconto" -> d5,
+        "valor_desconto" -> d10, "valor_final" -> d12))
+  }
+
+  /** Cast `df`'s money columns to the DDL-exact decimal schema for `name`
+    * (identity for tables the DDL types without decimals). */
+  def withDdlDecimals(name: String, df: DataFrame): DataFrame =
+    ddlDecimals.get(name) match {
+      case None => df
+      case Some(cols) =>
+        import org.apache.spark.sql.functions.col
+        cols.foldLeft(df) { case (acc, (c, t)) =>
+          if (acc.columns.contains(c)) acc.withColumn(c, col(c).cast(t)) else acc
+        }
+    }
 
   /** One Warehouse per (session, dir): `build` is called by several queries
     * (`q_fato_vendas`, `q_report_summary`, `entry`) in one session; without

@@ -67,6 +67,37 @@ class WarehouseSpec extends SparkSpec {
       === w.dimLocalidade.count())
   }
 
+  test("DECIMAL-exact sink: DDL money types round-trip through parquet and Derby") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.types.DecimalType
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("dw_dec").toString
+    w.write(out, decimalExact = true)
+    // parquet sink carries the DDL-exact decimal schema for every typed column
+    Warehouse.ddlDecimals.foreach { case (table, cols) =>
+      val schema = spark.read.parquet(s"$out/$table").schema
+      cols.foreach { case (c, t) =>
+        assert(schema(c).dataType === t, s"$table.$c should be $t, was ${schema(c).dataType}")
+      }
+    }
+    // and values are the HALF_UP cents rounding of the engine's doubles
+    val sunk = spark.read.parquet(s"$out/fato_vendas")
+    assert(sunk.schema("valor_final").dataType === DecimalType(12, 2))
+    val centsOfDoubles = w.fatoVendas
+      .agg(sum(col("valor_final").cast(DecimalType(12, 2)))).collect()(0).getDecimal(0)
+    assert(sunk.agg(sum(col("valor_final"))).collect()(0).getDecimal(0)
+      .compareTo(centsOfDoubles) === 0)
+
+    // Derby round-trip: the JDBC DW exposes DECIMAL, not DOUBLE, and keeps
+    // the cent-exact total
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft_derby_dec")}/dw;create=true"
+    w.writeJdbc(url, decimalExact = true)
+    val jdbcFato = graft.sources.Crm.table(spark, url, "fato_vendas")
+    assert(jdbcFato.schema("valor_final").dataType.isInstanceOf[DecimalType])
+    assert(jdbcFato.agg(sum(col("valor_final"))).collect()(0).getDecimal(0)
+      .compareTo(centsOfDoubles) === 0)
+  }
+
   test("partitioned fact write: year filter prunes partitions at the scan") {
     val w = Warehouse.build(spark, "/root/testdata/sf0.001")
     val out = Files.createTempDirectory("dw_part").toString
