@@ -341,13 +341,17 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val t = tNum.toDouble / tDen
     val sh = withShingles(docs, id, text).cache()
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // n rides the explode (sh is distinct per doc, so |sh| = per-doc shingle
+    // count), replacing a per-doc count window. df stays a groupBy+join —
+    // NOT a count window over the shingle partition: the aggregate is
+    // map-side-combined to vocabulary size and AQE broadcasts it, where a
+    // window would full-shuffle-and-sort every exploded row by shingle
+    // (measured ~0.5 s slower at sf0.1).
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ranked = ex.join(dfreq, Seq("s"))
-    val perDoc = Window.partitionBy(col("doc_id"))
-    val pre = ranked
-      .withColumn("rn", row_number().over(perDoc.orderBy(col("df"), col("s"))))
-      .withColumn("n", count(lit(1)).over(perDoc))
+    val pre = ex.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
       // ⌊(1−t)·n⌋+1 = ((den−num)·n) div den + 1, exactly, on any engine
       .filter(col("rn") <= expr(s"(($tDen - $tNum) * n) div $tDen") + 1)
     val cand = pre.select(col("doc_id").as("a"), col("s"))
