@@ -111,25 +111,26 @@ object PyText {
   */
 object GraftFunctions {
 
-  // ---- UDF-backed (Python title-case parity, SURVEY §7.4) -----------------
+  // ---- Python title-case parity (SURVEY §7.4) — native codegen
+  // expressions ([[PyTextExpressions]], r7: formerly Scala UDFs). The
+  // expressions are null-propagating; the reference's null → sentinel
+  // branches live here as codegen'd `when`s.
 
-  val titleCaseUdf = udf(PyText.title _)
-  val cleanTextUdf = udf(PyText.cleanText _)
-  val standardizeNameUdf = udf(PyText.standardizeName _)
-  val standardizeRegionUdf = udf(PyText.standardizeRegion _)
+  /** F1 clean_text as a Column (null → "N/A", like the Python falsy test). */
+  def cleanText(c: Column): Column =
+    when(c.isNull, lit("N/A")).otherwise(PyTextExpressions.pyCleanText(c))
 
-  /** F1 clean_text as a Column. */
-  def cleanText(c: Column): Column = cleanTextUdf(c)
+  /** F2 standardize_name as a Column (null passes through, as in Python). */
+  def standardizeName(c: Column): Column = PyTextExpressions.pyStandardizeName(c)
 
-  /** F2 standardize_name as a Column. */
-  def standardizeName(c: Column): Column = standardizeNameUdf(c)
-
-  /** F3 standardize_region as a Column. */
-  def standardizeRegion(c: Column): Column = standardizeRegionUdf(c)
+  /** F3 standardize_region as a Column (null → "Não Definido"). */
+  def standardizeRegion(c: Column): Column =
+    when(c.isNull, lit("Não Definido")).otherwise(PyTextExpressions.pyStandardizeRegion(c))
 
   /** F6 standardize_product_category (etl_completo.py:1019-1024). */
   def standardizeProductCategory(c: Column): Column =
-    when(c.isNull || c === "", lit("Não Definido")).otherwise(titleCaseUdf(c))
+    when(c.isNull || c === "", lit("Não Definido"))
+      .otherwise(PyTextExpressions.pyTitle(c))
 
   // ---- Pure built-in combinators (codegen-friendly) -----------------------
 

@@ -37,6 +37,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dim builds stay whole-stage codegen: the title-case family is native, not ScalaUDF") {
+    // PyTitle/PyCleanText/... (r7) replace the Scala UDFs; a ScalaUDF in a
+    // dim projection would punch a converter boundary into every q_dim_*
+    Seq("q_dim_cliente", "q_dim_localidade", "q_dim_produto").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+        s"$q projection fell out of codegen:\n" + p.take(1500))
+    }
+    // expression visibility: localidade's projection collapses into
+    // HashAggregate resultExpressions (names only in toString), so assert
+    // the native prettyNames where Project trees ARE printed
+    Seq("q_dim_cliente", "q_dim_produto").foreach { q =>
+      assert(plan(q).contains("graft_py_"), s"$q should use the native PyText expressions")
+    }
+    // (WholeStageCodegen spans aren't printed under un-executed AQE plans;
+    // absence of ScalaUDF + native prettyNames is the codegen property)
+  }
+
   test("q_dedup_minhash: candidate generation is an equi shuffle join, not a nested loop") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
