@@ -120,4 +120,95 @@ object Graph {
     nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
   }
+
+  /** PageRank iterated to convergence — [[pagerankStep]]'s arithmetic
+    * (quantized contribution sums, per-round detRound to 1e-10) in the
+    * [[Dedup.connectedComponents]] execution contract: O(rounds) Spark
+    * jobs, never a driver loop over vertices. Per round: one co-partitioned
+    * join of (edges ⋈ degrees ⋈ ranks) + one map-side-combinable sum; the
+    * edge table and out-degrees are computed ONCE and cached for every
+    * round (at 100 TB they are the persisted graph artifact).
+    *
+    * `tol > 0` adds a per-round max|Δr| scalar probe (rides the same action
+    * that materializes the round's ranks lineage) and stops early at the
+    * fixpoint; `tol = 0` runs exactly `maxIter` rounds — the deterministic
+    * mode the DuckDB oracle unrolls. Eager contract ([[Dedup
+    * .minhashLshPairs]]): build-side caches are released before returning;
+    * the returned ranks are materialized + cached, lifecycle caller-owned.
+    *
+    * Applies to symmetric edge lists (every node has out-edges), like the
+    * co-purchase graph; dangling-node mass redistribution is out of scope,
+    * matching [[pagerankStep]].
+    */
+  def pagerank(edges: DataFrame, maxIter: Int = 20, tol: Double = 0.0,
+               quantScale: Double = 1e12): DataFrame = {
+    val e = edges.cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    var ranks = uniformRanks(e).cache()
+    val nNodes = ranks.count() // materializes ranks; N is constant across rounds
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = e.join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          floor((col("r") / col("deg")) * quantScale + 0.5).as("q"))
+        .groupBy(col("node")).agg(sum(col("q")).as("sq"))
+        .select(col("node"), detRound(lit(0.15) / nNodes +
+          lit(0.85) * (col("sq") / quantScale), 10).as("r"))
+        .cache()
+      if (tol > 0) {
+        // one action: the max|Δr| probe doubles as the cache materializer
+        val delta = next.as("n").join(ranks.as("o"), Seq("node"))
+          .agg(max(abs(col("n.r") - col("o.r"))).as("d"))
+          .collect()(0).getDouble(0)
+        converged = delta <= tol
+      } else next.count()
+      ranks.unpersist()
+      ranks = next
+      iter += 1
+    }
+    e.unpersist()
+    deg.unpersist()
+    ranks
+  }
+
+  /** Label propagation iterated until no node changes its label (or
+    * `maxIter`, which also bounds the 2-cycle oscillation LPA is known
+    * for). Per round = [[labelPropStep]]'s vote join + mode window; the
+    * changed-label count is the round's single action and convergence
+    * probe. Same eager cache contract as [[pagerank]].
+    */
+  def labelProp(pairs: DataFrame, aCol: String, bCol: String,
+                labels: DataFrame, maxIter: Int = 10): DataFrame = {
+    // both directions in ONE pass over the pair lineage (CC's explode
+    // trick), cached once for all rounds
+    val dir = pairs.select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    var cur = labels.select(col("node"), col("label")).cache()
+    var iter = 0
+    var stable = false
+    while (iter < maxIter && !stable) {
+      val votes = dir
+        .join(cur.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("nl"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("node")).orderBy(col("votes").desc, col("nl"))
+      val next = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("node"), col("nl").as("label"))
+        .cache()
+      val changed = next.as("n").join(cur.as("o"), Seq("node"))
+        .agg(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)).as("c"))
+        .collect()(0).getLong(0)
+      stable = changed == 0L
+      cur.unpersist()
+      cur = next
+      iter += 1
+    }
+    dir.unpersist()
+    cur
+  }
 }

@@ -176,6 +176,32 @@ object OracleSql {
        |        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
        |        GROUP BY 1, 2 HAVING count(*) >= $minSupport)""".stripMargin
 
+  /** `iters` unrolled PageRank rounds over the pruned co-purchase graph —
+    * mirror of [[graft.operators.Graph.pagerank]] in its deterministic
+    * (tol = 0) mode: each round quantizes contributions to 1e-12 integers
+    * before summing and rounds the new rank to 1e-10, so every round's
+    * ranks are bit-identical cross-engine and the chain composes exactly.
+    */
+  def pagerankChainSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
+         |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node),
+         |s$i AS (SELECT node, sum(q) AS sq FROM c$i GROUP BY 1),
+         |r$i AS (SELECT node, ${detRoundSql(
+               "CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * (sq / 1000000000000.0)", 10)} AS r
+         |       FROM s$i, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${copurchaseCtesSql()},
+       |e AS (SELECT pk_a AS src, pk_b AS dst FROM und
+       |      UNION ALL SELECT pk_b AS src, pk_a AS dst FROM und),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS r FROM nodes, nn),
+       |$steps
+       |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
+  }
+
   // ---- md5-derived 60-bit hash mirrors (graft.operators.Dedup) -------------
 
   /** Mirror of Dedup.hash60: first 15 md5 hex chars as a BIGINT. */

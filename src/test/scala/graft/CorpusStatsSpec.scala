@@ -361,6 +361,49 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1L) > out(2L), "hub must out-rank leaves")
   }
 
+  test("pagerank: path graph converges to the analytic stationary ranks, early-exits on tol") {
+    // symmetric path 1 - 2 - 3: stationary solution of
+    //   a = 0.15/3 + 0.85 * (b/2)   (ends)
+    //   b = 0.15/3 + 0.85 * (a + c) (middle, a = c)
+    // => b = 0.135/0.2775 ≈ 0.486486, a ≈ 0.256757
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val out = graft.operators.Graph.pagerank(edges, maxIter = 60, tol = 1e-9)
+    val ranks = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    out.unpersist()
+    assert(math.abs(ranks(2L) - 0.135 / 0.2775) < 1e-6)
+    assert(math.abs(ranks(1L) - (0.05 + 0.425 * 0.135 / 0.2775)) < 1e-6)
+    assert(math.abs(ranks(1L) - ranks(3L)) < 1e-12, "symmetric ends must tie")
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pagerank: tol=0 runs exactly maxIter rounds (matches manually chained steps)") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val viaLoop = graft.operators.Graph.pagerank(edges, maxIter = 3)
+    val viaSteps = {
+      var r = graft.operators.Graph.uniformRanks(edges)
+      (1 to 3).foreach(_ => r = graft.operators.Graph.pagerankStep(edges, r))
+      r
+    }
+    val a = viaLoop.orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = viaSteps.orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    viaLoop.unpersist()
+    assert(a === b)
+  }
+
+  test("labelProp: two triangles joined by a bridge settle into two communities") {
+    // triangle {1,2,3} - bridge - triangle {4,5,6}; seeds = node id
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    val nodes = (1L to 6L).toDF("node")
+    val out = graft.operators.Graph.labelProp(pairs, "a", "b",
+      nodes.withColumn("label", col("node")), maxIter = 10)
+    val lab = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.unpersist()
+    // each triangle agrees internally on the smallest seed that won the vote
+    assert(lab(1L) === lab(2L) && lab(2L) === lab(3L), s"left triangle split: $lab")
+    assert(lab(4L) === lab(5L) && lab(5L) === lab(6L), s"right triangle split: $lab")
+  }
+
   // ---- Line dedup ---------------------------------------------------------
 
   test("lineDedup: a repeated 10-word line is flagged only on its later copy") {
