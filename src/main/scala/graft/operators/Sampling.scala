@@ -133,13 +133,12 @@ object Sampling {
     *
     * Output: (user, pos_item, j, neg_item) — one row per surviving draw.
     *
-    * Cache ownership: the operator is LAZY, so the two `cache()`d artifacts
-    * below (distinct positives, dense item index) cannot be unpersisted
-    * here — the CALLER owns their lifecycle (same contract as
-    * [[Dedup.minhashLshPairs]]'s signature table). Both are bounded
-    * (distinct pairs / distinct items), LRU-evictable, and dropped by
-    * `spark.catalog.clearCache()`; a long-lived session running many
-    * operators should clear between them (as `Bench` does).
+    * Cache ownership — the [[Dedup.minhashLshPairs]] eager contract (r6
+    * verdict #7, unified r7): the draw table is materialized HERE, the two
+    * build-side caches (distinct positives, dense item index) are released
+    * before returning, and the returned (bounded, ≤ k·|P|-row) result is
+    * itself cached with a caller-owned lifecycle. No lazy operator leaves
+    * hidden caches behind.
     */
   def negativeSample(pos: DataFrame, userCol: Column, itemCol: Column,
                      k: Int): DataFrame = {
@@ -162,11 +161,17 @@ object Sampling {
           % col("n_items") + 1L)
       .select(col("user"), col("item").as("pos_item"),
         col("j").cast("long").as("j"), col("idx"))
-    cand.join(items.select(col("idx"), col("item").as("neg_item")), Seq("idx"))
+    val result = cand
+      .join(items.select(col("idx"), col("item").as("neg_item")), Seq("idx"))
       .join(p.select(col("user"), col("item").as("neg_item"),
         lit(true).as("__hit")), Seq("user", "neg_item"), "left")
       .filter(col("__hit").isNull)
       .select(col("user"), col("pos_item"), col("j"), col("neg_item"))
+      .cache()
+    result.count() // materialize, then release the build-side caches
+    p.unpersist()
+    items.unpersist()
+    result
   }
 
   /** Temperature-scaled mixture sampling (the multilingual-corpus mixing

@@ -59,9 +59,18 @@ class SamplingSpec extends SparkSpec {
     }
     // at most k draws per positive, and fully deterministic across partitionings
     assert(out.groupBy(t => (t._1, t._2)).values.map(_.size).max <= 3)
+    // eager contract (r7): only the returned (cached) result may be a NEW
+    // storage entry — the build-side positives/item-index caches must have
+    // been released inside the operator
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val again = Sampling.negativeSample(pos.repartition(7), $"u", $"i", k = 3)
+    val againRows = again
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(again.toSet === out.toSet)
+    assert(againRows.toSet === out.toSet)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"negativeSample left ${added.size} storage entries (expected just the result)")
+    again.unpersist(blocking = true)
   }
 
   test("stratified sample with an empty fraction map drops everything (no throw)") {
