@@ -343,4 +343,33 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Rabin–Karp rolling fingerprint (min of all k-char window polynomial
+    * hashes — [[graft.operators.TextAnalysis.rollingFingerprint]]) as a
+    * native codegen expression (r7, formerly a Scala UDF): the per-row
+    * work is the same sequential fold, emitted as a direct static call
+    * inside WholeStageCodegen. Null-propagating; the `null → 0` sentinel
+    * stays at the Column layer (TextAnalysis.fingerprints), matching the
+    * oracle's CASE.
+    */
+  case class RollingFingerprint(child: Expression, k: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_rolling_fingerprint"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${dt.catalogString}")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(input: Any): Any =
+      graft.operators.TextAnalysis.rollingFingerprint(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.operators.TextAnalysis.rollingFingerprint($c.toString(), $k)")
+  }
+
+  def rollingFingerprint(text: Column, k: Int): Column =
+    GraftColumnBridge.column(RollingFingerprint(GraftColumnBridge.expression(text), k))
 }

@@ -158,7 +158,6 @@ object TextAnalysis {
     h
   }
 
-  val fingerprintUdf = udf((s: String) => rollingFingerprint(s))
 
   /** TF-rarity top terms per document (TF-IDF with `N/df` rarity instead of
     * `log(N/df)` — log's last-ULP varies across libm implementations, while
@@ -182,7 +181,11 @@ object TextAnalysis {
   }
 
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id).as("doc_id"), fingerprintUdf(col(text)).as("fingerprint"))
+    // native expression (codegen); null text → 0 like the Python-falsy
+    // convention and the oracle's CASE (rollingFingerprint("") is 0 itself)
+    docs.select(col(id).as("doc_id"),
+      coalesce(graft.functions.VectorExpressions.rollingFingerprint(col(text), 8), lit(0L))
+        .as("fingerprint"))
 
   /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     * '03): hash every word k-gram, slide a window of `w` consecutive gram
