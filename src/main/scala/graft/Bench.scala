@@ -68,25 +68,31 @@ object Bench {
       if (family(name) != prevFamily) spark.catalog.clearCache()
       prevFamily = family(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // A crashing query must FAIL the bench (r5 verdict: swallowing it
-          // records a near-zero time — a regression would improve the
-          // headline). Record, report, and exit nonzero below.
-          failed += name
-          System.err.println(
-            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            // A crashing query must FAIL the bench (r5 verdict: swallowing
+            // it records a near-zero time — a regression would improve the
+            // headline). Record, report, and exit nonzero below.
+            failed += name
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      // elapsed-until-crash is not a query time: persist null for failed
+      // queries and keep them out of the total, so BENCH_LOCAL.json never
+      // mixes failure times into round-over-round comparison (ADVICE r6)
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
     // The harness records only the last ~2000 chars of output. Per-query
     // times are rounded to 3 decimals to keep the line short, and the
     // headline metric/value go LAST so that even if the line's head is
     // truncated by that window, the total is still visible.
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val qs = results.map { case (k, v) =>
+        s"\"" + k + "\":" + v.map(r3).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""

@@ -96,6 +96,13 @@ object Dedup {
     * intersection/union counts are the word-set counts. The vocabulary
     * probe is an action: this operator is eager like [[containmentPairs]].
     *
+    * PRECONDITION (shared with every eager operator here): `docs` must be
+    * DETERMINISTIC — the probe and the later encode evaluate the lineage
+    * twice, so a non-deterministic upstream (`sample`,
+    * `monotonically_increasing_id`) could yield words absent from the
+    * probed vocabulary, nulling that doc's bitmask and silently dropping
+    * it. Cache or checkpoint such inputs first.
+    *
     * Why not the DF-ranked prefix filter (containmentPairs' candidate
     * scheme)? On high-redundancy corpora — small vocabularies, every token
     * near-universal — the prefix filter degenerates to all-pairs (measured
@@ -114,7 +121,10 @@ object Dedup {
     // Bounded eager probe: at most 65 vocabulary rows ever reach the driver.
     val probe = tok.select(col("s")).distinct().limit(65)
       .collect().map(_.getString(0))
-    val bitmask = probe.length <= 64
+    // empty vocabulary (zero docs, or every text null/empty) must take the
+    // array path: map_from_arrays(array(), array()) would be a NullType-
+    // keyed map and fail analysis in element_at (ADVICE r6)
+    val bitmask = probe.nonEmpty && probe.length <= 64
     val prepared = (if (bitmask) {
       // ≤64 distinct words: word→power-of-two as a literal map (sorted for
       // determinism, constant-folded by Catalyst), folded over each row's

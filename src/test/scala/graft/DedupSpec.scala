@@ -64,6 +64,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // null drops
   }
 
+  test("jaccardPairs: empty vocabulary (all-null corpus / zero docs) yields empty, no throw") {
+    // ADVICE r6: an empty probed vocab must not build a NullType-keyed
+    // power map (element_at would fail analysis) — it short-circuits to
+    // the array path, which yields no pairs
+    val allNull = Seq((1L, null.asInstanceOf[String], "en"),
+      (2L, null.asInstanceOf[String], "en")).toDF("doc_id", "text", "lang")
+    assert(Dedup.jaccardPairs(allNull, "doc_id", "text", "lang", 0.5).count() === 0L)
+    val empty = spark.emptyDataset[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(Dedup.jaccardPairs(empty, "doc_id", "text", "lang", 0.5).count() === 0L)
+  }
+
   test("size-ratio prune never removes a pair at or above threshold") {
     // identical pair with very different sizes fails the ratio → jaccard
     // must already be < threshold; verify bound holds on random-ish fixtures
