@@ -95,6 +95,28 @@ final case class Warehouse(
         .jdbc(url, name, new java.util.Properties())
     }
 
+  /** Stage-level BEST-EFFORT load — the reference's error model
+    * (etl_completo.py:184,704 et al.): every stage is its own
+    * try / log / roll back / continue block, so one failing dimension
+    * never aborts the others. The rollback analogue is Spark's per-
+    * directory commit protocol: a failed job commits nothing to the
+    * target, exactly as the reference's `conn_dw.rollback()` leaves the
+    * stage's table untouched. Returns one (table, error) row per stage —
+    * `None` = loaded; the caller decides whether partial success is
+    * acceptable (the reference always continued).
+    */
+  def writeBestEffort(outDir: String, format: String = "parquet",
+                      decimalExact: Boolean = false): Seq[(String, Option[String])] =
+    sinkTables(decimalExact).map { case (name, df) =>
+      try {
+        df.write.mode("overwrite").format(format).save(s"$outDir/$name")
+        name -> None
+      } catch {
+        case e: Exception =>
+          name -> Some(s"${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+
   /** Sink-facing table list. With `decimalExact`, money/percent columns are
     * cast to the reference DW DDL's exact DECIMAL types
     * (sql/cria_dw.sql:79-81,112,134-141) so a BI tool pointed at the sink

@@ -98,6 +98,30 @@ class WarehouseSpec extends SparkSpec {
       .compareTo(centsOfDoubles) === 0)
   }
 
+  test("best-effort load: one failing stage is reported, every other table still lands") {
+    val w = Warehouse.build(spark, "/root/testdata/sf0.001")
+    // poison exactly one dimension with a plan that fails at execution
+    import spark.implicits._
+    val poisonDf = spark.range(1)
+      .map[Long] { _ => sys.error("poisoned stage") }.toDF("x")
+    val poisoned = w.copy(dimLoja = poisonDf)
+    val out = Files.createTempDirectory("dw_be").toString
+    val report = poisoned.writeBestEffort(out)
+    assert(report.size === w.tables.size)
+    val failed = report.filter(_._2.isDefined).map(_._1)
+    assert(failed === Seq("dim_loja"), s"expected only dim_loja to fail: $report")
+    // the reference's continue-on-error: all OTHER stages committed their data
+    report.filter(_._2.isEmpty).foreach { case (name, _) =>
+      assert(spark.read.parquet(s"$out/$name").count() ===
+        w.tables.toMap.apply(name).count(), s"$name missing after best-effort load")
+    }
+    // and the failed stage COMMITTED nothing (rollback analogue): the dir
+    // shell may exist, but no part-file made it past the commit protocol
+    val committed = Option(new java.io.File(s"$out/dim_loja").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("part-"))
+    assert(committed.isEmpty, s"failed stage committed files: ${committed.mkString(",")}")
+  }
+
   test("partitioned fact write: year filter prunes partitions at the scan") {
     val w = Warehouse.build(spark, "/root/testdata/sf0.001")
     val out = Files.createTempDirectory("dw_part").toString
