@@ -141,11 +141,25 @@ object Graph {
     * matching [[pagerankStep]].
     */
   def pagerank(edges: DataFrame, maxIter: Int = 20, tol: Double = 0.0,
-               quantScale: Double = 1e12): DataFrame = {
+               quantScale: Double = 1e12): DataFrame =
+    pagerankRun(edges, maxIter, tol, quantScale)._1
+
+  /** [[pagerank]] plus the number of rounds actually executed — the
+    * observable the early-exit spec pins. */
+  def pagerankRun(edges: DataFrame, maxIter: Int = 20, tol: Double = 0.0,
+                  quantScale: Double = 1e12): (DataFrame, Int) = {
     val e = edges.cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
-    var ranks = uniformRanks(e).cache()
-    val nNodes = ranks.count() // materializes ranks; N is constant across rounds
+    // Per-round state is localCheckpoint'ed, NOT cached: caching keeps the
+    // full O(rounds)-deep logical plan (round N's lineage nests every
+    // earlier round), and AQE re-renders that plan's string per stage —
+    // measured to OOM the driver near 60 rounds. The checkpoint truncates
+    // lineage to O(1) per round (the CC scaladoc's rule); eager=true also
+    // plays the materializing action. Executor loss invalidates local
+    // checkpoints — a multi-day production loop would use reliable
+    // checkpointing to a path instead.
+    var ranks = uniformRanks(e).localCheckpoint()
+    val nNodes = ranks.count() // N is constant across rounds
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -156,21 +170,21 @@ object Graph {
         .groupBy(col("node")).agg(sum(col("q")).as("sq"))
         .select(col("node"), detRound(lit(0.15) / nNodes +
           lit(0.85) * (col("sq") / quantScale), 10).as("r"))
-        .cache()
+        .localCheckpoint()
       if (tol > 0) {
-        // one action: the max|Δr| probe doubles as the cache materializer
         val delta = next.as("n").join(ranks.as("o"), Seq("node"))
           .agg(max(abs(col("n.r") - col("o.r"))).as("d"))
           .collect()(0).getDouble(0)
         converged = delta <= tol
-      } else next.count()
-      ranks.unpersist()
+      }
+      // previous round's checkpoint blocks are released by the
+      // ContextCleaner once unreferenced
       ranks = next
       iter += 1
     }
     e.unpersist()
     deg.unpersist()
-    ranks
+    (ranks, iter)
   }
 
   /** Label propagation iterated until no node changes its label (or
@@ -188,7 +202,9 @@ object Graph {
         struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    var cur = labels.select(col("node"), col("label")).cache()
+    // localCheckpoint per round, same rationale as [[pagerank]]: O(1)
+    // lineage depth instead of O(rounds)
+    var cur = labels.select(col("node"), col("label")).localCheckpoint()
     var iter = 0
     var stable = false
     while (iter < maxIter && !stable) {
@@ -199,12 +215,11 @@ object Graph {
       val w = Window.partitionBy(col("node")).orderBy(col("votes").desc, col("nl"))
       val next = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("node"), col("nl").as("label"))
-        .cache()
+        .localCheckpoint()
       val changed = next.as("n").join(cur.as("o"), Seq("node"))
         .agg(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)).as("c"))
         .collect()(0).getLong(0)
       stable = changed == 0L
-      cur.unpersist()
       cur = next
       iter += 1
     }

@@ -366,14 +366,23 @@ class CorpusStatsSpec extends SparkSpec {
     //   a = 0.15/3 + 0.85 * (b/2)   (ends)
     //   b = 0.15/3 + 0.85 * (a + c) (middle, a = c)
     // => b = 0.135/0.2775 ≈ 0.486486, a ≈ 0.256757
+    // contraction is ~0.85/round, so tol=1e-6 is hit near round 90 and the
+    // residual error is within ~6x tol of the fixpoint
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
-    val out = graft.operators.Graph.pagerank(edges, maxIter = 60, tol = 1e-9)
+    val (out, iters) = graft.operators.Graph.pagerankRun(edges, maxIter = 300, tol = 1e-6)
     val ranks = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
-    out.unpersist()
-    assert(math.abs(ranks(2L) - 0.135 / 0.2775) < 1e-6)
-    assert(math.abs(ranks(1L) - (0.05 + 0.425 * 0.135 / 0.2775)) < 1e-6)
+    assert(iters < 300, "tol early-exit never fired")
+    assert(math.abs(ranks(2L) - 0.135 / 0.2775) < 1e-5)
+    assert(math.abs(ranks(1L) - (0.05 + 0.425 * 0.135 / 0.2775)) < 1e-5)
     assert(math.abs(ranks(1L) - ranks(3L)) < 1e-12, "symmetric ends must tie")
-    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-5)
+
+    // a symmetric 2-node graph is AT the fixpoint from round one: the
+    // early exit must fire immediately
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (fix, fixIters) = graft.operators.Graph.pagerankRun(pair, maxIter = 50, tol = 1e-12)
+    assert(fixIters === 1, s"fixpoint graph ran $fixIters rounds")
+    assert(fix.collect().map(_.getDouble(1)).forall(_ === 0.5))
   }
 
   test("pagerank: tol=0 runs exactly maxIter rounds (matches manually chained steps)") {
