@@ -58,8 +58,13 @@ object Bench {
     // alphabetically scattered but all call Warehouse.build.
     val warehouseFamily = Set(
       "q_fato_vendas", "q_fato_vendas_v2", "q_report_summary", "q_stream_fato")
+    // the five graph queries share the memoized co-purchase pair artifact
+    // (SparkEntry.copurchasePairsArtifact) — one contiguous cache window
+    val graphFamily = Set("q_cooccur_lift", "q_triangle_count", "q_label_prop",
+      "q_pagerank", "q_pagerank_step")
     def family(n: String): String =
       if (warehouseFamily(n)) "q_dim" // runs with the dim queries' window
+      else if (graphFamily(n)) "q_cooccur"
       else n.split("_").take(2).mkString("_")
     val ordered = selected.toSeq.sortBy { case (n, _) => (family(n), n) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
