@@ -33,9 +33,27 @@ class GraftExtensionsSpec extends SparkSpec {
   test("the extensions class wires the same functions (spark.sql.extensions path)") {
     val names = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(names === Set("dot_fp", "sorted_jaccard", "sorted_intersect_count",
-      "shingle_set", "topk_by_score"))
+      "shingle_set", "topk_by_score", "py_title", "py_clean_text",
+      "py_standardize_name", "py_standardize_region", "rolling_fingerprint"))
     // the class applies without error against a fresh extensions holder
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("py_* and rolling_fingerprint reach spark.sql with PyText/UDF-era semantics") {
+    val s = spark
+    GraftExtensions.install(s)
+    val r = s.sql(
+      """SELECT py_title("o'neil-x2y") AS t,
+        |  py_clean_text('  spaced   out  ') AS c,
+        |  py_standardize_name('maria da silva') AS n,
+        |  py_standardize_region('são paulo') AS g,
+        |  rolling_fingerprint('abcdefghij', 8) AS f""".stripMargin).head()
+    assert(r.getString(0) === "O'Neil-X2Y")
+    assert(r.getString(1) === "Spaced Out")
+    assert(r.getString(2) === "Maria da Silva")
+    assert(r.getString(3) === "São Paulo")
+    assert(r.getLong(4) ===
+      graft.operators.TextAnalysis.rollingFingerprint("abcdefghij", 8))
   }
 
   test("madOutliers: median/MAD exact on a hand set, outliers counted beyond 3*MAD") {
