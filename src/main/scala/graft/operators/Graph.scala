@@ -134,7 +134,8 @@ object Graph {
     * fixpoint; `tol = 0` runs exactly `maxIter` rounds — the deterministic
     * mode the DuckDB oracle unrolls. Eager contract ([[Dedup
     * .minhashLshPairs]]): build-side caches are released before returning;
-    * the returned ranks are materialized + cached, lifecycle caller-owned.
+    * the returned ranks are an already-materialized local checkpoint whose
+    * blocks the ContextCleaner frees once the frame is unreferenced.
     *
     * Applies to symmetric edge lists (every node has out-edges), like the
     * co-purchase graph; dangling-node mass redistribution is out of scope,
