@@ -61,7 +61,7 @@ object Bench {
     // the five graph queries share the memoized co-purchase pair artifact
     // (SparkEntry.copurchasePairsArtifact) — one contiguous cache window
     val graphFamily = Set("q_cooccur_lift", "q_triangle_count", "q_label_prop",
-      "q_pagerank", "q_pagerank_step")
+      "q_pagerank", "q_pagerank_step", "q_item_neighbors", "q_degree_dist")
     def family(n: String): String =
       if (warehouseFamily(n)) "q_dim" // runs with the dim queries' window
       else if (graphFamily(n)) "q_cooccur"
