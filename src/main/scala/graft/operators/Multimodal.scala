@@ -53,6 +53,9 @@ object Multimodal {
     *    [precision u8][height u16][width u16].
     *  - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor's
     *    little-endian u16 width/height at offsets 6 and 8.
+    *  - WebP: RIFF/WEBP container; VP8X extended canvas, "VP8 " lossy
+    *    frame header, and VP8L lossless bitstream dims (all public
+    *    layouts, see inline offsets).
     */
   def decodeHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
     if (bytes.length >= 24 && bytes.startsWith(PngSig) &&
@@ -81,6 +84,34 @@ object Multimodal {
         new String(bytes, 0, 6, "US-ASCII") == "GIF89a")) {
       val w = le16(bytes, 6); val h = le16(bytes, 8)
       if (w > 0 && h > 0) return Some(("gif", w, h))
+    }
+    if (bytes.length >= 30 && new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WEBP") {
+      // first chunk decides the WebP flavor (offsets per the public spec):
+      //  - VP8X extended: canvas (width-1, height-1) as 24-bit LE at 24/27
+      //  - "VP8 " lossy: 14-bit LE dims after the 3-byte frame tag +
+      //    3-byte sync code (chunk payload offset 6/8)
+      //  - VP8L lossless: 0x2F then two 14-bit fields packed LSB-first
+      val tag = new String(bytes, 12, 4, "US-ASCII")
+      def le24(i: Int): Int = u8(bytes(i)) | (u8(bytes(i + 1)) << 8) | (u8(bytes(i + 2)) << 16)
+      val dims: Option[(Int, Int)] = tag match {
+        case "VP8X" => Some((le24(24) + 1, le24(27) + 1))
+        case "VP8 " =>
+          if (u8(bytes(23)) == 0x9D && u8(bytes(24)) == 0x01 && u8(bytes(25)) == 0x2A)
+            Some((le16(bytes, 26) & 0x3FFF, le16(bytes, 28) & 0x3FFF))
+          else None
+        case "VP8L" =>
+          if (u8(bytes(20)) == 0x2F) {
+            val b = (0 to 3).map(j => u8(bytes(21 + j)).toLong)
+            val bits = b(0) | (b(1) << 8) | (b(2) << 16) | (b(3) << 24)
+            Some((((bits & 0x3FFF) + 1).toInt, (((bits >> 14) & 0x3FFF) + 1).toInt))
+          } else None
+        case _ => None
+      }
+      dims match {
+        case Some((w, h)) if w > 0 && h > 0 => return Some(("webp", w, h))
+        case _ => return None
+      }
     }
     None
   }

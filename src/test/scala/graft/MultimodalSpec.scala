@@ -36,6 +36,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(encoded("gif", 9, 4)) === Some(("gif", 9, 4)))
   }
 
+  test("decodeHeader: ImageIO round-trips true dimensions across a sweep of sizes") {
+    Seq((1, 1), (2, 7), (123, 457), (640, 480), (1920, 1080)).foreach { case (w, h) =>
+      assert(Multimodal.decodeHeader(encoded("png", w, h)) === Some(("png", w, h)))
+      assert(Multimodal.decodeHeader(encoded("jpg", w, h)) === Some(("jpeg", w, h)))
+    }
+  }
+
+  test("decodeHeader: WebP VP8X canvas and VP8 lossy frame headers (hand-built per spec)") {
+    def le24(v: Int) = Array[Byte]((v & 255).toByte, ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte)
+    def vp8x(w: Int, h: Int): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](22, 0, 0, 0) ++
+        "WEBP".getBytes("US-ASCII") ++ "VP8X".getBytes("US-ASCII") ++
+        Array[Byte](10, 0, 0, 0) ++ // chunk size
+        Array[Byte](0, 0, 0, 0) ++ // flags + reserved
+        le24(w - 1) ++ le24(h - 1)
+    assert(Multimodal.decodeHeader(vp8x(550, 368)) === Some(("webp", 550, 368)))
+    assert(Multimodal.decodeHeader(vp8x(16384, 1)) === Some(("webp", 16384, 1)))
+    def vp8(w: Int, h: Int): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](22, 0, 0, 0) ++
+        "WEBP".getBytes("US-ASCII") ++ "VP8 ".getBytes("US-ASCII") ++
+        Array[Byte](10, 0, 0, 0) ++
+        Array[Byte](0, 0, 0) ++ // frame tag
+        Array[Byte](0x9D.toByte, 0x01, 0x2A) ++ // sync code
+        Array[Byte]((w & 255).toByte, ((w >> 8) & 0x3F).toByte,
+          (h & 255).toByte, ((h >> 8) & 0x3F).toByte)
+    assert(Multimodal.decodeHeader(vp8(320, 240)) === Some(("webp", 320, 240)))
+    // corrupt sync code → None, stub path
+    val bad = vp8(320, 240); bad(23) = 0x00
+    assert(Multimodal.decodeHeader(bad) === None)
+  }
+
   test("decodeHeader: opaque bytes fall through to None and decode() keeps stub arithmetic") {
     val text = "not an image at all".getBytes("UTF-8")
     assert(Multimodal.decodeHeader(text) === None)
