@@ -293,6 +293,19 @@ class PlanSpec extends SparkSpec {
       "expected the max-basket-size count window in the edge build")
   }
 
+  test("q_item_neighbors / q_degree_dist: artifact consumers stay equi-join only") {
+    Seq("q_item_neighbors", "q_degree_dist").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: " + p.take(1500))
+      "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { line =>
+        assert(line.contains("Cross"), s"$q non-scalar nested loop join: $line")
+      }
+    }
+    // the neighbor rank window partitions by item (degree-bounded), never global
+    assert(plan("q_item_neighbors").contains("windowspecdefinition(item"),
+      "neighbor ranking must be per-item")
+  }
+
   test("q_triangle_count: wedge formation and closing are equi joins, never all-pairs") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), p.take(2000))
