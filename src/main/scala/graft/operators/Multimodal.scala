@@ -10,15 +10,21 @@ import org.apache.spark.sql.types._
   *
   * Container-header METADATA decode is REAL: [[decodeHeader]] parses the
   * public PNG (IHDR), JPEG (SOF0/SOF2 frame header) and GIF (logical screen
-  * descriptor) formats to their true dimensions. PIXEL decode and feature
-  * extraction remain a deterministic stub ([[stubDecode]] — the container
-  * ships no codecs); payloads that match no real container signature (the
-  * synthetic UTF-8 fixtures) fall through to the stub, so the fabricated
-  * path exists ONLY for opaque synthetic bytes. Everything around the codec
-  * (schema, batching, partitioning, output shape) is the real Spark plumbing
-  * a production decode (JNI codec / Pandas UDF in PySpark) drops into.
+  * descriptor) formats to their true dimensions. PIXEL decode is REAL too:
+  * payloads whose header decode succeeds are decoded with the JDK's own
+  * `javax.imageio` reader (PNG/JPEG/GIF/BMP ship in the bare JRE) and the
+  * feature vector is honest per-channel statistics ([[pixelStats]]); a real
+  * container the JRE has no codec for (WebP) yields a NULL feature, never a
+  * fabricated one. Only payloads that match no container signature at all
+  * (the synthetic UTF-8 fixtures) fall through to the byte-arithmetic stub
+  * ([[stubDecode]]). Everything around the codec (schema, batching,
+  * partitioning, output shape) is the real Spark plumbing a production
+  * encoder (JNI codec / Pandas UDF in PySpark) drops into.
   */
 object Multimodal {
+
+  // executors must never spill ImageIO scratch to a disk cache dir
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Synthesize an opaque binary payload column from text (UTF-8 bytes) —
     * stands in for reading real image/audio bytes. */
@@ -61,7 +67,10 @@ object Multimodal {
     if (bytes.length >= 24 && bytes.startsWith(PngSig) &&
         new String(bytes, 12, 4, "US-ASCII") == "IHDR") {
       val w = be32(bytes, 16); val h = be32(bytes, 20)
-      if (w > 0 && h > 0) return Some(("png", w.toInt, h.toInt))
+      // PNG caps dims at 2^31-1; a u32 ≥ 2^31 is an invalid file, and the
+      // bound also keeps the .toInt narrowing from going negative.
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        return Some(("png", w.toInt, h.toInt))
     }
     if (bytes.length >= 4 && u8(bytes(0)) == 0xFF && u8(bytes(1)) == 0xD8) {
       var i = 2
@@ -132,8 +141,9 @@ object Multimodal {
   }
 
   /** Deterministic 8-dim byte-fold "feature vector" — the feature-extraction
-    * stand-in for BOTH paths (no ML runtime in the container; a production
-    * pipeline swaps in its encoder here, same signature). */
+    * stand-in for OPAQUE payloads only (no container signature → no pixels
+    * to read; a production pipeline swaps in its text/audio encoder here,
+    * same signature). Real containers get [[pixelStats]] instead. */
   def byteFoldFeature(bytes: Array[Byte]): Array[Double] = {
     val n = bytes.length
     Array.tabulate(8) { i =>
@@ -144,17 +154,105 @@ object Multimodal {
     }
   }
 
-  /** Header-first decode: real container dimensions when the payload IS a
-    * real container, stub arithmetic otherwise. */
+  /** HONEST 8-dim image feature from decoded pixels:
+    * `[mean_r, mean_g, mean_b, mean_luma, min_luma, max_luma, frac_dark,
+    * aspect]` with ITU-R BT.601 luma (0.299 R + 0.587 G + 0.114 B) and
+    * frac_dark = share of pixels with luma < 128.
+    *
+    * Determinism contract (what lets the DuckDB oracle reproduce these
+    * bit-exactly): channel sums are EXACT Long accumulations, each mean is
+    * one IEEE division, mean_luma is derived from the three channel sums
+    * with a fixed left-to-right association, and min/max/count are
+    * order-independent — nothing here depends on pixel traversal order.
+    */
+  def pixelStats(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L; var dark = 0L
+    var minL = Double.PositiveInfinity; var maxL = Double.NegativeInfinity
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >>> 16) & 255; val g = (rgb >>> 8) & 255; val b = rgb & 255
+        sr += r; sg += g; sb += b
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        if (l < minL) minL = l
+        if (l > maxL) maxL = l
+        if (l < 128.0) dark += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h.toLong
+    val nd = n.toDouble
+    Array(sr / nd, sg / nd, sb / nd,
+      (0.299 * sr + 0.587 * sg + 0.114 * sb) / nd,
+      minL, maxL, dark / nd, w.toDouble / h.toDouble)
+  }
+
+  /** Pixel decode for a real container via the JRE's own `javax.imageio`
+    * readers. Returns null — an honest "no feature", never a fabricated
+    * vector — when the JRE has no codec for the container (WebP) or the
+    * payload is truncated/corrupt past its header.
+    */
+  def realFeature(bytes: Array[Byte]): Array[Double] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null else pixelStats(img)
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Header-first decode: real container dimensions AND real pixel features
+    * when the payload IS a real container, stub arithmetic otherwise. */
   def decode(bytes: Array[Byte]): (String, Int, Int, Array[Double]) =
     decodeHeader(bytes) match {
-      case Some((fmt, w, h)) => (fmt, w, h, byteFoldFeature(bytes))
+      case Some((fmt, w, h)) => (fmt, w, h, realFeature(bytes))
       case None => stubDecode(bytes)
     }
 
+  /** Deterministic synthetic PNG for row `docId`: an (8 + id%9)×(8 + 3·id%9)
+    * canvas where pixel (x,y) is `r=(31x+17y+id)%256, g=(7x+13y+2id)%256,
+    * b=(3x+29y+5id)%256`. The generating formula is closed-form, so an
+    * EXTERNAL engine (the DuckDB oracle) can recompute the exact channel
+    * statistics the pixel decoder must report — which proves [[decode]]
+    * reads real pixels rather than byte arithmetic. PNG is lossless, so
+    * values round-trip bit-exactly through encode → decode.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 9).toInt; val h = 8 + ((docId * 3) % 9).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((31L * x + 17L * y + docId) % 256).toInt
+        val g = ((7L * x + 13L * y + 2L * docId) % 256).toInt
+        val b = ((3L * x + 29L * y + 5L * docId) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a [[syntheticPng]] payload per row — the real-container input
+    * for the oracle-gated pixel-decode query. Per-partition generation,
+    * nothing touches the driver. */
+  def withSyntheticImages(spark: SparkSession, docs: DataFrame, id: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val rdd = docs.select(col(id).cast("long")).rdd.mapPartitions { it =>
+      it.map { r => val d = r.getLong(0); Row(d, syntheticPng(d)) }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Per-partition decode → metadata table. `mapPartitions` is the Scala
     * analogue of `mapInPandas`: one batch of rows per partition flows
-    * through the (stubbed) codec without per-row UDF overhead. Partitioning
+    * through the codec without per-row UDF overhead. Partitioning
     * is whatever the upstream source provides — at 100 TB, size input
     * splits so a partition's payloads fit in executor memory.
     */
@@ -164,7 +262,8 @@ object Multimodal {
         val docId = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val (fmt, w, h, feat) = decode(bytes)
-        Row(docId, bytes.length.toLong, fmt, w, h, feat.toSeq)
+        Row(docId, bytes.length.toLong, fmt, w, h,
+          if (feat == null) null else feat.toSeq)
       }
     }
     spark.createDataFrame(rdd, mediaMetaSchema)

@@ -67,6 +67,63 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(bad) === None)
   }
 
+  test("pixelStats: hand-built 2x1 image yields exact channel means and luma extrema") {
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)   // luma 17.15
+    img.setRGB(1, 0, (200 << 16) | (100 << 8) | 50) // luma 124.2
+    val s = Multimodal.pixelStats(img)
+    assert(s(0) === 105.0 && s(1) === 60.0 && s(2) === 40.0) // channel means
+    assert(s(3) === (0.299 * 210 + 0.587 * 120 + 0.114 * 80) / 2.0)
+    assert(s(4) === 0.299 * 10 + 0.587 * 20 + 0.114 * 30)
+    assert(s(5) === 0.299 * 200 + 0.587 * 100 + 0.114 * 50)
+    assert(s(6) === 1.0)                            // both lumas < 128
+    assert(s(7) === 2.0)                            // aspect 2:1
+  }
+
+  test("decode: real PNG payload yields REAL pixel statistics, not byte arithmetic") {
+    // uniform-color image → channel means ARE the color; byte-fold could
+    // never produce these from the compressed container bytes
+    val img = new BufferedImage(6, 3, BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, 0x336699)))
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", bos))
+    val (fmt, w, h, feat) = Multimodal.decode(bos.toByteArray)
+    assert(fmt === "png" && w === 6 && h === 3)
+    assert(feat(0) === 0x33.toDouble && feat(1) === 0x66.toDouble && feat(2) === 0x99.toDouble)
+    assert(feat(7) === 2.0)
+  }
+
+  test("decode: real container without a JRE codec (WebP) yields a NULL feature, never fabricated") {
+    def le24(v: Int) = Array[Byte]((v & 255).toByte, ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte)
+    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](22, 0, 0, 0) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8X".getBytes("US-ASCII") ++
+      Array[Byte](10, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0) ++ le24(549) ++ le24(367)
+    val (fmt, w, h, feat) = Multimodal.decode(webp)
+    assert(fmt === "webp" && w === 550 && h === 368 && feat === null)
+    // truncated PNG past its header: header decodes, pixels can't → null
+    val full = encoded("png", 16, 16)
+    val truncated = full.take(40)
+    assert(Multimodal.decodeHeader(truncated) === Some(("png", 16, 16)))
+    assert(Multimodal.decode(truncated)._4 === null)
+  }
+
+  test("syntheticPng round-trips its generating formula through encode → ImageIO decode") {
+    Seq(0L, 7L, 123L).foreach { d =>
+      val (fmt, w, h, feat) = Multimodal.decode(Multimodal.syntheticPng(d))
+      assert(fmt === "png" && w === 8 + (d % 9).toInt && h === 8 + ((d * 3) % 9).toInt)
+      // recompute channel sums straight from the formula
+      var sr = 0L; var sg = 0L; var sb = 0L
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        sr += (31L * x + 17L * y + d) % 256
+        sg += (7L * x + 13L * y + 2L * d) % 256
+        sb += (3L * x + 29L * y + 5L * d) % 256
+      })
+      val n = (w * h).toDouble
+      assert(feat(0) === sr / n && feat(1) === sg / n && feat(2) === sb / n)
+      assert(feat(3) === (0.299 * sr + 0.587 * sg + 0.114 * sb) / n)
+    }
+  }
+
   test("decodeHeader: opaque bytes fall through to None and decode() keeps stub arithmetic") {
     val text = "not an image at all".getBytes("UTF-8")
     assert(Multimodal.decodeHeader(text) === None)
