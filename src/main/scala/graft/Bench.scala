@@ -58,7 +58,7 @@ object Bench {
     // alphabetically scattered but all call Warehouse.build.
     val warehouseFamily = Set(
       "q_fato_vendas", "q_fato_vendas_v2", "q_report_summary", "q_stream_fato")
-    // the five graph queries share the memoized co-purchase pair artifact
+    // the seven graph queries share the memoized co-purchase pair artifact
     // (SparkEntry.copurchasePairsArtifact) — one contiguous cache window
     val graphFamily = Set("q_cooccur_lift", "q_triangle_count", "q_label_prop",
       "q_pagerank", "q_pagerank_step", "q_item_neighbors", "q_degree_dist")
@@ -68,9 +68,34 @@ object Bench {
       else n.split("_").take(2).mkString("_")
     val ordered = selected.toSeq.sortBy { case (n, _) => (family(n), n) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // Shared-artifact builds are timed as their own `artifact:*` entries at
+    // the opening of the family window that consumes them (r7 verdict #2:
+    // letting the family's first query absorb the build made any artifact
+    // change read as a q_cooccur_lift regression). They count toward the
+    // headline total — the suite really pays them — but live in a separate
+    // "artifacts" JSON object so per-query times stay comparable.
+    val artifactFamily = Map(
+      "artifact:copurchase_pairs" -> "q_cooccur",
+      "artifact:lsh_pairs" -> "q_dedup")
+    val artifactTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var prevFamily = ""
     val results = ordered.map { case (name, fn) =>
-      if (family(name) != prevFamily) spark.catalog.clearCache()
+      if (family(name) != prevFamily) {
+        spark.catalog.clearCache()
+        artifactFamily.toSeq.sortBy(_._1)
+          .filter { case (_, af) => af == family(name) }
+          .foreach { case (an, _) =>
+            val a0 = System.nanoTime()
+            try {
+              SparkEntry.artifacts(an)(spark, sfDir)
+              artifactTimes(an) = (System.nanoTime() - a0) / 1e9
+            } catch { case e: Throwable =>
+              failed += an
+              System.err.println(
+                s"[bench] $an FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            }
+          }
+      }
       prevFamily = family(name)
       val t0 = System.nanoTime()
       val ok =
@@ -97,10 +122,13 @@ object Bench {
     val qs = results.map { case (k, v) =>
         s"\"" + k + "\":" + v.map(r3).getOrElse("null")
       }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val arts = artifactTimes.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val artifactSec = artifactTimes.values.sum
+    val total = results.flatMap(_._2).sum + artifactSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
     // Also persist the full result next to the build (harness tail keeps
     // only ~2000 chars of stdout; the file preserves every per-query time).
     // Anchored to the JVM working directory explicitly, and a write failure
