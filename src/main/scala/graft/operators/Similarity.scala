@@ -209,6 +209,79 @@ object Similarity {
         col("n").as("n_vectors"))
   }
 
+  /** Lloyd's k-means iterated to a fixpoint — [[kmeansStep]]'s arithmetic in
+    * [[Graph.pagerank]]'s execution contract: O(rounds) Spark jobs (one
+    * broadcast assignment join + one map-side-combinable quantized mean per
+    * round), never a driver loop over vectors. This turns the IVF family's
+    * deterministic seed sample into a TRAINED centroid artifact.
+    *
+    * Returns (cell, emb_cent, n_vectors) — one row per surviving centroid;
+    * a cell that loses every member drops out (standard Lloyd's). `tol > 0`
+    * adds a per-round max element-wise centroid-movement probe (a k-row
+    * scalar — centroids are broadcast-small by construction) and stops at
+    * the fixpoint; `tol = 0` runs exactly `maxIter` rounds, the
+    * deterministic mode the DuckDB oracle unrolls. Per-round state is
+    * `localCheckpoint`ed, same O(1)-lineage rationale as [[Graph.pagerank]].
+    * Cross-engine determinism: round ≥ 2 centroids are detRound(1e-6)
+    * double arrays rebuilt from quantized integer sums, so assignment
+    * cosines are bit-identical on any engine or partitioning.
+    */
+  def kmeans(corpus: DataFrame, centroidEvery: Int = 40, maxIter: Int = 5,
+             tol: Double = 0.0, quantScale: Double = 1e6): DataFrame =
+    kmeansRun(corpus, centroidEvery, maxIter, tol, quantScale)._1
+
+  /** [[kmeans]] plus the number of rounds actually executed — the
+    * observable the early-exit spec pins. */
+  def kmeansRun(corpus: DataFrame, centroidEvery: Int = 40, maxIter: Int = 5,
+                tol: Double = 0.0, quantScale: Double = 1e6): (DataFrame, Int) = {
+    val vecs = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm")).cache()
+    // seed = the deterministic sample, cast to array<double> so the centroid
+    // schema is identical in every round (round ≥ 2 emits double arrays)
+    var cents = vecs.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("emb_cent"),
+        lit(0L).as("n_vectors"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val withNorm = cents.select(col("cell"), col("emb_cent"),
+        sqrt(dotFP(col("emb_cent"), col("emb_cent"))).as("norm_cent"))
+      val assignW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_cos").desc, col("cell"))
+      val assigned = vecs.join(broadcast(withNorm))
+        .withColumn("cent_cos",
+          detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val next = assigned.select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * quantScale + 0.5)).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => detRound(x.getField("s") / quantScale / x.getField("n"), 6)).as("emb_cent"),
+          max(col("n")).as("n_vectors"))
+        .localCheckpoint()
+      if (tol > 0) {
+        // max element-wise movement across surviving cells (both sides are
+        // checkpoint leaves, so this inner join is k-row scalar work)
+        val delta = next.as("n").join(cents.as("o"), Seq("cell"))
+          .select(aggregate(zip_with(col("n.emb_cent"), col("o.emb_cent"),
+            (x, y) => abs(x - y)), lit(0.0), (acc, x) => greatest(acc, x)).as("d"))
+          .agg(max(col("d")).as("m"))
+          .collect()(0).getDouble(0)
+        converged = delta <= tol
+      }
+      cents = next
+      iter += 1
+    }
+    vecs.unpersist()
+    (cents, iter)
+  }
+
   /** Deterministic IVF (inverted-file) ANN — the production scale path when
     * buckets must be balanced: a fixed centroid sample partitions the corpus
     * into cells (the "index build"); a query scans only its `nprobe` nearest

@@ -421,6 +421,38 @@ object OracleSql {
        | ${detRoundSql("s / 1000000.0 / n", 6)} AS value, n AS n_vectors
        |FROM p ORDER BY cell, pos""".stripMargin
 
+  /** q_kmeans mirror: [[kmeansStepSql]]'s assignment + quantized-mean round
+    * unrolled `iters` times (the q_pagerank recipe — Similarity.kmeans in
+    * tol=0 mode runs exactly `maxIter` deterministic rounds). Round ≥ 2
+    * centroids are 1e-6-rounded DOUBLE lists rebuilt with
+    * `list(... ORDER BY pos)`, bit-matching the engine's detRound double
+    * arrays, so every later assignment cosine agrees cross-engine. */
+  def kmeansChainSql(centroidEvery: Int, iters: Int): String = {
+    val mean6 = detRoundSql("s / 1000000.0 / n", 6)
+    val rounds = (1 to iters).map { i =>
+      val cents = if (i == 1) s"c0" else s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, emb_v, cell FROM (
+         |      SELECT e.vec_id, e.embedding AS emb_v, c.cell,
+         |        row_number() OVER (PARTITION BY e.vec_id
+         |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c.emb_cent"), 4)} DESC,
+         |                   c.cell) AS rn
+         |      FROM embeddings e, $cents c) WHERE rn = 1),
+         |x$i AS (SELECT cell, i AS pos,
+         |        CAST(floor(emb_v[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS q
+         |      FROM a$i, range(1, 65) t(i)),
+         |p$i AS (SELECT cell, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+         |      FROM x$i GROUP BY 1, 2),
+         |c$i AS (SELECT cell, list($mean6 ORDER BY pos) AS emb_cent, max(n) AS n
+         |      FROM p$i GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cell, embedding AS emb_cent
+       |      FROM embeddings WHERE vec_id % $centroidEvery = 0),
+       |$rounds
+       |SELECT cell, CAST(pos - 1 AS BIGINT) AS pos,
+       | $mean6 AS value, n AS n_vectors
+       |FROM p$iters ORDER BY cell, pos""".stripMargin
+  }
+
   /** q_semantic_dedup mirror: the IVF/k-means cell assignment (annIvfSql's
     * assign CTE) + intra-cell lower-id-wins near-dup marking. */
   def semanticDedupSql(centroidEvery: Int, threshold: Double): String =

@@ -223,4 +223,36 @@ class SimilaritySpec extends SparkSpec {
       centroidEvery = 20, nprobe = 2).select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(out.head._3 === approx.intersect(exact).size.toLong)
   }
+
+  test("kmeans: one tol=0 round reproduces kmeansStep exactly") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val one = Similarity.kmeans(emb, centroidEvery = 2, maxIter = 1)
+      .select($"cell", $"n_vectors", posexplode($"emb_cent"))
+      .select($"cell", $"pos".cast("long"), $"col", $"n_vectors")
+      .orderBy($"cell", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val step = Similarity.kmeansStep(emb, centroidEvery = 2)
+      .orderBy($"cell", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(one.toSeq === step.toSeq)
+  }
+
+  test("kmeans: tol > 0 stops at the fixpoint before maxIter") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    // assignments never change after round 1, so round 2 recomputes the same
+    // centroids, the movement probe reads 0, and the loop exits at iter 2
+    val (cents, iters) = Similarity.kmeansRun(emb, centroidEvery = 2,
+      maxIter = 10, tol = 1e-9)
+    assert(iters === 2)
+    val rows = cents.orderBy($"cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      (0L, Seq(1.5, 0.0), 2L), (2L, Seq(0.0, 2.0), 2L)))
+  }
 }
