@@ -447,7 +447,8 @@ object Dedup {
     * O(iterations).
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-                          aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+                          aCol: String, bCol: String, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // both directions in ONE pass over the pair lineage: a union of two
     // selects would evaluate the (possibly expensive) pair computation twice
     // before the cache materializes
@@ -469,11 +470,17 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val mins = edges.join(frontier, col("dst") === col("id"))
         .groupBy(col("src").as("mid")).agg(min(col("comp")).as("cand"))
-      val updated = labels.join(mins, col("id") === col("mid"), "left")
+      // cache() keeps the round's state in memory (lineage depth is fine at
+      // O(diameter) rounds); with `checkpointDir` set the state instead goes
+      // through a reliable checkpoint ([[IterState]]) and survives executor
+      // loss mid-loop.
+      val updatedRaw = labels.join(mins, col("id") === col("mid"), "left")
         .select(col("id"),
           when(col("cand") < col("comp"), col("cand")).otherwise(col("comp")).as("comp"),
           (col("cand") < col("comp")).as("__chg"))
-        .cache()
+      val updated =
+        if (checkpointDir.isDefined) IterState(updatedRaw, checkpointDir)
+        else updatedRaw.cache()
       val nChanged = updated
         .agg(sum(when(col("__chg"), 1L).otherwise(0L))).collect()(0).getLong(0)
       cached.unpersist()

@@ -11,6 +11,27 @@ import graft.functions.GraftFunctions.detRound
   * map-side-combinable aggregate (O(iterations) jobs, never a driver loop
   * over vertices), state is a (node, value) table.
   */
+/** Lineage truncation for an iterative round's state. Default is
+  * `localCheckpoint()` — executor-memory blocks, fastest, but lost with the
+  * executor (fine at local[32]; the loops' scaladocs document the risk).
+  * With `checkpointDir` set, state goes through a RELIABLE
+  * `df.checkpoint()` into that (on a cluster: distributed) filesystem, so a
+  * multi-day 100 TB loop survives executor loss mid-iteration at the cost
+  * of a write+read per round.
+  */
+private[operators] object IterState {
+  def apply(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        // set every call: cheap (an fs.mkdirs), and keeps the round's files
+        // under the dir THIS loop was given even if another operator pointed
+        // the session elsewhere between rounds
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+}
+
 object Graph {
 
   /** One PageRank iteration (damping 0.85) over an edge list, engine-exact:
@@ -142,24 +163,25 @@ object Graph {
     * matching [[pagerankStep]].
     */
   def pagerank(edges: DataFrame, maxIter: Int = 20, tol: Double = 0.0,
-               quantScale: Double = 1e12): DataFrame =
-    pagerankRun(edges, maxIter, tol, quantScale)._1
+               quantScale: Double = 1e12,
+               checkpointDir: Option[String] = None): DataFrame =
+    pagerankRun(edges, maxIter, tol, quantScale, checkpointDir)._1
 
   /** [[pagerank]] plus the number of rounds actually executed — the
     * observable the early-exit spec pins. */
   def pagerankRun(edges: DataFrame, maxIter: Int = 20, tol: Double = 0.0,
-                  quantScale: Double = 1e12): (DataFrame, Int) = {
+                  quantScale: Double = 1e12,
+                  checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val e = edges.cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
-    // Per-round state is localCheckpoint'ed, NOT cached: caching keeps the
-    // full O(rounds)-deep logical plan (round N's lineage nests every
-    // earlier round), and AQE re-renders that plan's string per stage —
-    // measured to OOM the driver near 60 rounds. The checkpoint truncates
+    // Per-round state is checkpointed ([[IterState]]), NOT cached: caching
+    // keeps the full O(rounds)-deep logical plan (round N's lineage nests
+    // every earlier round), and AQE re-renders that plan's string per stage
+    // — measured to OOM the driver near 60 rounds. The checkpoint truncates
     // lineage to O(1) per round (the CC scaladoc's rule); eager=true also
-    // plays the materializing action. Executor loss invalidates local
-    // checkpoints — a multi-day production loop would use reliable
-    // checkpointing to a path instead.
-    var ranks = uniformRanks(e).localCheckpoint()
+    // plays the materializing action. Default local checkpoints die with an
+    // executor — pass `checkpointDir` for the failure-durable mode.
+    var ranks = IterState(uniformRanks(e), checkpointDir)
     val nNodes = ranks.count() // N is constant across rounds
     var iter = 0
     var converged = false
@@ -171,16 +193,16 @@ object Graph {
         .groupBy(col("node")).agg(sum(col("q")).as("sq"))
         .select(col("node"), detRound(lit(0.15) / nNodes +
           lit(0.85) * (col("sq") / quantScale), 10).as("r"))
-        .localCheckpoint()
+      val nextCk = IterState(next, checkpointDir)
       if (tol > 0) {
-        val delta = next.as("n").join(ranks.as("o"), Seq("node"))
+        val delta = nextCk.as("n").join(ranks.as("o"), Seq("node"))
           .agg(max(abs(col("n.r") - col("o.r"))).as("d"))
           .collect()(0).getDouble(0)
         converged = delta <= tol
       }
       // previous round's checkpoint blocks are released by the
       // ContextCleaner once unreferenced
-      ranks = next
+      ranks = nextCk
       iter += 1
     }
     e.unpersist()
@@ -195,7 +217,8 @@ object Graph {
     * probe. Same eager cache contract as [[pagerank]].
     */
   def labelProp(pairs: DataFrame, aCol: String, bCol: String,
-                labels: DataFrame, maxIter: Int = 10): DataFrame = {
+                labels: DataFrame, maxIter: Int = 10,
+                checkpointDir: Option[String] = None): DataFrame = {
     // both directions in ONE pass over the pair lineage (CC's explode
     // trick), cached once for all rounds
     val dir = pairs.select(explode(array(
@@ -203,9 +226,9 @@ object Graph {
         struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    // localCheckpoint per round, same rationale as [[pagerank]]: O(1)
-    // lineage depth instead of O(rounds)
-    var cur = labels.select(col("node"), col("label")).localCheckpoint()
+    // checkpoint per round ([[IterState]]), same rationale as [[pagerank]]:
+    // O(1) lineage depth instead of O(rounds)
+    var cur = IterState(labels.select(col("node"), col("label")), checkpointDir)
     var iter = 0
     var stable = false
     while (iter < maxIter && !stable) {
@@ -214,9 +237,16 @@ object Graph {
         .groupBy(col("src").as("node"), col("nl"))
         .agg(count(lit(1)).as("votes"))
       val w = Window.partitionBy(col("node")).orderBy(col("votes").desc, col("nl"))
-      val next = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("node"), col("nl").as("label"))
-        .localCheckpoint()
+      val voted = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("node"), col("nl").as("vote"))
+      // LEFT join back onto the full node set: a labeled node with no edge
+      // in `pairs` (isolated seed) keeps its prior label instead of
+      // silently vanishing from the state — and thereby from the
+      // changed-count convergence probe (r7 advice).
+      val next = IterState(
+        cur.join(voted, Seq("node"), "left")
+          .select(col("node"), coalesce(col("vote"), col("label")).as("label")),
+        checkpointDir)
       val changed = next.as("n").join(cur.as("o"), Seq("node"))
         .agg(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)).as("c"))
         .collect()(0).getLong(0)

@@ -221,28 +221,32 @@ object Similarity {
     * scalar — centroids are broadcast-small by construction) and stops at
     * the fixpoint; `tol = 0` runs exactly `maxIter` rounds, the
     * deterministic mode the DuckDB oracle unrolls. Per-round state is
-    * `localCheckpoint`ed, same O(1)-lineage rationale as [[Graph.pagerank]].
+    * checkpointed ([[IterState]] — reliable when `checkpointDir` is set),
+    * same O(1)-lineage rationale as [[Graph.pagerank]].
     * Cross-engine determinism: round ≥ 2 centroids are detRound(1e-6)
     * double arrays rebuilt from quantized integer sums, so assignment
     * cosines are bit-identical on any engine or partitioning.
     */
   def kmeans(corpus: DataFrame, centroidEvery: Int = 40, maxIter: Int = 5,
-             tol: Double = 0.0, quantScale: Double = 1e6): DataFrame =
-    kmeansRun(corpus, centroidEvery, maxIter, tol, quantScale)._1
+             tol: Double = 0.0, quantScale: Double = 1e6,
+             checkpointDir: Option[String] = None): DataFrame =
+    kmeansRun(corpus, centroidEvery, maxIter, tol, quantScale, checkpointDir)._1
 
   /** [[kmeans]] plus the number of rounds actually executed — the
     * observable the early-exit spec pins. */
   def kmeansRun(corpus: DataFrame, centroidEvery: Int = 40, maxIter: Int = 5,
-                tol: Double = 0.0, quantScale: Double = 1e6): (DataFrame, Int) = {
+                tol: Double = 0.0, quantScale: Double = 1e6,
+                checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val vecs = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm")).cache()
     // seed = the deterministic sample, cast to array<double> so the centroid
     // schema is identical in every round (round ≥ 2 emits double arrays)
-    var cents = vecs.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cell"),
-        transform(col("embedding"), x => x.cast("double")).as("emb_cent"),
-        lit(0L).as("n_vectors"))
-      .localCheckpoint()
+    var cents = IterState(
+      vecs.filter(col("vec_id") % centroidEvery === 0)
+        .select(col("vec_id").as("cell"),
+          transform(col("embedding"), x => x.cast("double")).as("emb_cent"),
+          lit(0L).as("n_vectors")),
+      checkpointDir)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -264,18 +268,18 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => detRound(x.getField("s") / quantScale / x.getField("n"), 6)).as("emb_cent"),
           max(col("n")).as("n_vectors"))
-        .localCheckpoint()
+      val nextCk = IterState(next, checkpointDir)
       if (tol > 0) {
         // max element-wise movement across surviving cells (both sides are
         // checkpoint leaves, so this inner join is k-row scalar work)
-        val delta = next.as("n").join(cents.as("o"), Seq("cell"))
+        val delta = nextCk.as("n").join(cents.as("o"), Seq("cell"))
           .select(aggregate(zip_with(col("n.emb_cent"), col("o.emb_cent"),
             (x, y) => abs(x - y)), lit(0.0), (acc, x) => greatest(acc, x)).as("d"))
           .agg(max(col("d")).as("m"))
           .collect()(0).getDouble(0)
         converged = delta <= tol
       }
-      cents = next
+      cents = nextCk
       iter += 1
     }
     vecs.unpersist()

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Opt-in failure-durable mode of the iterative loops (pagerank, labelProp,
+  * connectedComponents, kmeans): with a `checkpointDir`, per-round state is
+  * written through a reliable `df.checkpoint()` — files on a (distributed)
+  * filesystem that survive executor loss, unlike `localCheckpoint()`'s
+  * executor-memory blocks. These specs pin (a) results are identical to the
+  * default mode, and (b) the round state really landed in the given dir,
+  * i.e. a lost executor could re-read it.
+  */
+class ReliableCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-ck-$tag").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def filesUnder(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles()).map(_.map(filesUnder).sum).getOrElse(0L)
+    else 1L
+
+  test("pagerank: reliable-checkpoint mode matches default and writes round state to the dir") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val dir = freshDir("pr")
+    val default = graft.operators.Graph.pagerank(edges, maxIter = 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reliable = graft.operators.Graph.pagerank(edges, maxIter = 5,
+        checkpointDir = Some(dir.toString))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(reliable === default)
+    assert(filesUnder(dir) > 0, "no checkpoint files written — state is not durable")
+  }
+
+  test("labelProp: reliable mode matches default; isolated seed keeps its label") {
+    // triangle {1,2,3} plus isolated labeled node 99 (no edges): the vote
+    // join yields nothing for it, so only the left-join-back keeps it
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val labels = Seq((1L, 10L), (2L, 20L), (3L, 30L), (99L, 7L)).toDF("node", "label")
+    val dir = freshDir("lp")
+    val default = graft.operators.Graph.labelProp(pairs, "a", "b", labels, maxIter = 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val reliable = graft.operators.Graph.labelProp(pairs, "a", "b", labels,
+        maxIter = 5, checkpointDir = Some(dir.toString))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(reliable === default)
+    assert(default.toMap.get(99L) === Some(7L),
+      "isolated labeled node must keep its prior label, not vanish")
+    assert(filesUnder(dir) > 0)
+  }
+
+  test("connectedComponents: reliable mode matches default on a multi-hop chain") {
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_id_a", "doc_id_b")
+    val dir = freshDir("cc")
+    val default = graft.operators.Dedup.connectedComponents(
+        nodes, "doc_id", pairs, "doc_id_a", "doc_id_b")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val reliable = graft.operators.Dedup.connectedComponents(
+        nodes, "doc_id", pairs, "doc_id_a", "doc_id_b",
+        checkpointDir = Some(dir.toString))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(reliable === default)
+    assert(default === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
+    assert(filesUnder(dir) > 0)
+  }
+
+  test("kmeans: reliable mode matches default centroids") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val dir = freshDir("km")
+    def run(ck: Option[String]) =
+      graft.operators.Similarity.kmeans(emb, centroidEvery = 2, maxIter = 3,
+          checkpointDir = ck)
+        .orderBy("cell").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSeq
+    assert(run(Some(dir.toString)) === run(None))
+    assert(filesUnder(dir) > 0)
+  }
+}
