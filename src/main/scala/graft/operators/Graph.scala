@@ -42,8 +42,14 @@ object Graph {
     * aggregates merge bit-identically on any partitioning or engine.
     *
     * `ranks` is (node, r); pass the output back in for the next iteration.
-    * Dangling nodes (no out-edges) are assumed absent from `edges` sources
-    * — standard for co-occurrence graphs, where edges are symmetric.
+    * Directed inputs are handled honestly: the mass of dangling nodes (rank
+    * rows with no out-edges) is redistributed uniformly — one quantized
+    * broadcast scalar, so Σr stays 1 — and the output keeps the FULL node
+    * set of `ranks` (a source-only node receives the base + dangling share
+    * instead of vanishing). On a symmetric edge list the dangling set is
+    * empty and both extensions reduce bit-exactly to the plain step (+0.0
+    * and a left join that always matches), which is why the oracle-gated
+    * queries are unchanged.
     */
   def pagerankStep(edges: DataFrame, ranks: DataFrame,
                    quantScale: Double = 1e12): DataFrame = {
@@ -54,11 +60,20 @@ object Graph {
       .select(col("dst").as("node"),
         floor(col("c") * quantScale + 0.5).as("q"))
     val n = ranks.agg(count(lit(1)).as("n_nodes"))
-    contrib.groupBy(col("node")).agg(sum(col("q")).as("sq"))
+    // dangling mass, quantized before summing like the contributions, so
+    // the scalar is engine/partitioning-exact
+    val dangling = ranks
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .agg(coalesce(sum(floor(col("r") * quantScale + 0.5)), lit(0L)).as("dq"))
+    ranks.select(col("node"))
+      .join(contrib.groupBy(col("node")).agg(sum(col("q")).as("sq")),
+        Seq("node"), "left")
       .crossJoin(broadcast(n))
+      .crossJoin(broadcast(dangling))
       .select(col("node"),
         detRound(lit(0.15) / col("n_nodes") +
-          lit(0.85) * (col("sq") / quantScale), 10).as("r"))
+          lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale) +
+          lit(0.85) * ((col("dq") / quantScale) / col("n_nodes")), 10).as("r"))
   }
 
   /** Triangle count over an undirected edge list (`a`,`b` unique pairs,
@@ -158,9 +173,13 @@ object Graph {
     * the returned ranks are an already-materialized local checkpoint whose
     * blocks the ContextCleaner frees once the frame is unreferenced.
     *
-    * Applies to symmetric edge lists (every node has out-edges), like the
-    * co-purchase graph; dangling-node mass redistribution is out of scope,
-    * matching [[pagerankStep]].
+    * Directed inputs: dangling-node mass is redistributed per round
+    * (matching [[pagerankStep]]) — the dangling node SET is static (it
+    * depends only on degrees), computed once; its per-round quantized mass
+    * is a broadcast scalar that rides the round's checkpoint action. When
+    * the set is empty — every symmetric edge list, e.g. the co-purchase
+    * graph — the round keeps the exact plain plan, so the oracle-gated
+    * q_pagerank plan and values are untouched.
     */
   def pagerank(edges: DataFrame, maxIter: Int = 20, tol: Double = 0.0,
                quantScale: Double = 1e12,
@@ -183,16 +202,33 @@ object Graph {
     // executor — pass `checkpointDir` for the failure-durable mode.
     var ranks = IterState(uniformRanks(e), checkpointDir)
     val nNodes = ranks.count() // N is constant across rounds
+    // the dangling set depends only on out-degrees — static across rounds
+    val nodesDf = ranks.select(col("node")).cache()
+    val danglingNodes = nodesDf
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .cache()
+    val hasDangling = !danglingNodes.isEmpty
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = e.join(deg, Seq("src"))
+      val sq = e.join(deg, Seq("src"))
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           floor((col("r") / col("deg")) * quantScale + 0.5).as("q"))
         .groupBy(col("node")).agg(sum(col("q")).as("sq"))
-        .select(col("node"), detRound(lit(0.15) / nNodes +
-          lit(0.85) * (col("sq") / quantScale), 10).as("r"))
+      val next =
+        if (!hasDangling)
+          sq.select(col("node"), detRound(lit(0.15) / nNodes +
+            lit(0.85) * (col("sq") / quantScale), 10).as("r"))
+        else {
+          val dangling = ranks.join(danglingNodes, Seq("node"))
+            .agg(coalesce(sum(floor(col("r") * quantScale + 0.5)), lit(0L)).as("dq"))
+          nodesDf.join(sq, Seq("node"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("node"), detRound(lit(0.15) / nNodes +
+              lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale) +
+              lit(0.85) * ((col("dq") / quantScale) / nNodes), 10).as("r"))
+        }
       val nextCk = IterState(next, checkpointDir)
       if (tol > 0) {
         val delta = nextCk.as("n").join(ranks.as("o"), Seq("node"))
@@ -207,6 +243,8 @@ object Graph {
     }
     e.unpersist()
     deg.unpersist()
+    nodesDf.unpersist()
+    danglingNodes.unpersist()
     (ranks, iter)
   }
 

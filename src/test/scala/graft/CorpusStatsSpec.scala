@@ -399,6 +399,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("pagerank: dangling mass is redistributed — directed chain ranks sum to 1") {
+    // 1 -> 2 -> 3: node 3 is dangling (no out-edges), node 1 has no
+    // in-edges; without redistribution Σr decays by ~0.85·r(3) per round
+    // and node 1 vanishes from the output
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    // single step, hand-checked: 1 -> 2 with r0 = (0.5, 0.5); node 2 is
+    // dangling with mass 0.5 shared across N=2
+    val pair = Seq((1L, 2L)).toDF("src", "dst")
+    val step = graft.operators.Graph.pagerankStep(pair,
+        graft.operators.Graph.uniformRanks(pair))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(step === Map(1L -> 0.2875, 2L -> 0.7125)) // 0.075+0.2125 / +0.425
+    val (out, _) = graft.operators.Graph.pagerankRun(edges, maxIter = 10)
+    val ranks = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ranks.size === 3, "source-only and dangling nodes must both survive")
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-8,
+      s"mass leaked: ${ranks.values.sum}")
+    assert(ranks(3L) > ranks(2L) && ranks(2L) > ranks(1L),
+      "rank must accumulate downstream")
+  }
+
   test("labelProp: two triangles joined by a bridge settle into two communities") {
     // triangle {1,2,3} - bridge - triangle {4,5,6}; seeds = node id
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
