@@ -188,18 +188,11 @@ object Similarity {
   def kmeansStep(corpus: DataFrame, centroidEvery: Int = 40,
                  quantScale: Double = 1e6): DataFrame = {
     val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("emb_cent"),
+      .select(col("vec_id").as("cell"), col("embedding").as("emb_cent"),
         sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_cent"))
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
-    val assigned = withNorm.join(broadcast(cents))
-      .withColumn("cent_cos",
-        detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val assigned = assignCells(withNorm, cents)
     assigned.select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(floor(col("col").cast("double") * quantScale + 0.5)).as("s"),
@@ -208,6 +201,32 @@ object Similarity {
         detRound(col("s") / quantScale / col("n"), 6).as("value"),
         col("n").as("n_vectors"))
   }
+
+  /** Nearest-centroid assignment as a map-side-combinable ARGMAX instead of
+    * a `row_number` window (r8): the vec × centroid product exists only
+    * inside each map task — `max_by` partial-aggregates it down to one row
+    * per vector per partition before any exchange, where the window form
+    * shuffled and sorted the whole product by `vec_id` (k× the data at k
+    * centroids — the difference between "fine at sf0.1" and "fine at
+    * 100 TB"). Deterministic despite max_by's tie caveat: the ordering key
+    * `(cent_cos, -cell)` is unique per vector because `cell` is, so the
+    * winner is exactly the window's (cos DESC, cell ASC) first row — the
+    * DuckDB oracle keeps its row_number() mirror unchanged.
+    *
+    * `vecs` must carry (vec_id, embedding, nrm); `cents` (cell, emb_cent,
+    * norm_cent), broadcast-small by construction. Emits (vec_id, embedding,
+    * cell).
+    */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents))
+      .withColumn("cent_cos",
+        detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
+      .groupBy(col("vec_id")) // plain long key — hashing the 64-float array
+      // per product row costs more than the whole argmax; the embedding
+      // rides in the max_by VALUE instead (copied only on a new max)
+      .agg(max_by(struct(col("cell"), col("embedding")),
+        struct(col("cent_cos"), -col("cell"))).as("w"))
+      .select(col("vec_id"), col("w.embedding").as("embedding"), col("w.cell").as("cell"))
 
   /** Lloyd's k-means iterated to a fixpoint — [[kmeansStep]]'s arithmetic in
     * [[Graph.pagerank]]'s execution contract: O(rounds) Spark jobs (one
@@ -252,14 +271,7 @@ object Similarity {
     while (iter < maxIter && !converged) {
       val withNorm = cents.select(col("cell"), col("emb_cent"),
         sqrt(dotFP(col("emb_cent"), col("emb_cent"))).as("norm_cent"))
-      val assignW = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cent_cos").desc, col("cell"))
-      val assigned = vecs.join(broadcast(withNorm))
-        .withColumn("cent_cos",
-          detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
-        .withColumn("rn", row_number().over(assignW))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      val assigned = assignCells(vecs, withNorm)
       val next = assigned.select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(floor(col("col").cast("double") * quantScale + 0.5)).as("s"),
