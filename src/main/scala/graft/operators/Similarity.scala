@@ -192,7 +192,7 @@ object Similarity {
         sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_cent"))
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
-    val assigned = assignCells(withNorm, cents)
+    val assigned = argmaxAssign(withNorm, cents)
     assigned.select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(floor(col("col").cast("double") * quantScale + 0.5)).as("s"),
@@ -215,18 +215,19 @@ object Similarity {
     *
     * `vecs` must carry (vec_id, embedding, nrm); `cents` (cell, emb_cent,
     * norm_cent), broadcast-small by construction. Emits (vec_id, embedding,
-    * cell).
+    * nrm, cell).
     */
-  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private def argmaxAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.join(broadcast(cents))
       .withColumn("cent_cos",
         detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
       .groupBy(col("vec_id")) // plain long key — hashing the 64-float array
       // per product row costs more than the whole argmax; the embedding
       // rides in the max_by VALUE instead (copied only on a new max)
-      .agg(max_by(struct(col("cell"), col("embedding")),
+      .agg(max_by(struct(col("cell"), col("embedding"), col("nrm")),
         struct(col("cent_cos"), -col("cell"))).as("w"))
-      .select(col("vec_id"), col("w.embedding").as("embedding"), col("w.cell").as("cell"))
+      .select(col("vec_id"), col("w.embedding").as("embedding"),
+        col("w.nrm").as("nrm"), col("w.cell").as("cell"))
 
   /** Lloyd's k-means iterated to a fixpoint — [[kmeansStep]]'s arithmetic in
     * [[Graph.pagerank]]'s execution contract: O(rounds) Spark jobs (one
@@ -271,7 +272,7 @@ object Similarity {
     while (iter < maxIter && !converged) {
       val withNorm = cents.select(col("cell"), col("emb_cent"),
         sqrt(dotFP(col("emb_cent"), col("emb_cent"))).as("norm_cent"))
-      val assigned = assignCells(vecs, withNorm)
+      val assigned = argmaxAssign(vecs, withNorm)
       val next = assigned.select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(floor(col("col").cast("double") * quantScale + 0.5)).as("s"),
@@ -355,15 +356,19 @@ object Similarity {
     val xs = corpus.select(col("vec_id"), explode(array(subStructs(m, dim): _*)).as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("xs"))
     val cs = pqCodebook(corpus, m, dim, centroidEvery)
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist"), col("cent_id"))
+    // nearest codebook entry as a map-side-combinable ARGMIN (same rewrite
+    // as argmaxAssign): unique ordering key (dist, cent_id) keeps the
+    // window's (dist ASC, cent_id ASC) winner; the sub-vector × codebook
+    // product dies inside the map task instead of being exchanged
     xs.join(broadcast(cs), Seq("sub"))
       .withColumn("dist", detRound(
         dotFP(col("xs"), col("xs")) + dotFP(col("cs"), col("cs"))
           - lit(2.0) * dotFP(col("xs"), col("cs")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("cent_id").as("code"), col("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("cent_id"), col("dist")),
+        struct(col("dist"), col("cent_id"))).as("w"))
+      .select(col("vec_id"), col("sub"), col("w.cent_id").as("code"),
+        col("w.dist").as("dist"))
   }
 
   /** One distributed power-iteration step toward the corpus' top principal
@@ -403,24 +408,18 @@ object Similarity {
     */
   /** Shared IVF-style cell assignment (the "index build" of [[ivfTopK]] /
     * [[semanticDedup]] / [[knnGraph]]): nearest deterministic-sample
-    * centroid by rounded cosine, ties to the smaller centroid id. One
-    * broadcast join + a per-vector window bounded by |centroids|.
-    * Returns (vec_id, embedding, nrm, cell).
+    * centroid by rounded cosine, ties to the smaller centroid id — the
+    * map-side-combinable [[argmaxAssign]], so the vec × centroid product
+    * never reaches an exchange. Returns (vec_id, embedding, nrm, cell).
     */
   private[operators] def assignCells(corpus: DataFrame, centroidEvery: Int): DataFrame = {
     val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("emb_cent"),
+      .select(col("vec_id").as("cell"), col("embedding").as("emb_cent"),
         sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_cent"))
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
-    withNorm.join(broadcast(cents))
-      .withColumn("cent_cos",
-        detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    argmaxAssign(withNorm, cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       // deliberate materialization: every caller self-joins the assignment
       // (pair formation reads it 2-3 times); reassigning means re-scoring
       // the corpus against every centroid per read
@@ -582,10 +581,12 @@ object Similarity {
     val scores = x.join(broadcast(cents), Seq("pos"))
       .groupBy(col("vec_id"), col("label"), col("cand"))
       .agg(sum(floor(col("x") * col("c") * quantScale + 0.5)).as("q"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("q").desc, col("cand"))
-    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("label"), col("cand").as("predicted"))
+    // argmax over candidates as max_by (unique key (q, -cand) == the old
+    // window's (q DESC, cand ASC) winner): pre-combines per partition
+    // instead of re-shuffling + sorting the per-candidate score table
+    scores.groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("cand"), struct(col("q"), -col("cand"))).as("predicted"))
+      .groupBy(col("label"), col("predicted"))
       .agg(count(lit(1)).as("n"))
   }
 

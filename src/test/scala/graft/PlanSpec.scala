@@ -466,4 +466,25 @@ class PlanSpec extends SparkSpec {
     }
     assert(!p.contains("windowspecdefinition"), "t-closeness must not need a window")
   }
+
+  test("centroid assignments are map-side argmax aggregates, never product windows") {
+    // r8: kmeans/kmeans_step/pq_code/semantic_dedup/centroid_confusion
+    // assign via max_by/min_by — the vec × centroid product must die in a
+    // partial aggregate inside the map task. A windowspecdefinition here
+    // means the full product is being exchanged and sorted (k× the corpus
+    // at k centroids — the 100 TB regression this test pins out).
+    // (q_kmeans itself is not listable: its executed plan is rooted at the
+    // final round's checkpoint leaf, so the per-round assignment subtree —
+    // the same argmaxAssign helper q_kmeans_step pins — is not printed)
+    Seq("q_kmeans_step", "q_pq_code", "q_semantic_dedup",
+      "q_centroid_confusion").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition"),
+        s"$q assignment fell back to a product window:\n" + p.take(1500))
+      assert(p.contains("max_by") || p.contains("min_by"),
+        s"$q should assign via max_by/min_by partial aggregate:\n" + p.take(1500))
+      assert(p.contains("BroadcastExchange"),
+        s"$q centroids must broadcast:\n" + p.take(1500))
+    }
+  }
 }
