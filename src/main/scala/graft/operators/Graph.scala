@@ -144,9 +144,13 @@ object Graph {
       .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
       .groupBy(col("src").as("node"), col("nl"))
       .agg(count(lit(1)).as("votes"))
-    val w = Window.partitionBy(col("node")).orderBy(col("votes").desc, col("nl"))
-    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("node"), col("nl").as("label"), col("votes"))
+    // mode vote as a map-side-combinable argmax (unique key (votes, -nl)
+    // == the old window's (votes DESC, nl ASC) winner) — pre-combines the
+    // per-label vote table instead of re-shuffling and sorting it
+    votes.groupBy(col("node"))
+      .agg(max_by(struct(col("nl"), col("votes")),
+        struct(col("votes"), -col("nl"))).as("w"))
+      .select(col("node"), col("w.nl").as("label"), col("w.votes").as("votes"))
   }
 
   /** Uniform 1/N starting ranks for the nodes appearing in `edges`. */
@@ -274,9 +278,9 @@ object Graph {
         .join(cur.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("node"), col("nl"))
         .agg(count(lit(1)).as("votes"))
-      val w = Window.partitionBy(col("node")).orderBy(col("votes").desc, col("nl"))
-      val voted = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("node"), col("nl").as("vote"))
+      // same argmax-not-window rewrite as [[labelPropStep]]
+      val voted = votes.groupBy(col("node"))
+        .agg(max_by(col("nl"), struct(col("votes"), -col("nl"))).as("vote"))
       // LEFT join back onto the full node set: a labeled node with no edge
       // in `pairs` (isolated seed) keeps its prior label instead of
       // silently vanishing from the state — and thereby from the

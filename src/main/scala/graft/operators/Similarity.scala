@@ -615,17 +615,12 @@ object Similarity {
     val cents = centroidTable(corpus, centroidEvery)
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
-    // index build: assign every vector to its nearest centroid by cosine
-    // (deterministic tiebreak on cent_id)
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
-    val cells = withNorm.join(broadcast(cents))
-      .withColumn("cent_cos",
-        detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
+    // index build: nearest centroid by cosine (deterministic tiebreak on
+    // centroid id) via the map-side-combinable argmax
+    val cells = argmaxAssign(withNorm,
+        cents.withColumnRenamed("cent_id", "cell"))
       .select(col("vec_id"), col("embedding").as("emb_c"), col("nrm").as("norm_c"),
-        col("cent_id").as("cell"))
+        col("cell"))
     // query probe: nprobe nearest centroids per query
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
