@@ -611,8 +611,24 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroidEvery: Int = 40, nprobe: Int = 2): DataFrame = {
-    val cents = centroidTable(corpus, centroidEvery)
+              centroidEvery: Int = 40, nprobe: Int = 2): DataFrame =
+    ivfSearch(corpus, queries, k, centroidTable(corpus, centroidEvery), nprobe)
+
+  /** [[ivfTopK]] against an ARBITRARY centroid table `(cell, emb_cent)` —
+    * in particular [[kmeans]] output, which turns the IVF index build into
+    * a TRAINED artifact instead of the deterministic seed sample (the
+    * production shape: train once, persist the codebook, assign + search
+    * against the broadcast-small trained centroids).
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+                     centroids: DataFrame, nprobe: Int = 2): DataFrame =
+    ivfSearch(corpus, queries, k,
+      centroids.select(col("cell").as("cent_id"), col("emb_cent"),
+        sqrt(dotFP(col("emb_cent"), col("emb_cent"))).as("norm_cent")),
+      nprobe)
+
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                        cents: DataFrame, nprobe: Int): DataFrame = {
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
     // index build: nearest centroid by cosine (deterministic tiebreak on

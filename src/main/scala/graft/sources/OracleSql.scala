@@ -427,10 +427,14 @@ object OracleSql {
     * centroids are 1e-6-rounded DOUBLE lists rebuilt with
     * `list(... ORDER BY pos)`, bit-matching the engine's detRound double
     * arrays, so every later assignment cosine agrees cross-engine. */
-  def kmeansChainSql(centroidEvery: Int, iters: Int): String = {
+  /** The Lloyd round CTE chain shared by [[kmeansChainSql]] and
+    * [[annIvfTrainedSql]]: `c0` is the seed sample, round `i` produces
+    * `a_i` (assignment), `p_i` (per-(cell,pos) quantized sums), `c_i`
+    * (centroid lists). */
+  private def kmeansRoundsCtes(centroidEvery: Int, iters: Int): String = {
     val mean6 = detRoundSql("s / 1000000.0 / n", 6)
     val rounds = (1 to iters).map { i =>
-      val cents = if (i == 1) s"c0" else s"c${i - 1}"
+      val cents = s"c${i - 1}"
       s"""a$i AS (SELECT vec_id, emb_v, cell FROM (
          |      SELECT e.vec_id, e.embedding AS emb_v, c.cell,
          |        row_number() OVER (PARTITION BY e.vec_id
@@ -445,13 +449,46 @@ object OracleSql {
          |c$i AS (SELECT cell, list($mean6 ORDER BY pos) AS emb_cent, max(n) AS n
          |      FROM p$i GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH c0 AS (SELECT vec_id AS cell, embedding AS emb_cent
+    s"""c0 AS (SELECT vec_id AS cell, embedding AS emb_cent
        |      FROM embeddings WHERE vec_id % $centroidEvery = 0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  def kmeansChainSql(centroidEvery: Int, iters: Int): String = {
+    val mean6 = detRoundSql("s / 1000000.0 / n", 6)
+    s"""WITH ${kmeansRoundsCtes(centroidEvery, iters)}
        |SELECT cell, CAST(pos - 1 AS BIGINT) AS pos,
        | $mean6 AS value, n AS n_vectors
        |FROM p$iters ORDER BY cell, pos""".stripMargin
   }
+
+  /** q_ann_ivf_trained mirror: [[annIvfSql]]'s assign/probe/search against
+    * the round-`iters` TRAINED centroids from [[kmeansRoundsCtes]] instead
+    * of the seed sample. */
+  def annIvfTrainedSql(k: Int, querySel: String, centroidEvery: Int,
+                       iters: Int, nprobe: Int): String =
+    s"""WITH ${kmeansRoundsCtes(centroidEvery, iters)},
+       |cents AS (SELECT cell AS cent_id, emb_cent FROM c$iters),
+       |assign AS (SELECT vec_id, emb_c, cell FROM (
+       |      SELECT e.vec_id, e.embedding AS emb_c, c.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c.emb_cent"), 4)} DESC,
+       |                   c.cent_id) AS rn
+       |      FROM embeddings e, cents c) WHERE rn = 1),
+       |probes AS (SELECT query_id, emb_q, cell FROM (
+       |      SELECT q.vec_id AS query_id, q.embedding AS emb_q, c.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("q.embedding", "c.emb_cent"), 4)} DESC,
+       |                   c.cent_id) AS rn
+       |      FROM (SELECT * FROM embeddings WHERE $querySel) q, cents c) WHERE rn <= $nprobe),
+       |scored AS (SELECT p.query_id, a.vec_id,
+       |        ${detRoundSql(cosineSql("p.emb_q", "a.emb_c"), 4)} AS cos
+       |      FROM assign a JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |      FROM scored)
+       |SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   /** q_semantic_dedup mirror: the IVF/k-means cell assignment (annIvfSql's
     * assign CTE) + intra-cell lower-id-wins near-dup marking. */

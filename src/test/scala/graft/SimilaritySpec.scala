@@ -224,6 +224,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._3 === approx.intersect(exact).size.toLong)
   }
 
+  test("ivfTopKTrained: hits carry brute-force cosines; ranks ordered per query") {
+    val cents = Similarity.kmeans(corpus, centroidEvery = 20, maxIter = 2)
+    val r = Similarity.ivfTopKTrained(corpus, queries, k = 5, cents, nprobe = 2)
+      .orderBy($"query_id", $"rank").collect()
+    assert(r.nonEmpty)
+    // every (query, vec) hit must score exactly what brute force scores it
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 200)
+      .select($"query_id", $"vec_id", $"cos").collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    r.foreach { row =>
+      val key = (row.getLong(0), row.getLong(2))
+      assert(brute(key) === row.getDouble(3), s"cosine mismatch at $key")
+    }
+    r.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "ranks not ordered")
+    }
+  }
+
   test("kmeans: one tol=0 round reproduces kmeansStep exactly") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
