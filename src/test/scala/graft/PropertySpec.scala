@@ -199,6 +199,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kmeansStep equals a brute-force argmax assignment + quantized means") {
+    (1 to 2).foreach { _ =>
+      val dim = 6
+      val vecs = (0L until 40L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      val df = vecs.map { case (i, a) => (i, a.toSeq) }.toDF("vec_id", "embedding")
+      val out = graft.operators.Similarity.kmeansStep(df, centroidEvery = 5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3)))).toMap
+      // brute force in Scala: argmax of round-4 cosine, ties to lower cell
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+      val cents = vecs.filter(_._1 % 5 == 0)
+      val assign = vecs.map { case (i, v) =>
+        val best = cents.map { case (c, cv) =>
+          (r4(dot(v, cv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(cv, cv)))), c)
+        }.maxBy { case (cos, c) => (cos, -c) }
+        i -> best._2
+      }.toMap
+      val want = assign.groupBy(_._2).flatMap { case (cell, m) =>
+        val members = m.keys.toSeq.map(i => vecs(i.toInt)._2)
+        (0 until dim).map { p =>
+          val s = members.map(v => math.floor(v(p).toDouble * 1e6 + 0.5).toLong).sum
+          val mean = math.floor(s / 1e6 / members.size * 1e6 + 0.5) / 1e6
+          (cell, p.toLong) -> (mean, members.size.toLong)
+        }
+      }
+      assert(out === want)
+    }
+  }
+
+  test("pagerank conserves mass on random directed graphs with dangling nodes") {
+    (1 to 2).foreach { _ =>
+      val n = 12
+      val edges = (0 until n).flatMap { s =>
+        Seq.fill(rnd.nextInt(3))((s.toLong, rnd.nextInt(n).toLong))
+      }.filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val (out, _) = graft.operators.Graph.pagerankRun(df, maxIter = 4)
+        val ranks = out.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+        assert(ranks.map(_._1).sorted.toSeq === nodes, "node universe changed")
+        assert(math.abs(ranks.map(_._2).sum - 1.0) < 1e-8,
+          s"mass leaked: ${ranks.map(_._2).sum}")
+      }
+    }
+  }
+
   test("interleave fairness: while all sources have docs, every n-sized block is distinct") {
     (1 to 3).foreach { _ =>
       val sizes = Seq("a" -> (3 + rnd.nextInt(5)), "b" -> (3 + rnd.nextInt(5)),
