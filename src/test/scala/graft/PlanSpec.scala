@@ -486,5 +486,14 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastExchange"),
         s"$q centroids must broadcast:\n" + p.take(1500))
     }
+    // the IVF searches keep their per-query top-k window (bounded candidate
+    // lists), but the corpus-sized index-build assignment must be max_by
+    Seq("q_ann_ivf", "q_ann_ivf_trained").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("max_by"),
+        s"$q index build should assign via max_by:\n" + p.take(1500))
+      assert(p.contains("BroadcastExchange"),
+        s"$q centroids must broadcast:\n" + p.take(1500))
+    }
   }
 }
