@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.detRound
 
@@ -18,17 +17,50 @@ import graft.functions.GraftFunctions.detRound
   * `df.checkpoint()` into that (on a cluster: distributed) filesystem, so a
   * multi-day 100 TB loop survives executor loss mid-iteration at the cost
   * of a write+read per round.
+  *
+  * Disk lifecycle (reliable mode): each round writes under its OWN subdir
+  * `dir/r<round>`, and the loop calls [[IterState.drop]] on round i−1 once
+  * round i is materialized and probed — ContextCleaner does NOT delete
+  * reliable checkpoint files (that needs the non-default
+  * `spark.cleaner.referenceTracking.cleanCheckpoints`), so without the
+  * explicit drop a long loop accumulates O(rounds × state) on disk. Only
+  * the FINAL round's subdir survives the loop (the returned frame reads
+  * from it). Loops run inside [[IterState.restoring]] so the session-global
+  * checkpoint-dir setting is put back afterwards.
   */
 private[operators] object IterState {
-  def apply(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+  def apply(df: DataFrame, checkpointDir: Option[String], round: Int): DataFrame =
     checkpointDir match {
       case Some(dir) =>
-        // set every call: cheap (an fs.mkdirs), and keeps the round's files
-        // under the dir THIS loop was given even if another operator pointed
-        // the session elsewhere between rounds
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        // per-round subdir: cheap (an fs.mkdirs), keeps THIS loop's files
+        // addressable for [[drop]] even if another operator pointed the
+        // session elsewhere between rounds
+        df.sparkSession.sparkContext.setCheckpointDir(s"$dir/r$round")
         df.checkpoint()
       case None => df.localCheckpoint()
+    }
+
+  /** Delete round `round`'s checkpoint subdir (no-op in local mode). Call
+    * only after the NEXT round's state is materialized and every probe
+    * reading this round has run. */
+  def drop(df: DataFrame, checkpointDir: Option[String], round: Int): Unit =
+    checkpointDir.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/r$round")
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+
+  /** Run `body` and restore the session's previous checkpoint dir after —
+    * the loops mutate the session-global setting per round, and unrelated
+    * `df.checkpoint()` callers must not silently inherit a finished loop's
+    * directory. (If no dir was set before and Spark offers no unset, the
+    * last round's subdir stays set — documented residue.) */
+  def restoring[T](checkpointDir: Option[String], spark: org.apache.spark.sql.SparkSession)
+                  (body: => T): T =
+    if (checkpointDir.isEmpty) body
+    else {
+      val prev = spark.sparkContext.getCheckpointDir
+      try body finally prev.foreach(spark.sparkContext.setCheckpointDir)
     }
 }
 
@@ -144,12 +176,12 @@ object Graph {
       .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
       .groupBy(col("src").as("node"), col("nl"))
       .agg(count(lit(1)).as("votes"))
-    // mode vote as a map-side-combinable argmax (unique key (votes, -nl)
-    // == the old window's (votes DESC, nl ASC) winner) — pre-combines the
-    // per-label vote table instead of re-shuffling and sorting it
+    // mode vote as a map-side-combinable argmax — min_by over (-votes, nl)
+    // is the old window's (votes DESC, nl ASC) winner and, unlike a negated
+    // label, works for labels of ANY orderable type (strings included)
     votes.groupBy(col("node"))
-      .agg(max_by(struct(col("nl"), col("votes")),
-        struct(col("votes"), -col("nl"))).as("w"))
+      .agg(min_by(struct(col("nl"), col("votes")),
+        struct(-col("votes"), col("nl"))).as("w"))
       .select(col("node"), col("w.nl").as("label"), col("w.votes").as("votes"))
   }
 
@@ -194,7 +226,8 @@ object Graph {
     * observable the early-exit spec pins. */
   def pagerankRun(edges: DataFrame, maxIter: Int = 20, tol: Double = 0.0,
                   quantScale: Double = 1e12,
-                  checkpointDir: Option[String] = None): (DataFrame, Int) = {
+                  checkpointDir: Option[String] = None): (DataFrame, Int) =
+    IterState.restoring(checkpointDir, edges.sparkSession) {
     val e = edges.cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     // Per-round state is checkpointed ([[IterState]]), NOT cached: caching
@@ -204,10 +237,14 @@ object Graph {
     // lineage to O(1) per round (the CC scaladoc's rule); eager=true also
     // plays the materializing action. Default local checkpoints die with an
     // executor — pass `checkpointDir` for the failure-durable mode.
-    var ranks = IterState(uniformRanks(e), checkpointDir)
+    var ranks = IterState(uniformRanks(e), checkpointDir, 0)
     val nNodes = ranks.count() // N is constant across rounds
-    // the dangling set depends only on out-degrees — static across rounds
-    val nodesDf = ranks.select(col("node")).cache()
+    // the dangling set depends only on out-degrees — static across rounds.
+    // nodesDf derives from the cached EDGE table, not the round-0 state:
+    // round subdirs are deleted as the loop advances, so no cached frame
+    // may keep checkpoint files in its recompute lineage
+    val nodesDf = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct().cache()
     val danglingNodes = nodesDf
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
       .cache()
@@ -220,28 +257,36 @@ object Graph {
         .select(col("dst").as("node"),
           floor((col("r") / col("deg")) * quantScale + 0.5).as("q"))
         .groupBy(col("node")).agg(sum(col("q")).as("sq"))
+      // ALWAYS over the full node universe: an in-degree-0 node receives no
+      // contribution (sq null → 0) but keeps its 0.15/N base share — it
+      // must not vanish even when the dangling set is empty. On graphs
+      // where every node has in-edges the left join matches every row and
+      // coalesce(sq) = sq, so the values are bit-identical to the plain
+      // aggregate (the oracle-gated symmetric case).
+      val base = nodesDf.join(sq, Seq("node"), "left")
       val next =
         if (!hasDangling)
-          sq.select(col("node"), detRound(lit(0.15) / nNodes +
-            lit(0.85) * (col("sq") / quantScale), 10).as("r"))
+          base.select(col("node"), detRound(lit(0.15) / nNodes +
+            lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale), 10).as("r"))
         else {
           val dangling = ranks.join(danglingNodes, Seq("node"))
             .agg(coalesce(sum(floor(col("r") * quantScale + 0.5)), lit(0L)).as("dq"))
-          nodesDf.join(sq, Seq("node"), "left")
-            .crossJoin(broadcast(dangling))
+          base.crossJoin(broadcast(dangling))
             .select(col("node"), detRound(lit(0.15) / nNodes +
               lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale) +
               lit(0.85) * ((col("dq") / quantScale) / nNodes), 10).as("r"))
         }
-      val nextCk = IterState(next, checkpointDir)
+      val nextCk = IterState(next, checkpointDir, iter + 1)
       if (tol > 0) {
         val delta = nextCk.as("n").join(ranks.as("o"), Seq("node"))
           .agg(max(abs(col("n.r") - col("o.r"))).as("d"))
           .collect()(0).getDouble(0)
         converged = delta <= tol
       }
-      // previous round's checkpoint blocks are released by the
-      // ContextCleaner once unreferenced
+      // previous round's state is no longer referenced: local-checkpoint
+      // blocks are released by the ContextCleaner; reliable-checkpoint
+      // files are deleted explicitly (see IterState scaladoc)
+      IterState.drop(ranks, checkpointDir, iter)
       ranks = nextCk
       iter += 1
     }
@@ -260,7 +305,8 @@ object Graph {
     */
   def labelProp(pairs: DataFrame, aCol: String, bCol: String,
                 labels: DataFrame, maxIter: Int = 10,
-                checkpointDir: Option[String] = None): DataFrame = {
+                checkpointDir: Option[String] = None): DataFrame =
+    IterState.restoring(checkpointDir, pairs.sparkSession) {
     // both directions in ONE pass over the pair lineage (CC's explode
     // trick), cached once for all rounds
     val dir = pairs.select(explode(array(
@@ -270,7 +316,7 @@ object Graph {
       .cache()
     // checkpoint per round ([[IterState]]), same rationale as [[pagerank]]:
     // O(1) lineage depth instead of O(rounds)
-    var cur = IterState(labels.select(col("node"), col("label")), checkpointDir)
+    var cur = IterState(labels.select(col("node"), col("label")), checkpointDir, 0)
     var iter = 0
     var stable = false
     while (iter < maxIter && !stable) {
@@ -280,19 +326,24 @@ object Graph {
         .agg(count(lit(1)).as("votes"))
       // same argmax-not-window rewrite as [[labelPropStep]]
       val voted = votes.groupBy(col("node"))
-        .agg(max_by(col("nl"), struct(col("votes"), -col("nl"))).as("vote"))
-      // LEFT join back onto the full node set: a labeled node with no edge
-      // in `pairs` (isolated seed) keeps its prior label instead of
-      // silently vanishing from the state — and thereby from the
-      // changed-count convergence probe (r7 advice).
+        .agg(min_by(col("nl"), struct(-col("votes"), col("nl"))).as("vote"))
+      // FULL outer join of prior state and votes: an isolated labeled node
+      // keeps its prior label (r7 advice — no vote, right side null), and
+      // an UNLABELED node reached by the spread enters the state with its
+      // vote (semi-supervised seed-and-spread; a left join from `cur`
+      // would freeze the node set to the seeds).
       val next = IterState(
-        cur.join(voted, Seq("node"), "left")
+        cur.join(voted, Seq("node"), "full_outer")
           .select(col("node"), coalesce(col("vote"), col("label")).as("label")),
-        checkpointDir)
-      val changed = next.as("n").join(cur.as("o"), Seq("node"))
-        .agg(sum(when(col("n.label") =!= col("o.label"), 1L).otherwise(0L)).as("c"))
+        checkpointDir, iter + 1)
+      // a node is "changed" if its label flipped OR it is newly labeled —
+      // next ⊇ cur, so a left join from next sees both cases
+      val changed = next.as("n").join(cur.as("o"), Seq("node"), "left")
+        .agg(sum(when(col("o.label").isNull ||
+          col("n.label") =!= col("o.label"), 1L).otherwise(0L)).as("c"))
         .collect()(0).getLong(0)
       stable = changed == 0L
+      IterState.drop(cur, checkpointDir, iter)
       cur = next
       iter += 1
     }

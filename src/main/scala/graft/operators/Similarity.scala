@@ -256,7 +256,8 @@ object Similarity {
     * observable the early-exit spec pins. */
   def kmeansRun(corpus: DataFrame, centroidEvery: Int = 40, maxIter: Int = 5,
                 tol: Double = 0.0, quantScale: Double = 1e6,
-                checkpointDir: Option[String] = None): (DataFrame, Int) = {
+                checkpointDir: Option[String] = None): (DataFrame, Int) =
+    IterState.restoring(checkpointDir, corpus.sparkSession) {
     val vecs = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm")).cache()
     // seed = the deterministic sample, cast to array<double> so the centroid
@@ -266,7 +267,7 @@ object Similarity {
         .select(col("vec_id").as("cell"),
           transform(col("embedding"), x => x.cast("double")).as("emb_cent"),
           lit(0L).as("n_vectors")),
-      checkpointDir)
+      checkpointDir, 0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -281,7 +282,7 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => detRound(x.getField("s") / quantScale / x.getField("n"), 6)).as("emb_cent"),
           max(col("n")).as("n_vectors"))
-      val nextCk = IterState(next, checkpointDir)
+      val nextCk = IterState(next, checkpointDir, iter + 1)
       if (tol > 0) {
         // max element-wise movement across surviving cells (both sides are
         // checkpoint leaves, so this inner join is k-row scalar work)
@@ -292,6 +293,7 @@ object Similarity {
           .collect()(0).getDouble(0)
         converged = delta <= tol
       }
+      IterState.drop(cents, checkpointDir, iter)
       cents = nextCk
       iter += 1
     }
@@ -581,11 +583,12 @@ object Similarity {
     val scores = x.join(broadcast(cents), Seq("pos"))
       .groupBy(col("vec_id"), col("label"), col("cand"))
       .agg(sum(floor(col("x") * col("c") * quantScale + 0.5)).as("q"))
-    // argmax over candidates as max_by (unique key (q, -cand) == the old
-    // window's (q DESC, cand ASC) winner): pre-combines per partition
-    // instead of re-shuffling + sorting the per-candidate score table
+    // argmax over candidates as min_by over (-q, cand) — the old window's
+    // (q DESC, cand ASC) winner, valid for candidate labels of ANY
+    // orderable type (the score q is always numeric): pre-combines per
+    // partition instead of re-shuffling + sorting the score table
     scores.groupBy(col("vec_id"), col("label"))
-      .agg(max_by(col("cand"), struct(col("q"), -col("cand"))).as("predicted"))
+      .agg(min_by(col("cand"), struct(-col("q"), col("cand"))).as("predicted"))
       .groupBy(col("label"), col("predicted"))
       .agg(count(lit(1)).as("n"))
   }

@@ -418,6 +418,14 @@ class CorpusStatsSpec extends SparkSpec {
       s"mass leaked: ${ranks.values.sum}")
     assert(ranks(3L) > ranks(2L) && ranks(2L) > ranks(1L),
       "rank must accumulate downstream")
+    // in-degree-0 node on a graph with NO dangling nodes (every node has
+    // out-edges): the fast path must still keep the full node universe
+    val noDangling = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val (out2, _) = graft.operators.Graph.pagerankRun(noDangling, maxIter = 6)
+    val r2 = out2.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(r2.size === 3, s"in-degree-0 node vanished: $r2")
+    assert(math.abs(r2.values.sum - 1.0) < 1e-8, s"mass leaked: ${r2.values.sum}")
+    assert(r2(3L) === 0.05, "in-degree-0 node holds exactly its base share")
   }
 
   test("labelProp: two triangles joined by a bridge settle into two communities") {

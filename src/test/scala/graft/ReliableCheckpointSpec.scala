@@ -23,16 +23,33 @@ class ReliableCheckpointSpec extends SparkSpec {
     if (f.isDirectory) Option(f.listFiles()).map(_.map(filesUnder).sum).getOrElse(0L)
     else 1L
 
+  private def roundDirs(dir: java.io.File): Seq[String] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("r")).map(_.getName).sorted.toSeq
+
   test("pagerank: reliable-checkpoint mode matches default and writes round state to the dir") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
     val dir = freshDir("pr")
     val default = graft.operators.Graph.pagerank(edges, maxIter = 5)
       .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // pre-set a session checkpoint dir so the restore contract is testable
+    // (with none set before, Spark offers no unset — documented residue)
+    val prior = freshDir("prior")
+    spark.sparkContext.setCheckpointDir(prior.toString)
+    val before = spark.sparkContext.getCheckpointDir
     val reliable = graft.operators.Graph.pagerank(edges, maxIter = 5,
         checkpointDir = Some(dir.toString))
       .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(reliable === default)
     assert(filesUnder(dir) > 0, "no checkpoint files written — state is not durable")
+    // disk lifecycle: prior rounds' subdirs are deleted as the loop
+    // advances — only the final round's state survives the loop
+    assert(roundDirs(dir) === Seq("r5"), s"stale round dirs: ${roundDirs(dir)}")
+    // the session-global checkpoint dir is restored after the loop (Spark
+    // nests a fresh UUID per setCheckpointDir call, so "restored" means
+    // back under the PRIOR tree, not the loop's round dirs)
+    assert(spark.sparkContext.getCheckpointDir.get.startsWith(before.get),
+      s"loop leaked its checkpoint dir: ${spark.sparkContext.getCheckpointDir}")
   }
 
   test("labelProp: reliable mode matches default; isolated seed keeps its label") {
@@ -66,6 +83,25 @@ class ReliableCheckpointSpec extends SparkSpec {
     assert(reliable === default)
     assert(default === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
     assert(filesUnder(dir) > 0)
+  }
+
+  test("labelProp: spread labels semi-supervised — unlabeled nodes acquire labels") {
+    // chain 1-2-3 with only node 1 seeded: the spread must reach 2, then 3
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val labels = Seq((1L, 10L)).toDF("node", "label")
+    val out = graft.operators.Graph.labelProp(pairs, "a", "b", labels, maxIter = 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 10L), (2L, 10L), (3L, 10L)),
+      s"seed did not spread: $out")
+  }
+
+  test("labelProp: string labels are accepted (no numeric-negation narrowing)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val labels = Seq((1L, "red"), (2L, "blue"), (3L, "blue")).toDF("node", "label")
+    val out = graft.operators.Graph.labelProp(pairs, "a", "b", labels, maxIter = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // triangle converges on the majority label
+    assert(out.values.toSet === Set("blue"), s"unexpected labels: $out")
   }
 
   test("kmeans: reliable mode matches default centroids") {
