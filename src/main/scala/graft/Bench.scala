@@ -58,10 +58,11 @@ object Bench {
     // alphabetically scattered but all call Warehouse.build.
     val warehouseFamily = Set(
       "q_fato_vendas", "q_fato_vendas_v2", "q_report_summary", "q_stream_fato")
-    // the seven graph queries share the memoized co-purchase pair artifact
+    // the graph queries share the memoized co-purchase pair artifact
     // (SparkEntry.copurchasePairsArtifact) — one contiguous cache window
     val graphFamily = Set("q_cooccur_lift", "q_triangle_count", "q_label_prop",
-      "q_pagerank", "q_pagerank_step", "q_item_neighbors", "q_degree_dist")
+      "q_label_prop_loop", "q_pagerank", "q_pagerank_step", "q_item_neighbors",
+      "q_degree_dist")
     def family(n: String): String =
       if (warehouseFamily(n)) "q_dim" // runs with the dim queries' window
       else if (graphFamily(n)) "q_cooccur"
