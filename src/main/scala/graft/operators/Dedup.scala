@@ -448,8 +448,8 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           aCol: String, bCol: String, maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame =
-    IterState.restoring(checkpointDir, nodes.sparkSession) {
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ckRoot = IterState.root(checkpointDir)
     // both directions in ONE pass over the pair lineage: a union of two
     // selects would evaluate the (possibly expensive) pair computation twice
     // before the cache materializes
@@ -480,14 +480,14 @@ object Dedup {
           when(col("cand") < col("comp"), col("cand")).otherwise(col("comp")).as("comp"),
           (col("cand") < col("comp")).as("__chg"))
       val updated =
-        if (checkpointDir.isDefined) IterState(updatedRaw, checkpointDir, iter + 1)
+        if (checkpointDir.isDefined) IterState(updatedRaw, ckRoot, iter + 1)
         else updatedRaw.cache()
       val nChanged = updated
         .agg(sum(when(col("__chg"), 1L).otherwise(0L))).collect()(0).getLong(0)
       cached.unpersist()
       // reliable mode: round iter's files are no longer referenced (round
       // iter+1 is materialized, probe done) — delete them (IterState doc)
-      if (iter >= 1) IterState.drop(cached, checkpointDir, iter)
+      if (iter >= 1) IterState.drop(cached, ckRoot, iter)
       cached = updated
       labels = updated.select("id", "comp")
       frontier = updated.filter(col("__chg")).select("id", "comp")

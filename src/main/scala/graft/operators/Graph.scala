@@ -13,54 +13,45 @@ import graft.functions.GraftFunctions.detRound
 /** Lineage truncation for an iterative round's state. Default is
   * `localCheckpoint()` — executor-memory blocks, fastest, but lost with the
   * executor (fine at local[32]; the loops' scaladocs document the risk).
-  * With `checkpointDir` set, state goes through a RELIABLE
-  * `df.checkpoint()` into that (on a cluster: distributed) filesystem, so a
-  * multi-day 100 TB loop survives executor loss mid-iteration at the cost
-  * of a write+read per round.
+  * With a `checkpointDir`, the round's state is WRITTEN AS PARQUET under a
+  * per-loop-invocation unique root (`dir/loop-<uuid>/r<round>`) and read
+  * back — the same durability and O(1)-lineage effect as a reliable
+  * `df.checkpoint()`, with three deliberate differences: no session-global
+  * `setCheckpointDir` mutation (nothing to restore, no race with other
+  * checkpointing code on the session), no collision when two loops —
+  * sequential or concurrent — share a `checkpointDir` (each invocation
+  * owns a fresh uuid root), and files a plain `spark.read.parquet` can
+  * re-open from ANY session after a crash.
   *
-  * Disk lifecycle (reliable mode): each round writes under its OWN subdir
-  * `dir/r<round>`, and the loop calls [[IterState.drop]] on round i−1 once
-  * round i is materialized and probed — ContextCleaner does NOT delete
-  * reliable checkpoint files (that needs the non-default
-  * `spark.cleaner.referenceTracking.cleanCheckpoints`), so without the
-  * explicit drop a long loop accumulates O(rounds × state) on disk. Only
-  * the FINAL round's subdir survives the loop (the returned frame reads
-  * from it). Loops run inside [[IterState.restoring]] so the session-global
-  * checkpoint-dir setting is put back afterwards.
+  * Disk lifecycle: the loop calls [[IterState.drop]] on round i−1 once
+  * round i is materialized and every probe reading i−1 has run, so at most
+  * two rounds exist on disk mid-loop and only the FINAL round's subdir
+  * survives the loop (the returned frame reads from it). The caller owns
+  * deleting `dir` itself when the result is no longer needed.
   */
 private[operators] object IterState {
-  def apply(df: DataFrame, checkpointDir: Option[String], round: Int): DataFrame =
-    checkpointDir match {
-      case Some(dir) =>
-        // per-round subdir: cheap (an fs.mkdirs), keeps THIS loop's files
-        // addressable for [[drop]] even if another operator pointed the
-        // session elsewhere between rounds
-        df.sparkSession.sparkContext.setCheckpointDir(s"$dir/r$round")
-        df.checkpoint()
+  /** Per-invocation unique root under the caller's dir — compute ONCE per
+    * loop and pass to every [[apply]]/[[drop]] of that loop. */
+  def root(checkpointDir: Option[String]): Option[String] =
+    checkpointDir.map(d => s"$d/loop-${java.util.UUID.randomUUID()}")
+
+  def apply(df: DataFrame, loopRoot: Option[String], round: Int): DataFrame =
+    loopRoot match {
+      case Some(r) =>
+        val p = s"$r/r$round"
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
       case None => df.localCheckpoint()
     }
 
-  /** Delete round `round`'s checkpoint subdir (no-op in local mode). Call
-    * only after the NEXT round's state is materialized and every probe
-    * reading this round has run. */
-  def drop(df: DataFrame, checkpointDir: Option[String], round: Int): Unit =
-    checkpointDir.foreach { dir =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/r$round")
+  /** Delete round `round`'s subdir (no-op in local mode). Call only after
+    * the NEXT round's state is materialized and every probe reading this
+    * round has run. */
+  def drop(df: DataFrame, loopRoot: Option[String], round: Int): Unit =
+    loopRoot.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(s"$r/r$round")
       p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
         .delete(p, true)
-    }
-
-  /** Run `body` and restore the session's previous checkpoint dir after —
-    * the loops mutate the session-global setting per round, and unrelated
-    * `df.checkpoint()` callers must not silently inherit a finished loop's
-    * directory. (If no dir was set before and Spark offers no unset, the
-    * last round's subdir stays set — documented residue.) */
-  def restoring[T](checkpointDir: Option[String], spark: org.apache.spark.sql.SparkSession)
-                  (body: => T): T =
-    if (checkpointDir.isEmpty) body
-    else {
-      val prev = spark.sparkContext.getCheckpointDir
-      try body finally prev.foreach(spark.sparkContext.setCheckpointDir)
     }
 }
 
@@ -212,10 +203,13 @@ object Graph {
     * Directed inputs: dangling-node mass is redistributed per round
     * (matching [[pagerankStep]]) — the dangling node SET is static (it
     * depends only on degrees), computed once; its per-round quantized mass
-    * is a broadcast scalar that rides the round's checkpoint action. When
-    * the set is empty — every symmetric edge list, e.g. the co-purchase
-    * graph — the round keeps the exact plain plan, so the oracle-gated
-    * q_pagerank plan and values are untouched.
+    * is a broadcast scalar that rides the round's checkpoint action. Every
+    * round joins the contribution aggregate back onto the full node
+    * universe (an in-degree-0 node keeps its 0.15/N base share instead of
+    * vanishing); when additionally the dangling set is empty — every
+    * symmetric edge list, e.g. the co-purchase graph — that left join
+    * matches every row and the VALUES are bit-identical to the plain
+    * aggregate, which is why the oracle-gated q_pagerank is untouched.
     */
   def pagerank(edges: DataFrame, maxIter: Int = 20, tol: Double = 0.0,
                quantScale: Double = 1e12,
@@ -226,25 +220,28 @@ object Graph {
     * observable the early-exit spec pins. */
   def pagerankRun(edges: DataFrame, maxIter: Int = 20, tol: Double = 0.0,
                   quantScale: Double = 1e12,
-                  checkpointDir: Option[String] = None): (DataFrame, Int) =
-    IterState.restoring(checkpointDir, edges.sparkSession) {
+                  checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val ckRoot = IterState.root(checkpointDir)
     val e = edges.cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    // the node universe and (static) dangling set are derived from the
+    // cached EDGE table — not from a round-0 state whose files the loop
+    // later deletes — and computed ONCE (uniformRanks would repeat the
+    // same corpus-wide distinct)
+    val nodesDf = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct().cache()
     // Per-round state is checkpointed ([[IterState]]), NOT cached: caching
     // keeps the full O(rounds)-deep logical plan (round N's lineage nests
     // every earlier round), and AQE re-renders that plan's string per stage
     // — measured to OOM the driver near 60 rounds. The checkpoint truncates
-    // lineage to O(1) per round (the CC scaladoc's rule); eager=true also
-    // plays the materializing action. Default local checkpoints die with an
+    // lineage to O(1) per round (the CC scaladoc's rule) and its write is
+    // the materializing action. Default local checkpoints die with an
     // executor — pass `checkpointDir` for the failure-durable mode.
-    var ranks = IterState(uniformRanks(e), checkpointDir, 0)
+    var ranks = IterState(
+      nodesDf.crossJoin(broadcast(nodesDf.agg(count(lit(1)).as("n"))))
+        .select(col("node"), (lit(1.0) / col("n")).as("r")),
+      ckRoot, 0)
     val nNodes = ranks.count() // N is constant across rounds
-    // the dangling set depends only on out-degrees — static across rounds.
-    // nodesDf derives from the cached EDGE table, not the round-0 state:
-    // round subdirs are deleted as the loop advances, so no cached frame
-    // may keep checkpoint files in its recompute lineage
-    val nodesDf = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct().cache()
     val danglingNodes = nodesDf
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
       .cache()
@@ -276,7 +273,7 @@ object Graph {
               lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale) +
               lit(0.85) * ((col("dq") / quantScale) / nNodes), 10).as("r"))
         }
-      val nextCk = IterState(next, checkpointDir, iter + 1)
+      val nextCk = IterState(next, ckRoot, iter + 1)
       if (tol > 0) {
         val delta = nextCk.as("n").join(ranks.as("o"), Seq("node"))
           .agg(max(abs(col("n.r") - col("o.r"))).as("d"))
@@ -286,7 +283,7 @@ object Graph {
       // previous round's state is no longer referenced: local-checkpoint
       // blocks are released by the ContextCleaner; reliable-checkpoint
       // files are deleted explicitly (see IterState scaladoc)
-      IterState.drop(ranks, checkpointDir, iter)
+      IterState.drop(ranks, ckRoot, iter)
       ranks = nextCk
       iter += 1
     }
@@ -297,16 +294,19 @@ object Graph {
     (ranks, iter)
   }
 
-  /** Label propagation iterated until no node changes its label (or
-    * `maxIter`, which also bounds the 2-cycle oscillation LPA is known
-    * for). Per round = [[labelPropStep]]'s vote join + mode window; the
-    * changed-label count is the round's single action and convergence
-    * probe. Same eager cache contract as [[pagerank]].
+  /** Label propagation iterated until no label flips AND no new node is
+    * labeled (or `maxIter`, which also bounds the 2-cycle oscillation LPA
+    * is known for). Per round = [[labelPropStep]]'s vote join + min_by
+    * mode argmax, then a FULL OUTER union of the vote result with the
+    * prior state — so the output node set is the seeds PLUS every node the
+    * spread reaches (semi-supervised seed-and-spread; isolated seeds keep
+    * their prior label). Callers seeding every node get exactly the seed
+    * set back. Same eager cache contract as [[pagerank]].
     */
   def labelProp(pairs: DataFrame, aCol: String, bCol: String,
                 labels: DataFrame, maxIter: Int = 10,
-                checkpointDir: Option[String] = None): DataFrame =
-    IterState.restoring(checkpointDir, pairs.sparkSession) {
+                checkpointDir: Option[String] = None): DataFrame = {
+    val ckRoot = IterState.root(checkpointDir)
     // both directions in ONE pass over the pair lineage (CC's explode
     // trick), cached once for all rounds
     val dir = pairs.select(explode(array(
@@ -316,7 +316,7 @@ object Graph {
       .cache()
     // checkpoint per round ([[IterState]]), same rationale as [[pagerank]]:
     // O(1) lineage depth instead of O(rounds)
-    var cur = IterState(labels.select(col("node"), col("label")), checkpointDir, 0)
+    var cur = IterState(labels.select(col("node"), col("label")), ckRoot, 0)
     var iter = 0
     var stable = false
     while (iter < maxIter && !stable) {
@@ -335,7 +335,7 @@ object Graph {
       val next = IterState(
         cur.join(voted, Seq("node"), "full_outer")
           .select(col("node"), coalesce(col("vote"), col("label")).as("label")),
-        checkpointDir, iter + 1)
+        ckRoot, iter + 1)
       // a node is "changed" if its label flipped OR it is newly labeled —
       // next ⊇ cur, so a left join from next sees both cases
       val changed = next.as("n").join(cur.as("o"), Seq("node"), "left")
@@ -343,7 +343,7 @@ object Graph {
           col("n.label") =!= col("o.label"), 1L).otherwise(0L)).as("c"))
         .collect()(0).getLong(0)
       stable = changed == 0L
-      IterState.drop(cur, checkpointDir, iter)
+      IterState.drop(cur, ckRoot, iter)
       cur = next
       iter += 1
     }

@@ -256,8 +256,8 @@ object Similarity {
     * observable the early-exit spec pins. */
   def kmeansRun(corpus: DataFrame, centroidEvery: Int = 40, maxIter: Int = 5,
                 tol: Double = 0.0, quantScale: Double = 1e6,
-                checkpointDir: Option[String] = None): (DataFrame, Int) =
-    IterState.restoring(checkpointDir, corpus.sparkSession) {
+                checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val ckRoot = IterState.root(checkpointDir)
     val vecs = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm")).cache()
     // seed = the deterministic sample, cast to array<double> so the centroid
@@ -267,7 +267,7 @@ object Similarity {
         .select(col("vec_id").as("cell"),
           transform(col("embedding"), x => x.cast("double")).as("emb_cent"),
           lit(0L).as("n_vectors")),
-      checkpointDir, 0)
+      ckRoot, 0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -282,7 +282,7 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           x => detRound(x.getField("s") / quantScale / x.getField("n"), 6)).as("emb_cent"),
           max(col("n")).as("n_vectors"))
-      val nextCk = IterState(next, checkpointDir, iter + 1)
+      val nextCk = IterState(next, ckRoot, iter + 1)
       if (tol > 0) {
         // max element-wise movement across surviving cells (both sides are
         // checkpoint leaves, so this inner join is k-row scalar work)
@@ -293,7 +293,7 @@ object Similarity {
           .collect()(0).getDouble(0)
         converged = delta <= tol
       }
-      IterState.drop(cents, checkpointDir, iter)
+      IterState.drop(cents, ckRoot, iter)
       cents = nextCk
       iter += 1
     }

@@ -23,19 +23,20 @@ class ReliableCheckpointSpec extends SparkSpec {
     if (f.isDirectory) Option(f.listFiles()).map(_.map(filesUnder).sum).getOrElse(0L)
     else 1L
 
-  private def roundDirs(dir: java.io.File): Seq[String] =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("r")).map(_.getName).sorted.toSeq
+  /** Round subdirs (r0, r1, …) inside the loop's uuid root under `dir`. */
+  private def roundDirs(dir: java.io.File): Seq[String] = {
+    val loops = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("loop-"))
+    loops.flatMap(l => Option(l.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isDirectory && f.getName.startsWith("r"))
+      .map(_.getName).sorted.toSeq
+  }
 
   test("pagerank: reliable-checkpoint mode matches default and writes round state to the dir") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
     val dir = freshDir("pr")
     val default = graft.operators.Graph.pagerank(edges, maxIter = 5)
       .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // pre-set a session checkpoint dir so the restore contract is testable
-    // (with none set before, Spark offers no unset — documented residue)
-    val prior = freshDir("prior")
-    spark.sparkContext.setCheckpointDir(prior.toString)
     val before = spark.sparkContext.getCheckpointDir
     val reliable = graft.operators.Graph.pagerank(edges, maxIter = 5,
         checkpointDir = Some(dir.toString))
@@ -45,11 +46,19 @@ class ReliableCheckpointSpec extends SparkSpec {
     // disk lifecycle: prior rounds' subdirs are deleted as the loop
     // advances — only the final round's state survives the loop
     assert(roundDirs(dir) === Seq("r5"), s"stale round dirs: ${roundDirs(dir)}")
-    // the session-global checkpoint dir is restored after the loop (Spark
-    // nests a fresh UUID per setCheckpointDir call, so "restored" means
-    // back under the PRIOR tree, not the loop's round dirs)
-    assert(spark.sparkContext.getCheckpointDir.get.startsWith(before.get),
-      s"loop leaked its checkpoint dir: ${spark.sparkContext.getCheckpointDir}")
+    // state goes through plain parquet writes — the session-global
+    // checkpoint dir is never touched
+    assert(spark.sparkContext.getCheckpointDir === before,
+      s"loop mutated the session checkpoint dir: ${spark.sparkContext.getCheckpointDir}")
+    // two loops may share a dir without colliding (per-invocation uuid
+    // roots): rerunning against the same dir must not disturb the first
+    // run's surviving state
+    val again = graft.operators.Graph.pagerank(edges, maxIter = 3,
+        checkpointDir = Some(dir.toString))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(roundDirs(dir).sorted === Seq("r3", "r5"),
+      s"loop roots collided: ${roundDirs(dir)}")
+    assert(again.map(_._1) === reliable.map(_._1))
   }
 
   test("labelProp: reliable mode matches default; isolated seed keeps its label") {
