@@ -28,6 +28,14 @@ import graft.functions.GraftFunctions.detRound
   * two rounds exist on disk mid-loop and only the FINAL round's subdir
   * survives the loop (the returned frame reads from it). The caller owns
   * deleting `dir` itself when the result is no longer needed.
+  *
+  * Known trade vs `df.checkpoint()`: a parquet scan does not carry the
+  * state's outputPartitioning, so reliable mode re-exchanges the O(nodes)
+  * state into the next round's join where a checkpoint would have reused
+  * the hash partitioning — the price of session isolation and any-session
+  * re-open, paid only in the opt-in durable mode (default localCheckpoint
+  * preserves partitioning as before) and small next to the round's
+  * edge-table join it feeds.
   */
 private[operators] object IterState {
   /** Per-invocation unique root under the caller's dir — compute ONCE per
@@ -177,12 +185,16 @@ object Graph {
   }
 
   /** Uniform 1/N starting ranks for the nodes appearing in `edges`. */
-  def uniformRanks(edges: DataFrame): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node"))).distinct()
+  def uniformRanks(edges: DataFrame): DataFrame =
+    uniformRanksFor(edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct())
+
+  /** 1/N ranks over an already-distinct node table — shared by
+    * [[uniformRanks]] and [[pagerankRun]] (which reuses its cached node
+    * universe instead of re-deriving the distinct). */
+  private def uniformRanksFor(nodes: DataFrame): DataFrame =
     nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
-  }
 
   /** PageRank iterated to convergence — [[pagerankStep]]'s arithmetic
     * (quantized contribution sums, per-round detRound to 1e-10) in the
@@ -237,10 +249,7 @@ object Graph {
     // lineage to O(1) per round (the CC scaladoc's rule) and its write is
     // the materializing action. Default local checkpoints die with an
     // executor — pass `checkpointDir` for the failure-durable mode.
-    var ranks = IterState(
-      nodesDf.crossJoin(broadcast(nodesDf.agg(count(lit(1)).as("n"))))
-        .select(col("node"), (lit(1.0) / col("n")).as("r")),
-      ckRoot, 0)
+    var ranks = IterState(uniformRanksFor(nodesDf), ckRoot, 0)
     val nNodes = ranks.count() // N is constant across rounds
     val danglingNodes = nodesDf
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")

@@ -4,11 +4,13 @@ import org.apache.spark.sql.functions._
 
 /** Opt-in failure-durable mode of the iterative loops (pagerank, labelProp,
   * connectedComponents, kmeans): with a `checkpointDir`, per-round state is
-  * written through a reliable `df.checkpoint()` — files on a (distributed)
-  * filesystem that survive executor loss, unlike `localCheckpoint()`'s
-  * executor-memory blocks. These specs pin (a) results are identical to the
-  * default mode, and (b) the round state really landed in the given dir,
-  * i.e. a lost executor could re-read it.
+  * written as PARQUET under `dir/loop-<uuid>/r<round>` and read back —
+  * files on a (distributed) filesystem that survive executor loss (and are
+  * re-openable from any session), unlike `localCheckpoint()`'s
+  * executor-memory blocks; the session checkpoint dir is never touched.
+  * These specs pin (a) results are identical to the default mode, (b) the
+  * round state really landed in the given dir with only the final round
+  * surviving, and (c) loops sharing a dir cannot disturb each other.
   */
 class ReliableCheckpointSpec extends SparkSpec {
   import spark.implicits._
@@ -38,8 +40,9 @@ class ReliableCheckpointSpec extends SparkSpec {
     val default = graft.operators.Graph.pagerank(edges, maxIter = 5)
       .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val before = spark.sparkContext.getCheckpointDir
-    val reliable = graft.operators.Graph.pagerank(edges, maxIter = 5,
-        checkpointDir = Some(dir.toString))
+    val reliableDf = graft.operators.Graph.pagerank(edges, maxIter = 5,
+      checkpointDir = Some(dir.toString))
+    val reliable = reliableDf
       .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(reliable === default)
     assert(filesUnder(dir) > 0, "no checkpoint files written — state is not durable")
@@ -53,17 +56,22 @@ class ReliableCheckpointSpec extends SparkSpec {
     // two loops may share a dir without colliding (per-invocation uuid
     // roots): rerunning against the same dir must not disturb the first
     // run's surviving state
-    val again = graft.operators.Graph.pagerank(edges, maxIter = 3,
+    graft.operators.Graph.pagerank(edges, maxIter = 3,
         checkpointDir = Some(dir.toString))
-      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .orderBy("node").collect()
     assert(roundDirs(dir).sorted === Seq("r3", "r5"),
       s"loop roots collided: ${roundDirs(dir)}")
-    assert(again.map(_._1) === reliable.map(_._1))
+    // the FIRST run's frame still reads its own files intact after the
+    // second run (re-collect goes back to the r5 parquet on disk)
+    val reRead = reliableDf
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(reRead === reliable, "second loop disturbed the first loop's state")
   }
 
   test("labelProp: reliable mode matches default; isolated seed keeps its label") {
     // triangle {1,2,3} plus isolated labeled node 99 (no edges): the vote
-    // join yields nothing for it, so only the left-join-back keeps it
+    // join yields nothing for it, so only the full-outer state union's
+    // prior-label side keeps it
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
     val labels = Seq((1L, 10L), (2L, 20L), (3L, 30L), (99L, 7L)).toDF("node", "label")
     val dir = freshDir("lp")
