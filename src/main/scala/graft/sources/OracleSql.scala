@@ -202,6 +202,37 @@ object OracleSql {
        |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** q_pagerank_dangling mirror: [[pagerankChainSql]]'s quantized rounds
+    * over a DIRECTED customer→order edge list (order nodes carry no
+    * out-edges, customers no in-edges) with the engine's dangling-mass
+    * redistribution: per round, dq = Σ_dangling floor(r·1e12 + 0.5) (a
+    * BIGINT, so engine/partitioning-exact), and every node of the FULL
+    * universe gets r' = 0.15/N + 0.85·(sq/1e12) + 0.85·((dq/1e12)/N) —
+    * the same left-assoc IEEE sum `Graph.pagerankRun` emits. `dstOffset`
+    * keeps the order-node id space disjoint from the customer keys. */
+  def pagerankDanglingChainSql(iters: Int, dstOffset: Long): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
+         |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node),
+         |s$i AS (SELECT node, CAST(sum(q) AS BIGINT) AS sq FROM c$i GROUP BY 1),
+         |d$i AS (SELECT COALESCE(CAST(sum(floor(r.r * 1000000000000.0 + 0.5)) AS BIGINT), 0) AS dq
+         |      FROM r${i - 1} r LEFT JOIN deg g ON r.node = g.src WHERE g.src IS NULL),
+         |r$i AS (SELECT n.node, ${detRoundSql(
+               "CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * (COALESCE(s.sq, 0) / 1000000000000.0)" +
+                 " + CAST(0.85 AS DOUBLE) * ((d.dq / 1000000000000.0) / n_nodes)", 10)} AS r
+         |       FROM nodes n LEFT JOIN s$i s ON n.node = s.node, d$i d, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CAST(o_custkey AS BIGINT) AS src,
+       |             CAST(o_orderkey AS BIGINT) + $dstOffset AS dst FROM orders),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |          UNION SELECT DISTINCT dst FROM e),
+       |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS r FROM nodes, nn),
+       |$steps
+       |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
+  }
+
   // ---- md5-derived 60-bit hash mirrors (graft.operators.Dedup) -------------
 
   /** Mirror of Dedup.hash60: first 15 md5 hex chars as a BIGINT. */
