@@ -305,6 +305,109 @@ object Graph {
     (ranks, iter)
   }
 
+  /** Personalized PageRank — [[pagerank]]'s loop with the teleport vector
+    * concentrated on a seed set instead of uniform: each round every node
+    * gets `0.15·s + 0.85·Σ(contributions) + 0.85·danglingMass·s`, where
+    * `s = 1/|seeds|` for seed nodes and 0 otherwise. Both the random-surfer
+    * restart AND the dangling-node mass return to the seeds, so the
+    * stationary ranks measure proximity to the seed set — the standard
+    * seed-based quality-weighting signal for web-corpus curation (rank
+    * documents/domains by how reachable they are from a trusted whitelist).
+    *
+    * Same engine-exact arithmetic as [[pagerankRun]] (1e-12-quantized
+    * contribution sums, per-round detRound to 1e-10, left-associative
+    * term order) so a DuckDB oracle can unroll `tol = 0` rounds
+    * bit-identically; same execution contract (edges/degrees/seed-share
+    * cached once, per-round state [[IterState]]-checkpointed to O(1)
+    * lineage, eager cache release). Kept a SEPARATE loop from
+    * [[pagerankRun]] rather than a seed parameter because the uniform
+    * base term there is `0.15/N` while this one is `0.15·s` — an IEEE
+    * division vs a multiplication whose values differ in the last ulp, and
+    * the uniform loop's oracle gates pin its exact bits.
+    *
+    * Seeds outside the edge list's node universe are ignored (the share
+    * denominator counts only seeds that are graph nodes); an empty
+    * effective seed set is rejected. Output covers the FULL node universe —
+    * nodes unreachable from the seeds hold rank 0 rather than vanishing.
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+                           maxIter: Int = 20, tol: Double = 0.0,
+                           quantScale: Double = 1e12,
+                           checkpointDir: Option[String] = None): DataFrame =
+    personalizedPagerankRun(edges, seeds, maxIter, tol, quantScale, checkpointDir)._1
+
+  /** [[personalizedPagerank]] plus the number of rounds executed. */
+  def personalizedPagerankRun(edges: DataFrame, seeds: DataFrame,
+                              maxIter: Int = 20, tol: Double = 0.0,
+                              quantScale: Double = 1e12,
+                              checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val ckRoot = IterState.root(checkpointDir)
+    val e = edges.cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    val nodesDf = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct().cache()
+    // effective seeds = requested seeds ∩ node universe; |S| is a one-off
+    // driver scalar (like pagerankRun's nNodes), NOT a per-round collect
+    val seedSet = seeds.select(col("node")).distinct()
+      .join(nodesDf, Seq("node")).cache()
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0,
+      "personalizedPagerank: no seed intersects the edge list's nodes")
+    // static per-node teleport share — the broadcast-small personalization
+    // vector every round joins against (at 100 TB it is the persisted
+    // companion of the edge artifact, exactly like the degree table)
+    val share = nodesDf
+      .join(seedSet.select(col("node"), lit(1.0 / nSeeds).as("s")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0.0)).as("s"))
+      .cache()
+    val danglingNodes = nodesDf
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .cache()
+    val hasDangling = !danglingNodes.isEmpty
+    // r0 = the teleport vector itself (the canonical PPR start — already
+    // normalized, and rounds fewer than a uniform start would need)
+    var ranks = IterState(share.select(col("node"), col("s").as("r")), ckRoot, 0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val sq = e.join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          floor((col("r") / col("deg")) * quantScale + 0.5).as("q"))
+        .groupBy(col("node")).agg(sum(col("q")).as("sq"))
+      val base = share.join(sq, Seq("node"), "left")
+      val next =
+        if (!hasDangling)
+          base.select(col("node"), detRound(lit(0.15) * col("s") +
+            lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale), 10).as("r"))
+        else {
+          val dangling = ranks.join(danglingNodes, Seq("node"))
+            .agg(coalesce(sum(floor(col("r") * quantScale + 0.5)), lit(0L)).as("dq"))
+          base.crossJoin(broadcast(dangling))
+            .select(col("node"), detRound(lit(0.15) * col("s") +
+              lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale) +
+              lit(0.85) * ((col("dq") / quantScale) * col("s")), 10).as("r"))
+        }
+      val nextCk = IterState(next, ckRoot, iter + 1)
+      if (tol > 0) {
+        val delta = nextCk.as("n").join(ranks.as("o"), Seq("node"))
+          .agg(max(abs(col("n.r") - col("o.r"))).as("d"))
+          .collect()(0).getDouble(0)
+        converged = delta <= tol
+      }
+      IterState.drop(ranks, ckRoot, iter)
+      ranks = nextCk
+      iter += 1
+    }
+    e.unpersist()
+    deg.unpersist()
+    nodesDf.unpersist()
+    seedSet.unpersist()
+    share.unpersist()
+    danglingNodes.unpersist()
+    (ranks, iter)
+  }
+
   /** Label propagation iterated until no label flips AND no new node is
     * labeled (or `maxIter`, which also bounds the 2-cycle oscillation LPA
     * is known for). Per round = [[labelPropStep]]'s vote join + min_by

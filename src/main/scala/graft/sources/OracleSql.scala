@@ -233,6 +233,42 @@ object OracleSql {
        |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** q_pagerank_personalized mirror: [[pagerankDanglingChainSql]]'s graph
+    * with `Graph.personalizedPagerankRun`'s teleport arithmetic — seeds are
+    * the customer nodes with `node % seedMod = 0`, each node's static share
+    * is `s = 1/|seeds|` (seeds) or 0, r0 = the share vector itself, and
+    * every round emits r' = 0.15·s + 0.85·(sq/1e12) + 0.85·((dq/1e12)·s) in
+    * the engine's left-assoc IEEE order. The share division
+    * `CAST(1.0 AS DOUBLE) / n_seeds` is the same single IEEE op the engine
+    * performs driver-side, so the vectors agree bit-wise from round 0. */
+  def pagerankPersonalizedChainSql(iters: Int, dstOffset: Long,
+                                   seedMod: Long): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
+         |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node),
+         |s$i AS (SELECT node, CAST(sum(q) AS BIGINT) AS sq FROM c$i GROUP BY 1),
+         |d$i AS (SELECT COALESCE(CAST(sum(floor(r.r * 1000000000000.0 + 0.5)) AS BIGINT), 0) AS dq
+         |      FROM r${i - 1} r LEFT JOIN deg g ON r.node = g.src WHERE g.src IS NULL),
+         |r$i AS (SELECT sh.node, ${detRoundSql(
+               "CAST(0.15 AS DOUBLE) * sh.s + CAST(0.85 AS DOUBLE) * (COALESCE(s.sq, 0) / 1000000000000.0)" +
+                 " + CAST(0.85 AS DOUBLE) * ((d.dq / 1000000000000.0) * sh.s)", 10)} AS r
+         |       FROM share sh LEFT JOIN s$i s ON sh.node = s.node, d$i d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CAST(o_custkey AS BIGINT) AS src,
+       |             CAST(o_orderkey AS BIGINT) + $dstOffset AS dst FROM orders),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |          UNION SELECT DISTINCT dst FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % $seedMod = 0),
+       |ns AS (SELECT count(*) AS n_seeds FROM seeds),
+       |share AS (SELECT n.node, CASE WHEN s.node IS NULL THEN CAST(0.0 AS DOUBLE)
+       |            ELSE CAST(1.0 AS DOUBLE) / ns.n_seeds END AS s
+       |          FROM nodes n LEFT JOIN seeds s ON n.node = s.node, ns),
+       |r0 AS (SELECT node, s AS r FROM share),
+       |$steps
+       |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
+  }
+
   // ---- md5-derived 60-bit hash mirrors (graft.operators.Dedup) -------------
 
   /** Mirror of Dedup.hash60: first 15 md5 hex chars as a BIGINT. */

@@ -428,6 +428,63 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r2(3L) === 0.05, "in-degree-0 node holds exactly its base share")
   }
 
+  test("personalizedPagerank: teleport and dangling mass return to the seeds") {
+    // 1 -> 2 -> 3 directed chain, seed = {1}: node 3 is dangling and its
+    // mass teleports ONLY to node 1; nodes 2 and 3 have zero base share.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    // hand-checked round 1 from r0 = (1, 0, 0): contributions 1->2 carry
+    // r=1, so r'(2) = 0.85; r'(1) = 0.15·1 (dangling mass is 0 at r0);
+    // r'(3) = 0 (its in-contribution r(2)=0 and s=0)
+    val (out1, _) = graft.operators.Graph.personalizedPagerankRun(
+      edges, seeds, maxIter = 1)
+    val r1 = out1.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(r1 === Map(1L -> 0.15, 2L -> 0.85, 3L -> 0.0))
+    // iterated: mass conserved (teleport + dangling both land on seeds),
+    // full node universe kept, and the non-seed source-only node 1's rank
+    // is exactly its teleport share each round
+    val (out, _) = graft.operators.Graph.personalizedPagerankRun(
+      edges, seeds, maxIter = 10)
+    val ranks = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ranks.size === 3)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-8,
+      s"mass leaked: ${ranks.values.sum}")
+    // a node NOT reachable from the seeds holds rank 0, not a base share
+    val edges2 = Seq((1L, 2L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val (out2, _) = graft.operators.Graph.personalizedPagerankRun(
+      edges2, Seq(1L).toDF("node"), maxIter = 5)
+    val r2 = out2.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(r2(3L) === 0.0 && r2(4L) === 0.0,
+      s"unreachable component must hold rank 0: $r2")
+    assert(r2(1L) > 0 && r2(2L) > 0)
+    // seeds that are not graph nodes are ignored; all-external seeds reject
+    val (out3, _) = graft.operators.Graph.personalizedPagerankRun(
+      edges, Seq(1L, 99L).toDF("node"), maxIter = 1)
+    assert(out3.collect().map(_.getDouble(1)).sum > 0.99)
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.personalizedPagerankRun(
+        edges, Seq(99L).toDF("node"), maxIter = 1)
+    }
+  }
+
+  test("personalizedPagerank: seeding every node approximates uniform pagerank") {
+    // with S = all nodes, s = 1/N and the teleport arithmetic differs from
+    // the uniform loop only by 0.15·(1/N) vs 0.15/N — equal to within an
+    // ulp per term, so ranks agree to well past the 1e-10 detRound grid
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val allNodes = (1L to 4L).toDF("node")
+    val (ppr, _) = graft.operators.Graph.personalizedPagerankRun(
+      pairs, allNodes, maxIter = 8)
+    val (pr, _) = graft.operators.Graph.pagerankRun(pairs, maxIter = 8)
+    val a = ppr.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = pr.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a.keySet === b.keySet)
+    a.keySet.foreach { k =>
+      assert(math.abs(a(k) - b(k)) < 1e-9, s"node $k: ${a(k)} vs ${b(k)}")
+    }
+  }
+
   test("labelProp: two triangles joined by a bridge settle into two communities") {
     // triangle {1,2,3} - bridge - triangle {4,5,6}; seeds = node id
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
