@@ -353,8 +353,11 @@ object Graph {
     val nSeeds = seedSet.count()
     require(nSeeds > 0,
       "personalizedPagerank: no seed intersects the edge list's nodes")
-    // static per-node teleport share — the broadcast-small personalization
-    // vector every round joins against (at 100 TB it is the persisted
+    // static per-node teleport share — O(nodes) like the rank state, NOT
+    // broadcast-small (only the seed SET is). It replaces the uniform
+    // loop's node-universe table in the per-round left join: cached once
+    // with hash partitioning on node, so each round's join reuses the
+    // exchange instead of reshuffling it (at 100 TB it is the persisted
     // companion of the edge artifact, exactly like the degree table)
     val share = nodesDf
       .join(seedSet.select(col("node"), lit(1.0 / nSeeds).as("s")), Seq("node"), "left")
