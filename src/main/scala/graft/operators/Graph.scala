@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.detRound
 
@@ -244,19 +244,56 @@ object Graph {
     // same corpus-wide distinct)
     val nodesDf = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct().cache()
-    // Per-round state is checkpointed ([[IterState]]), NOT cached: caching
-    // keeps the full O(rounds)-deep logical plan (round N's lineage nests
-    // every earlier round), and AQE re-renders that plan's string per stage
-    // — measured to OOM the driver near 60 rounds. The checkpoint truncates
-    // lineage to O(1) per round (the CC scaladoc's rule) and its write is
-    // the materializing action. Default local checkpoints die with an
-    // executor — pass `checkpointDir` for the failure-durable mode.
-    var ranks = IterState(uniformRanksFor(nodesDf), ckRoot, 0)
-    val nNodes = ranks.count() // N is constant across rounds
+    val nNodes = nodesDf.count() // N is constant across rounds
+    // the rank expressions are built HERE, not in the shared loop, so the
+    // uniform base term stays the exact `0.15/N` IEEE division the oracle
+    // gates pin (vs personalizedPagerank's `0.15·s` multiplication)
+    val noDangling = detRound(lit(0.15) / nNodes +
+      lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale), 10)
+    val withDangling = detRound(lit(0.15) / nNodes +
+      lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale) +
+      lit(0.85) * ((col("dq") / quantScale) / nNodes), 10)
+    val out = rankLoop(e, deg, nodesDf, base = nodesDf,
+      r0 = uniformRanksFor(nodesDf), noDangling, withDangling,
+      maxIter, tol, quantScale, ckRoot)
+    e.unpersist()
+    deg.unpersist()
+    nodesDf.unpersist()
+    out
+  }
+
+  /** The shared PageRank fixpoint skeleton — everything in
+    * [[pagerankRun]]/[[personalizedPagerankRun]] except their rank
+    * arithmetic: per round one co-partitioned (edges ⋈ degrees ⋈ ranks)
+    * join + one map-side-combinable quantized contribution sum, a left
+    * join back onto `base` (the full node universe — an in-degree-0 node
+    * receives no contribution, sq null → 0, but must not vanish), the
+    * dangling-mass broadcast scalar when the static dangling set is
+    * non-empty, [[IterState]] checkpoint rotation (O(1) lineage — caching
+    * would keep the O(rounds)-deep plan AQE's plan-string rendering OOMs
+    * on near 60 rounds), and the tol-based early-exit probe riding the
+    * round's checkpoint action.
+    *
+    * `rankNoDangling` / `rankWithDangling` are evaluated over the joined
+    * frame's `sq` (and `dq`, dangling case) plus any column `base` carries
+    * (the personalization share `s`); callers build them with their own
+    * literals so each loop's oracle-pinned bits stay byte-exact.
+    * `releaseAfterSetup` runs once round 0 is checkpointed and the
+    * dangling probe has fired — the hook where a caller unpersists
+    * build-only inputs its expressions never read again.
+    */
+  private def rankLoop(e: DataFrame, deg: DataFrame, nodesDf: DataFrame,
+                       base: DataFrame, r0: DataFrame,
+                       rankNoDangling: Column, rankWithDangling: Column,
+                       maxIter: Int, tol: Double, quantScale: Double,
+                       ckRoot: Option[String],
+                       releaseAfterSetup: () => Unit = () => ()): (DataFrame, Int) = {
+    var ranks = IterState(r0, ckRoot, 0)
     val danglingNodes = nodesDf
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
       .cache()
     val hasDangling = !danglingNodes.isEmpty
+    releaseAfterSetup()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -265,24 +302,15 @@ object Graph {
         .select(col("dst").as("node"),
           floor((col("r") / col("deg")) * quantScale + 0.5).as("q"))
         .groupBy(col("node")).agg(sum(col("q")).as("sq"))
-      // ALWAYS over the full node universe: an in-degree-0 node receives no
-      // contribution (sq null → 0) but keeps its 0.15/N base share — it
-      // must not vanish even when the dangling set is empty. On graphs
-      // where every node has in-edges the left join matches every row and
-      // coalesce(sq) = sq, so the values are bit-identical to the plain
-      // aggregate (the oracle-gated symmetric case).
-      val base = nodesDf.join(sq, Seq("node"), "left")
+      val joined = base.join(sq, Seq("node"), "left")
       val next =
         if (!hasDangling)
-          base.select(col("node"), detRound(lit(0.15) / nNodes +
-            lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale), 10).as("r"))
+          joined.select(col("node"), rankNoDangling.as("r"))
         else {
           val dangling = ranks.join(danglingNodes, Seq("node"))
             .agg(coalesce(sum(floor(col("r") * quantScale + 0.5)), lit(0L)).as("dq"))
-          base.crossJoin(broadcast(dangling))
-            .select(col("node"), detRound(lit(0.15) / nNodes +
-              lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale) +
-              lit(0.85) * ((col("dq") / quantScale) / nNodes), 10).as("r"))
+          joined.crossJoin(broadcast(dangling))
+            .select(col("node"), rankWithDangling.as("r"))
         }
       val nextCk = IterState(next, ckRoot, iter + 1)
       if (tol > 0) {
@@ -298,9 +326,6 @@ object Graph {
       ranks = nextCk
       iter += 1
     }
-    e.unpersist()
-    deg.unpersist()
-    nodesDf.unpersist()
     danglingNodes.unpersist()
     (ranks, iter)
   }
@@ -363,52 +388,24 @@ object Graph {
       .join(seedSet.select(col("node"), lit(1.0 / nSeeds).as("s")), Seq("node"), "left")
       .select(col("node"), coalesce(col("s"), lit(0.0)).as("s"))
       .cache()
-    val danglingNodes = nodesDf
-      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-      .cache()
-    val hasDangling = !danglingNodes.isEmpty
+    val noDangling = detRound(lit(0.15) * col("s") +
+      lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale), 10)
+    val withDangling = detRound(lit(0.15) * col("s") +
+      lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale) +
+      lit(0.85) * ((col("dq") / quantScale) * col("s")), 10)
     // r0 = the teleport vector itself (the canonical PPR start — already
-    // normalized, and rounds fewer than a uniform start would need)
-    var ranks = IterState(share.select(col("node"), col("s").as("r")), ckRoot, 0)
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val sq = e.join(deg, Seq("src"))
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"),
-          floor((col("r") / col("deg")) * quantScale + 0.5).as("q"))
-        .groupBy(col("node")).agg(sum(col("q")).as("sq"))
-      val base = share.join(sq, Seq("node"), "left")
-      val next =
-        if (!hasDangling)
-          base.select(col("node"), detRound(lit(0.15) * col("s") +
-            lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale), 10).as("r"))
-        else {
-          val dangling = ranks.join(danglingNodes, Seq("node"))
-            .agg(coalesce(sum(floor(col("r") * quantScale + 0.5)), lit(0L)).as("dq"))
-          base.crossJoin(broadcast(dangling))
-            .select(col("node"), detRound(lit(0.15) * col("s") +
-              lit(0.85) * (coalesce(col("sq"), lit(0L)) / quantScale) +
-              lit(0.85) * ((col("dq") / quantScale) * col("s")), 10).as("r"))
-        }
-      val nextCk = IterState(next, ckRoot, iter + 1)
-      if (tol > 0) {
-        val delta = nextCk.as("n").join(ranks.as("o"), Seq("node"))
-          .agg(max(abs(col("n.r") - col("o.r"))).as("d"))
-          .collect()(0).getDouble(0)
-        converged = delta <= tol
-      }
-      IterState.drop(ranks, ckRoot, iter)
-      ranks = nextCk
-      iter += 1
-    }
+    // normalized, and rounds fewer than a uniform start would need).
+    // Writing it also materializes `share`'s cache, so the build-only
+    // nodesDf/seedSet can be released as soon as the skeleton's setup is
+    // done instead of staying pinned for the whole loop.
+    val out = rankLoop(e, deg, nodesDf, base = share,
+      r0 = share.select(col("node"), col("s").as("r")),
+      noDangling, withDangling, maxIter, tol, quantScale, ckRoot,
+      releaseAfterSetup = () => { nodesDf.unpersist(); seedSet.unpersist() })
     e.unpersist()
     deg.unpersist()
-    nodesDf.unpersist()
-    seedSet.unpersist()
     share.unpersist()
-    danglingNodes.unpersist()
-    (ranks, iter)
+    out
   }
 
   /** Label propagation iterated until no label flips AND no new node is

@@ -210,24 +210,40 @@ object OracleSql {
     * universe gets r' = 0.15/N + 0.85·(sq/1e12) + 0.85·((dq/1e12)/N) —
     * the same left-assoc IEEE sum `Graph.pagerankRun` emits. `dstOffset`
     * keeps the order-node id space disjoint from the customer keys. */
-  def pagerankDanglingChainSql(iters: Int, dstOffset: Long): String = {
-    val steps = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
-         |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node),
-         |s$i AS (SELECT node, CAST(sum(q) AS BIGINT) AS sq FROM c$i GROUP BY 1),
-         |d$i AS (SELECT COALESCE(CAST(sum(floor(r.r * 1000000000000.0 + 0.5)) AS BIGINT), 0) AS dq
-         |      FROM r${i - 1} r LEFT JOIN deg g ON r.node = g.src WHERE g.src IS NULL),
-         |r$i AS (SELECT n.node, ${detRoundSql(
-               "CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * (COALESCE(s.sq, 0) / 1000000000000.0)" +
-                 " + CAST(0.85 AS DOUBLE) * ((d.dq / 1000000000000.0) / n_nodes)", 10)} AS r
-         |       FROM nodes n LEFT JOIN s$i s ON n.node = s.node, d$i d, nn)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT CAST(o_custkey AS BIGINT) AS src,
+  /** The customer→order edge/nodes/deg prologue both directed-PageRank
+    * mirrors share. `dstOffset` keeps the order-node id space disjoint
+    * from the customer keys — callers pass 2^40, above any o_custkey the
+    * testdata generator (or TPC-H up to ~sf7e6) emits and comfortably
+    * inside BIGINT for every o_orderkey. */
+  private def directedOrdersPrologueSql(dstOffset: Long): String =
+    s"""e AS (SELECT CAST(o_custkey AS BIGINT) AS src,
        |             CAST(o_orderkey AS BIGINT) + $dstOffset AS dst FROM orders),
        |nodes AS (SELECT DISTINCT src AS node FROM e
        |          UNION SELECT DISTINCT dst FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)""".stripMargin
+
+  /** One unrolled directed round's shared CTE triplet — quantized
+    * contributions `c$i`, their BIGINT sum `s$i`, and the BIGINT dangling
+    * -mass scalar `d$i` (`Graph.rankLoop`'s per-round machinery) — followed
+    * by the caller's `r$i` select, which owns the teleport arithmetic. */
+  private def directedRoundSql(i: Int, rankSelect: String): String =
+    s"""c$i AS (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
+       |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node),
+       |s$i AS (SELECT node, CAST(sum(q) AS BIGINT) AS sq FROM c$i GROUP BY 1),
+       |d$i AS (SELECT COALESCE(CAST(sum(floor(r.r * 1000000000000.0 + 0.5)) AS BIGINT), 0) AS dq
+       |      FROM r${i - 1} r LEFT JOIN deg g ON r.node = g.src WHERE g.src IS NULL),
+       |r$i AS ($rankSelect)""".stripMargin
+
+  def pagerankDanglingChainSql(iters: Int, dstOffset: Long): String = {
+    val steps = (1 to iters).map { i =>
+      directedRoundSql(i,
+        s"""SELECT n.node, ${detRoundSql(
+               "CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * (COALESCE(s.sq, 0) / 1000000000000.0)" +
+                 " + CAST(0.85 AS DOUBLE) * ((d.dq / 1000000000000.0) / n_nodes)", 10)} AS r
+           |       FROM nodes n LEFT JOIN s$i s ON n.node = s.node, d$i d, nn""".stripMargin)
+    }.mkString(",\n")
+    s"""WITH ${directedOrdersPrologueSql(dstOffset)},
        |nn AS (SELECT count(*) AS n_nodes FROM nodes),
-       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS r FROM nodes, nn),
        |$steps
        |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
@@ -244,21 +260,13 @@ object OracleSql {
   def pagerankPersonalizedChainSql(iters: Int, dstOffset: Long,
                                    seedMod: Long): String = {
     val steps = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
-         |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node),
-         |s$i AS (SELECT node, CAST(sum(q) AS BIGINT) AS sq FROM c$i GROUP BY 1),
-         |d$i AS (SELECT COALESCE(CAST(sum(floor(r.r * 1000000000000.0 + 0.5)) AS BIGINT), 0) AS dq
-         |      FROM r${i - 1} r LEFT JOIN deg g ON r.node = g.src WHERE g.src IS NULL),
-         |r$i AS (SELECT sh.node, ${detRoundSql(
+      directedRoundSql(i,
+        s"""SELECT sh.node, ${detRoundSql(
                "CAST(0.15 AS DOUBLE) * sh.s + CAST(0.85 AS DOUBLE) * (COALESCE(s.sq, 0) / 1000000000000.0)" +
                  " + CAST(0.85 AS DOUBLE) * ((d.dq / 1000000000000.0) * sh.s)", 10)} AS r
-         |       FROM share sh LEFT JOIN s$i s ON sh.node = s.node, d$i d)""".stripMargin
+           |       FROM share sh LEFT JOIN s$i s ON sh.node = s.node, d$i d""".stripMargin)
     }.mkString(",\n")
-    s"""WITH e AS (SELECT CAST(o_custkey AS BIGINT) AS src,
-       |             CAST(o_orderkey AS BIGINT) + $dstOffset AS dst FROM orders),
-       |nodes AS (SELECT DISTINCT src AS node FROM e
-       |          UNION SELECT DISTINCT dst FROM e),
-       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    s"""WITH ${directedOrdersPrologueSql(dstOffset)},
        |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % $seedMod = 0),
        |ns AS (SELECT count(*) AS n_seeds FROM seeds),
        |share AS (SELECT n.node, CASE WHEN s.node IS NULL THEN CAST(0.0 AS DOUBLE)
