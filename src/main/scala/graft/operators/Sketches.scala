@@ -69,7 +69,11 @@ object Sketches {
     // Dedup (grp, item) FIRST: duplicates cannot change a max-register or a
     // distinct count, and the dedup aggregate combines map-side — so the
     // hash/register work downstream runs over |distinct items|, not |rows|.
-    val uniq = df.select(group.as("grp"), item.as("it")).distinct()
+    // NULL is not an item (the countDistinct convention) — unfiltered it
+    // would hash to a null-bucket register row that inflates npres while
+    // its null weight is skipped by sum(), silently biasing the estimate.
+    val uniq = df.select(group.as("grp"), item.as("it"))
+      .filter(col("it").isNotNull).distinct()
     val rows = withBucketRho(uniq.withColumn("h", Dedup.hash60(col("it"))))
     val regs = rows.groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("m"))
     val exact = rows.groupBy(col("grp")).agg(count(lit(1)).as("exact_distinct"))
@@ -88,7 +92,8 @@ object Sketches {
   def hllMergedDaily(df: DataFrame, ts: Column, item: Column): DataFrame = {
     // same dedup-first shape as hllDistinct, at (day, hour, item) grain
     val uniq = df.select(date_trunc("day", ts).as("day"),
-      date_trunc("hour", ts).as("hour"), item.as("it")).distinct()
+      date_trunc("hour", ts).as("hour"), item.as("it"))
+      .filter(col("it").isNotNull).distinct() // null-is-not-an-item, as hllDistinct
     val rows = withBucketRho(uniq.withColumn("h", Dedup.hash60(col("it"))))
     val hourly = rows.groupBy(col("day"), col("hour"), col("bucket"))
       .agg(max(col("rho")).as("m"))
@@ -112,7 +117,8 @@ object Sketches {
     */
   def hllSlidingDistinct(df: DataFrame, ts: Column, item: Column,
                          windowHours: Int = 24): DataFrame = {
-    val uniq = df.select(date_trunc("hour", ts).as("hour"), item.as("it")).distinct()
+    val uniq = df.select(date_trunc("hour", ts).as("hour"), item.as("it"))
+      .filter(col("it").isNotNull).distinct() // null-is-not-an-item, as hllDistinct
     val rows = withBucketRho(uniq.withColumn("h", Dedup.hash60(col("it"))))
     val hourly = rows.groupBy(col("hour"), col("bucket")).agg(max(col("rho")).as("m"))
     val contrib = hourly
@@ -135,6 +141,14 @@ object Sketches {
   def cmsCol(term: Column, r: Int): Column =
     Dedup.hash60(concat(lit(s"cms$r|"), term)) % CmsWidth
 
+  /** The d (r, c) CMS cells of `term` as ONE exploded struct column — the
+    * single definition of the cell derivation every sketch build and probe
+    * (here and in the streaming twins) explodes, so a change to the hash or
+    * cast cannot leave one site behind. */
+  def cmsCells(term: Column): Column =
+    explode(array((0 until CmsRows).map(r =>
+      struct(lit(r).as("r"), cmsCol(term, r).cast("long").as("c"))): _*))
+
   /** Heavy hitters with CMS verification: the exact top-k terms (TakeOrdered
     * — no global sort materialization) joined against their count-min
     * estimate, which by construction never under-counts. Emits term,
@@ -147,17 +161,17 @@ object Sketches {
     // cells are sums of term counts — identical values, but derived from
     // the vocabulary-sized table instead of a second stream explode
     val tc = t.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val cells = (0 until CmsRows).map(r =>
-      struct(lit(r).as("r"), cmsCol(col("term"), r).cast("long").as("c")))
-    val sketch = tc.select(col("cnt"), explode(array(cells: _*)).as("rc"))
+    val sketch = tc.select(col("cnt"), cmsCells(col("term")).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(sum(col("cnt")).as("cnt"))
     val topk = tc.withColumnRenamed("cnt", "exact_cnt")
       .orderBy(col("exact_cnt").desc, col("term")).limit(k)
     val probes = topk.select(col("term"), col("exact_cnt"),
-      explode(array((0 until CmsRows).map(r =>
-        struct(lit(r).as("r"), cmsCol(col("term"), r).cast("long").as("c"))): _*)).as("rc"))
+        cmsCells(col("term")).as("rc"))
       .select(col("term"), col("exact_cnt"), col("rc.r").as("r"), col("rc.c").as("c"))
+    // inner join is safe here by construction: every top-k term came from
+    // tc, so all its cells exist in the sketch (contrast cmsEstimate, whose
+    // probe list is open-ended)
     probes.join(sketch, Seq("r", "c"))
       .groupBy(col("term"), col("exact_cnt"))
       .agg(min(col("cnt")).as("cms_est"))
@@ -200,17 +214,20 @@ object Sketches {
 
   /** Probe a prebuilt CMS cell table (r, c, cnt) — e.g. one materialized by
     * the streaming register build — for each term in `terms`: the estimate
-    * is the min over the d hash rows. */
+    * is the min over the d hash rows. A cell ABSENT from the sketch table
+    * means no term ever hashed there, i.e. its counter is 0 — so a
+    * never-observed probe term reports cms_est = 0 instead of silently
+    * vanishing (left join + coalesce, not an inner join that would drop
+    * the term's rows). */
   def cmsEstimate(sketch: DataFrame, terms: DataFrame, term: Column): DataFrame = {
     // project the term first: deriving the cell columns from an alias made
     // in the same select would be a lateral column alias under a generator
     val probes = terms.select(term.as("term"))
-      .select(col("term"),
-        explode(array((0 until CmsRows).map(r =>
-          struct(lit(r).as("r"), cmsCol(col("term"), r).cast("long").as("c"))): _*)).as("rc"))
+      .select(col("term"), cmsCells(col("term")).as("rc"))
       .select(col("term"), col("rc.r").as("r"), col("rc.c").as("c"))
-    probes.join(sketch, Seq("r", "c"))
-      .groupBy(col("term")).agg(min(col("cnt")).as("cms_est"))
+    probes.join(sketch, Seq("r", "c"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
   /** Fixed-bin histogram quantile sketch: estimate percentiles from
@@ -229,28 +246,14 @@ object Sketches {
     * bin and the interpolated estimate.
     */
   def histogramQuantiles(df: DataFrame, value: Column, binWidth: Double,
-                         ps: Seq[Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val binned = df.select(floor(value / binWidth).cast("long").as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-    val n = binned.agg(sum(col("cnt")).as("n"))
-    val cum = binned.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, 0)))
-    val sp = df.sparkSession
-    import sp.implicits._
-    val targets = ps.toDF("p").crossJoin(broadcast(n))
-      .withColumn("target", ceil(col("p") * col("n")).cast("long"))
-    val chosen = cum.crossJoin(broadcast(targets))
-      .filter(col("cum") >= col("target"))
-      .groupBy(col("p"), col("target"), col("n"))
-      .agg(min(col("bin")).as("bin"))
-    chosen.join(cum, Seq("bin"))
-      .withColumn("estimate", detRound(
-        col("bin") * lit(binWidth) + lit(binWidth) *
-          (col("target") - (col("cum") - col("cnt"))).cast("double") / col("cnt"), 4))
+                         ps: Seq[Double]): DataFrame =
+    // the grouped sketch with a constant group — ONE copy of the
+    // oracle-parity-critical interpolation formula (an edit to one
+    // path can no longer leave the other, and its mirror, divergent);
+    // a single-group window ≡ the old global window over the tiny
+    // post-aggregation bin table
+    histogramQuantilesByGroup(df, lit(1), value, binWidth, ps)
       .select(col("p"), col("n"), col("target"), col("bin"), col("estimate"))
-  }
 
   /** Join-size estimation from two count-min sketches (the AGMS family):
     * the inner product of row r's counters, Σ_c A[r,c]·B[r,c], equals the
@@ -267,11 +270,20 @@ object Sketches {
     val kb = b.select(bKey.cast("string").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("cb"))
     def sketch(t: DataFrame, cnt: String) = t.select(col(cnt),
-        explode(array((0 until CmsRows).map(r =>
-          struct(lit(r).as("r"), cmsCol(col("k"), r).cast("long").as("c"))): _*)).as("rc"))
+        cmsCells(col("k")).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c")).agg(sum(col(cnt)).as(cnt))
-    val perRow = sketch(ka, "ca").join(sketch(kb, "cb"), Seq("r", "c"))
+    // a (r, c) cell absent from either sketch has counter 0 and contributes
+    // 0 to that row's inner product — so every hash row must survive to the
+    // min even when NO cells overlap (the true-join-size-0 case, where the
+    // inner product 0 is exactly the right, tightest estimate). An inner
+    // join alone would drop such rows and report NULL (no overlap anywhere)
+    // or an inflated min (some rows overlap, the zero rows silently gone).
+    val overlap = sketch(ka, "ca").join(sketch(kb, "cb"), Seq("r", "c"))
       .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("est"))
+    val rowIds = a.sparkSession.range(CmsRows)
+      .select(col("id").cast("int").as("r"))
+    val perRow = rowIds.join(overlap, Seq("r"), "left")
+      .select(coalesce(col("est"), lit(0L)).as("est"))
     val est = perRow.agg(min(col("est")).as("cms_est"))
     val exact = ka.join(kb, Seq("k"))
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_size"))
@@ -286,7 +298,11 @@ object Sketches {
     * from three 64-long register tables instead of a distinct-set join —
     * next to the exact intersection as the anchor.
     */
-  def hllIntersectEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+  def hllIntersectEstimate(a0: DataFrame, b0: DataFrame): DataFrame = {
+    // null-is-not-an-item across BOTH the estimates and the exact anchor
+    // (set-op INTERSECT would otherwise match null to null)
+    val a = a0.filter(col("it").isNotNull)
+    val b = b0.filter(col("it").isNotNull)
     def estOf(items: DataFrame, name: String) = {
       val regs = withBucketRho(items.distinct().withColumn("h", Dedup.hash60(col("it"))))
         .groupBy(lit("g").as("g"), col("bucket")).agg(max(col("rho")).as("m"))
@@ -312,6 +328,13 @@ object Sketches {
   def bloomBit(item: Column, i: Int): Column =
     (Dedup.hash60(item) + lit(i.toLong) * Dedup.hash60b(item)) % BloomBits
 
+  /** The k bloom bit positions of `item` as ONE exploded column — the
+    * single definition shared by [[bloomProbe]] and the streaming ingest
+    * dedup, like [[cmsCells]] for the CMS family. */
+  def bloomPositions(item: Column): Column =
+    explode(array((0 until BloomHashes).map(i =>
+      bloomBit(item, i).cast("long")): _*))
+
   /** Relational Bloom filter: the filter is a table of SET BIT POSITIONS
     * (≤ m rows, one hash-distinct pass over the build side), a probe is k
     * generated positions semi-matched against it, and an item "hits" iff
@@ -329,9 +352,8 @@ object Sketches {
                  probe: DataFrame, probeItem: Column): DataFrame = {
     val bi = build.select(buildItem.cast("string").as("it")).distinct()
     val pi = probe.select(probeItem.cast("string").as("it")).distinct()
-    def positions(items: DataFrame) = items.select(col("it"),
-      explode(array((0 until BloomHashes).map(i =>
-        bloomBit(col("it"), i).cast("long")): _*)).as("pos"))
+    def positions(items: DataFrame) =
+      items.select(col("it"), bloomPositions(col("it")).as("pos"))
     val bits = positions(bi).select(col("pos")).distinct()
     val hits = positions(pi).join(bits, Seq("pos"), "left_semi")
       .groupBy(col("it")).agg(count(lit(1)).as("n_set"))

@@ -622,7 +622,7 @@ object OracleSql {
     * items produced by `itemsSql` (one column). Mirror of
     * Sketches.hllDistinct's register/estimate arithmetic. */
   def hllEstChainSql(p: String, itemsSql: String): String =
-    s"""${p}_u AS (SELECT DISTINCT it FROM ($itemsSql) ${p}_t(it)),
+    s"""${p}_u AS (SELECT DISTINCT it FROM ($itemsSql) ${p}_t(it) WHERE it IS NOT NULL),
        |${p}_r AS (SELECT h % 64 AS bucket,
        |    CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
        |  FROM (SELECT ${hash60Sql("it")} AS h FROM ${p}_u)),

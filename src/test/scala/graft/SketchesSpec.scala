@@ -100,6 +100,62 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("cms_est") >= exact, "CMS inner product under-counted")
   }
 
+  test("hll: NULL items are not items — estimate and exact unaffected by null rows") {
+    val clean = (1 to 500).map(i => ("g", s"u$i")).toDF("grp", "it")
+    val dirty = clean.unionAll(Seq(("g", null.asInstanceOf[String]),
+      ("g", null.asInstanceOf[String])).toDF("grp", "it"))
+    val a = Sketches.hllDistinct(clean, $"grp", $"it").head()
+    val b = Sketches.hllDistinct(dirty, $"grp", $"it").head()
+    // without the filter the null row inflates npres (count counts it, the
+    // register sum skips its null weight) — estimate biased, exact off by 1
+    assert(b.getAs[Long]("exact_distinct") === a.getAs[Long]("exact_distinct"))
+    assert(b.getAs[Double]("hll_est") === a.getAs[Double]("hll_est"))
+    assert(b.getAs[Long]("n_empty_buckets") === a.getAs[Long]("n_empty_buckets"))
+  }
+
+  test("cmsEstimate: a never-observed probe term reports 0, not a dropped row") {
+    val stream = (Seq.fill(40)("alpha") ++ Seq.fill(7)("beta")).toDF("term")
+    val sketch = stream
+      .select(Sketches.cmsCells($"term").as("rc"))
+      .groupBy($"rc.r".as("r"), $"rc.c".as("c"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val probes = Seq("alpha", "beta", "never_seen").toDF("t")
+    val out = Sketches.cmsEstimate(sketch, probes, $"t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set("alpha", "beta", "never_seen"),
+      "every probe term must appear in the output")
+    assert(out("alpha") >= 40L && out("beta") >= 7L, "CMS never under-counts")
+    // all four of never_seen's cells may still collide with real terms, but
+    // at this tiny fill rate at least one cell is empty → est 0
+    assert(out("never_seen") === 0L, s"unseen term est ${out("never_seen")}")
+  }
+
+  test("cmsJoinSizeEstimate: disjoint inputs report 0/0, not NULL") {
+    val a = (1 to 30).map(i => (s"a$i", "x")).toDF("k", "pad")
+    val b = (1 to 20).map(i => (s"b$i", "x")).toDF("k", "pad")
+    val r = Sketches.cmsJoinSizeEstimate(a, $"k", b, $"k").head()
+    assert(r.getAs[Long]("exact_join_size") === 0L)
+    assert(!r.isNullAt(r.fieldIndex("cms_est")), "empty-overlap min must be 0, not NULL")
+    assert(r.getAs[Long]("cms_est") >= 0L)
+    // and an empty side entirely
+    val empty = Seq.empty[(String, String)].toDF("k", "pad")
+    val r2 = Sketches.cmsJoinSizeEstimate(a, $"k", empty, $"k").head()
+    assert(r2.getAs[Long]("exact_join_size") === 0L)
+    assert(r2.getAs[Long]("cms_est") === 0L)
+  }
+
+  test("histogramQuantiles delegates to the grouped sketch with identical output") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Sketches.histogramQuantiles(df, $"v", 10.0, Seq(0.5, 0.95))
+      .orderBy($"p").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.length === 2)
+    val (p50, n50, t50, _, e50) = out(0)
+    assert(p50 === 0.5 && n50 === 100L && t50 === 50L)
+    assert(math.abs(e50 - 50.0) <= 10.0, s"p50 $e50")
+    assert(math.abs(out(1)._5 - 95.0) <= 10.0, s"p95 ${out(1)._5}")
+  }
+
   test("hllIntersectEstimate: A == B estimates est_a; disjoint exact is 0") {
     val a = (1 to 500).map(i => s"u$i").toDF("it")
     val same = Sketches.hllIntersectEstimate(a, a).head()
