@@ -138,6 +138,14 @@ object EventsStream {
     *    emitted — the stream has no "end of time" marker, matching Spark's
     *    append-mode semantics. A final batch flush over the state store
     *    would be the production pattern for run-to-completion jobs.
+    *  - Out-of-order events across micro-batches: an above-watermark event
+    *    WITHIN gap of the stored session's start extends the session
+    *    backwards (start = min(start, t), symmetric with last = max); one
+    *    more than gap BEFORE the start closes immediately as its own
+    *    single-event session — it can never merge with the stored one, and
+    *    one-session-per-key state cannot hold a second open session (the
+    *    documented best-effort bound of this shape; the native
+    *    [[sessionWindowAgg]] handles arbitrary reordering exactly).
     */
   def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -162,8 +170,19 @@ object EventsStream {
                 case Some(s) if t - s.last > gapUs =>
                   out += SessionOut(user, microsToTs(s.start), s.n, s.value)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) if s.start - t > gapUs =>
+                  // above-watermark event from an unordered file that ends
+                  // more than gap BEFORE the stored session: it can never
+                  // merge, so it closes immediately as its own session
+                  // (best effort — a later in-between arrival that would
+                  // have bridged to it is gone; single-session-per-key
+                  // state cannot hold two open sessions)
+                  out += SessionOut(user, microsToTs(t), 1, e.value)
                 case Some(s) =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, value = s.value + e.value))
+                  // within gap on EITHER side: out-of-order earlier events
+                  // extend the session start just as later ones extend last
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1, value = s.value + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
@@ -218,10 +237,20 @@ object EventsStream {
   def bloomDedupStream(history: DataFrame, stream: DataFrame,
                        item: String): DataFrame = {
     import graft.operators.Sketches
-    val bits = history
-      .select(explode(array((0 until Sketches.BloomHashes).map(i =>
-        Sketches.bloomBit(col(item), i).cast("long")): _*)).as("pos"))
-      .distinct()
+    // Materialize the bit table ONCE, driver-side: it is bounded by the
+    // BloomBits geometry (≤4096 longs), and as a plain DataFrame it would
+    // be re-scanned/re-shuffled/re-broadcast per aliased join PER
+    // MICRO-BATCH (the k differently-aliased references defeat
+    // exchange reuse). As a local relation the history pass runs exactly
+    // once and each join broadcasts a tiny in-memory table. Null positions
+    // (a null item in history) are dropped — they can match no probe.
+    val setBits = history
+      .select(Sketches.bloomPositions(col(item)).as("pos"))
+      .filter(col("pos").isNotNull).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val sp = history.sparkSession
+    import sp.implicits._
+    val bits = setBits.toDF("pos")
     val joined = (0 until Sketches.BloomHashes).foldLeft(stream) { (df, i) =>
       df.join(
         broadcast(bits.select(col("pos").as(s"__p$i"), lit(true).as(s"__set$i"))),
@@ -258,16 +287,11 @@ object EventsStream {
     * [[graft.operators.Sketches.cmsEstimate]]. Register merge is
     * element-wise sum, so per-trigger snapshots compose downstream.
     */
-  def cmsRegistersStream(events: DataFrame): DataFrame = {
-    import graft.operators.Sketches
-    val cells = (0 until Sketches.CmsRows).map(r =>
-      struct(lit(r).as("r"),
-        Sketches.cmsCol(col("term"), r).cast("long").as("c")))
+  def cmsRegistersStream(events: DataFrame): DataFrame =
     events.select(col("event_type").as("term"))
-      .select(explode(array(cells: _*)).as("rc"))
+      .select(graft.operators.Sketches.cmsCells(col("term")).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Stream-stream interval join: each purchase joins the same user's views
     * from the preceding 10 minutes. Both sides are watermarked so Spark can
@@ -277,7 +301,15 @@ object EventsStream {
     * AvailableNow batch every in-range pair emits, so the result equals the
     * batch interval join — which is exactly what the oracle checks.
     */
-  def purchaseViewJoin(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+  def purchaseViewJoin(events: DataFrame, windowMinutes: Int = 10): DataFrame =
+    purchaseViewJoinWith(events, windowMinutes, "inner")
+
+  /** The one definition of the purchase↔view interval join (watermarks,
+    * filters, interval bound) that both the inner and left-outer variants
+    * share — the join-type literal is the ONLY difference, so the two can
+    * never disagree on which pairs qualify. */
+  private def purchaseViewJoinWith(events: DataFrame, windowMinutes: Int,
+                                   joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id").as("u"), col("ts").as("pts"))
       .withWatermark("pts", "2 hours")
@@ -288,7 +320,7 @@ object EventsStream {
       col("u") === col("user_id") &&
         col("vts") <= col("pts") &&
         col("vts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES"),
-      "inner")
+      joinType)
       .select(col("event_id"), col("u").as("user_id"), col("pts"), col("vts"))
   }
 
@@ -304,20 +336,8 @@ object EventsStream {
     * watermark` — purchases above it are still in state when the run ends,
     * exactly as they would be on a live stream.
     */
-  def purchaseViewJoinOuter(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id").as("u"), col("ts").as("pts"))
-      .withWatermark("pts", "2 hours")
-    val views = events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts").as("vts"))
-      .withWatermark("vts", "2 hours")
-    purchases.join(views,
-      col("u") === col("user_id") &&
-        col("vts") <= col("pts") &&
-        col("vts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES"),
-      "left_outer")
-      .select(col("event_id"), col("u").as("user_id"), col("pts"), col("vts"))
-  }
+  def purchaseViewJoinOuter(events: DataFrame, windowMinutes: Int = 10): DataFrame =
+    purchaseViewJoinWith(events, windowMinutes, "left_outer")
 
   /** Build a streaming DataFrame against a DEDICATED session clone, run it
     * to completion over the bounded source, and return the materialized

@@ -62,11 +62,13 @@ object FactStream {
                         dimVendedor: DataFrame, dimLoja: DataFrame,
                         out: String): DataFrame = {
     // FileStreamSource only reads files — the parquet-directory layout. The
-    // csv:/json:/jdbc: locators Crm.table accepts for batch have no
-    // streaming parquet source, so reject exactly those (URI-scheme paths
-    // like file:/ hdfs:// s3a:// are valid file-stream locations and pass).
+    // csv:/json:/jdbc:/orc: locators Crm.table accepts for batch have no
+    // streaming PARQUET source, so reject exactly those four (URI-scheme
+    // paths like file:/ hdfs:// s3a:// are valid file-stream locations and
+    // pass); an unguarded orc: would only fail deep in Hadoop with a
+    // baffling "No FileSystem for scheme: orc".
     require(!dir.startsWith("csv:") && !dir.startsWith("json:") &&
-      !dir.startsWith("jdbc:"),
+      !dir.startsWith("jdbc:") && !dir.startsWith("orc:"),
       s"incrementalFact streams from a parquet directory; got locator '$dir'")
     val base = dir.stripPrefix("parquet:")
     // glob: FileStreamSource wants a directory base path (same trick as the
@@ -82,7 +84,18 @@ object FactStream {
       .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
       .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(s"$out/data")
+    // A zero-batch run (no matching order files yet — the first nightly
+    // invocation of a top-up root) commits nothing, so $out/data may not
+    // exist; "no new data" must read as an EMPTY fact with the right
+    // schema, not an AnalysisException the caller can't tell from a
+    // real failure. The stream's own schema is the authoritative one.
+    val dataPath = new org.apache.hadoop.fs.Path(s"$out/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dataPath))
+      spark.read.schema(stream.schema).parquet(s"$out/data")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        stream.schema)
   }
 
   /** Temp fact copies + checkpoints are deleted on JVM exit — repeated

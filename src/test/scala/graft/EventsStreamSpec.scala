@@ -55,6 +55,37 @@ class EventsStreamSpec extends SparkSpec {
     assert(!out.exists(_.user_id == 2L))
   }
 
+  test("sessionize out-of-order: within-gap stragglers extend start, far ones close alone") {
+    val dir = Files.createTempDirectory("events_ooo")
+    // batch 1: one event at 20:00 → state [20:00, 20:00]
+    writeEventsFile(dir, "f1.parquet", 1000000L, Seq(
+      Ev(1, ts("2024-01-01 20:00:00"), 1L, "view", 1.0)))
+    // batch 2 (newer mod-time, OLDER events, above the 18:00 watermark):
+    // 19:00 ends >30min before the stored start → closes alone;
+    // 19:50 is within gap of the start → extends it BACKWARDS
+    writeEventsFile(dir, "f2.parquet", 2000000L, Seq(
+      Ev(2, ts("2024-01-01 19:00:00"), 1L, "view", 5.0),
+      Ev(3, ts("2024-01-01 19:50:00"), 1L, "view", 2.0)))
+    // batch 3: 20:40 is >gap after last=20:00 → closes the stored session,
+    // whose emitted start PROVES the 19:50 backward extension
+    writeEventsFile(dir, "f3.parquet", 3000000L, Seq(
+      Ev(4, ts("2024-01-01 20:40:00"), 1L, "view", 7.0)))
+
+    val out = EventsStream.runToCompletion(spark, "sessions_ooo", OutputMode.Append()) { ss =>
+      import ss.implicits._
+      EventsStream.sessionize(
+        EventsStream.readEventsStream(ss, dir.toString).as[Ev]).toDF()
+    }.as[EventsStream.SessionOut].collect().sortBy(_.session_start.getTime)
+
+    assert(out.length === 2, s"got ${out.toSeq}")
+    assert(out(0).session_start === ts("2024-01-01 19:00:00") &&
+      out(0).n_events === 1 && out(0).session_value === 5.0,
+      "far-earlier straggler must close as its own session")
+    assert(out(1).session_start === ts("2024-01-01 19:50:00") &&
+      out(1).n_events === 2 && out(1).session_value === 3.0,
+      "within-gap straggler must extend the session start backwards")
+  }
+
   test("streaming hourlyCounts over a bounded source matches batch aggregation") {
     val dir = Files.createTempDirectory("events_hourly")
     val evs = (0 until 100).map { i =>

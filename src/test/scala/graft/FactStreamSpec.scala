@@ -48,6 +48,18 @@ class FactStreamSpec extends SparkSpec {
       w.dimTempo, w.dimCliente, w.dimProduto, w.dimVendedor, w.dimLoja,
       out.toString).count()
 
+    // FIRST invocation before ANY order file lands (the real first nightly
+    // run of a top-up root): zero micro-batches commit, no parquet output
+    // exists — "no new data" must read back as an EMPTY fact with the
+    // stream's schema, not an AnalysisException
+    val empty = FactStream.incrementalFactTo(spark, src.toString,
+      w.dimTempo, w.dimCliente, w.dimProduto, w.dimVendedor, w.dimLoja,
+      out.toString)
+    assert(empty.count() === 0L)
+    assert(empty.columns.contains("id_venda") &&
+      empty.columns.contains("valor_final"),
+      s"zero-batch schema lost: ${empty.columns.toSeq}")
+
     writeOrders("orders1.parquet", col("o_orderkey") < 1000)
     val n1 = run()
     assert(n1 > 0)
@@ -63,5 +75,16 @@ class FactStreamSpec extends SparkSpec {
       graft.sources.Crm.itemVendas(spark, "/root/testdata/sf0.001"),
       w.dimTempo, w.dimCliente, w.dimProduto, w.dimVendedor, w.dimLoja).count()
     assert(n2 === batchBoth, s"resume produced $n2 rows, batch over both files $batchBoth")
+  }
+
+  test("incrementalFact rejects every non-streamable locator with a clear error") {
+    // the require fires before any dim is touched, so nulls are never read
+    Seq("csv:/x", "json:/x", "jdbc:postgresql://h/db", "orc:/x").foreach { loc =>
+      val e = intercept[IllegalArgumentException] {
+        FactStream.incrementalFactTo(spark, loc,
+          null, null, null, null, null, "/tmp/fact_guard_never")
+      }
+      assert(e.getMessage.contains("parquet directory"), s"$loc: ${e.getMessage}")
+    }
   }
 }
