@@ -27,11 +27,15 @@ object EventsStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir")
 
-  /** Stream the driver's events.parquet (TIMESTAMP(NANOS), which Spark 4
-    * refuses natively): read nanos as long, floor to micros — identical to
-    * the batch-side events reader and to the oracle engine's coercion.
-    * No maxFilesPerTrigger: one AvailableNow batch, so nothing is ever
-    * behind the watermark and the result equals the batch aggregate.
+  /** Stream the driver's events.parquet, whose `ts` physical type differs
+    * across testdata generations — TIMESTAMP(NANOS) (pre-r8; Spark 4 refuses
+    * it natively) vs TIMESTAMP(MICROS, naive) (current). A stream source
+    * needs an explicit schema, so probe the file footer through the batch
+    * reader once, then stream with the matching schema and coerce to the
+    * same UTC-instant micros the batch reader (SparkEntry.events) and the
+    * oracle engine produce. No maxFilesPerTrigger: one AvailableNow batch,
+    * so nothing is ever behind the watermark and the result equals the
+    * batch aggregate.
     */
   def readEventsStreamNanos(spark: SparkSession, path: String): DataFrame = {
     // SESSION-WIDE side effect (r2 advice): every later parquet read of a
@@ -40,12 +44,20 @@ object EventsStream {
     // same flag + div-1000 coercion, so both paths agree — but a caller
     // mixing nanos and native-timestamp parquet in one session must unset it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(eventsSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+    // UTC pin: the NTZ branch's cast interprets wall time in the session
+    // zone; only UTC makes the instant equal the file's naive micros.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val srcSchema = StructType(eventsSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f
     })
-    spark.readStream.schema(nanosSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(srcSchema).parquet(path)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour event-time windows with a 2-hour watermark — the
