@@ -1,6 +1,49 @@
 package graft
+import java.lang.management.ManagementFactory
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Per-task telemetry accumulator (r8 verdict #1: a contaminated host run —
+  * 558 s driver vs 184 s verified same-code — was indistinguishable from a
+  * regression in the JSON artifact alone; the adjudication needed a manual
+  * re-run). Counters are cumulative; Bench snapshots them around each timed
+  * action (after draining the async listener bus) so every query row carries
+  * its own GC / spill / peak-execution-memory numbers. A 12x wall-time
+  * outlier with proportional gc_ms is host memory pressure; one with flat
+  * gc_ms is a real plan change.
+  */
+private final class BenchTelemetryListener extends SparkListener {
+  val taskGcMs = new AtomicLong // sum of per-task JVM GC time (ms)
+  val taskRunMs = new AtomicLong // sum of executor run time (ms)
+  val spillBytes = new AtomicLong // memory + disk spill
+  private val windowPeak = new AtomicLong // max per-task peakExecutionMemory
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      taskGcMs.addAndGet(m.jvmGCTime)
+      taskRunMs.addAndGet(m.executorRunTime)
+      spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      windowPeak.accumulateAndGet(m.peakExecutionMemory, (a, b) => math.max(a, b))
+    }
+  }
+  def resetPeak(): Unit = windowPeak.set(0L)
+  def peakExecMem: Long = windowPeak.get
+}
+
 object Bench {
+  /** Whole-JVM GC ms from the collector MX beans. In local mode the driver
+    * and executors share one JVM, so this also captures GC landing between
+    * tasks (planning, broadcast build, collect) that per-task jvmGCTime
+    * misses — it is the primary contamination signal.
+    */
+  private def jvmGcMs: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,6 +55,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val telemetry = new BenchTelemetryListener
+    spark.sparkContext.addSparkListener(telemetry)
     // Warm the JVM/session before timing: codegen + shuffle machinery +
     // parquet reader init otherwise land entirely on whichever query the
     // Map iterates first (~5s of one-time cost misattributed to it).
@@ -69,6 +114,44 @@ object Bench {
       else n.split("_").take(2).mkString("_")
     val ordered = selected.toSeq.sortBy { case (n, _) => (family(n), n) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // name -> (gc_ms, task_ms, spill_mb, peak_exec_mem_mb) per timed action;
+    // gc_ms is the whole-JVM MX-bean delta (primary contamination signal),
+    // the rest come from drained task metrics.
+    val telemetryRows =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
+    def drain(): Unit =
+      org.apache.spark.graftbench.BusAccess.drain(spark.sparkContext)
+    /** Time one action with telemetry attribution. Returns elapsed seconds,
+      * or None if the action threw (telemetry row still recorded — a crash
+      * under memory pressure should be diagnosable too).
+      */
+    def timed(name: String)(body: => Unit): Option[Double] = {
+      drain()
+      telemetry.resetPeak()
+      val gc0 = jvmGcMs
+      val run0 = telemetry.taskRunMs.get
+      val spill0 = telemetry.spillBytes.get
+      val t0 = System.nanoTime()
+      val ok =
+        try { body; true } catch {
+          case e: Throwable =>
+            // A crashing query must FAIL the bench (r5 verdict: swallowing
+            // it records a near-zero time — a regression would improve the
+            // headline). Record, report, and exit nonzero below.
+            failed += name
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      drain()
+      telemetryRows(name) = (
+        jvmGcMs - gc0,
+        telemetry.taskRunMs.get - run0,
+        (telemetry.spillBytes.get - spill0) >> 20,
+        telemetry.peakExecMem >> 20)
+      if (ok) Some(sec) else None
+    }
     // Shared-artifact builds are timed as their own `artifact:*` entries at
     // the opening of the family window that consumes them (r7 verdict #2:
     // letting the family's first query absorb the build made any artifact
@@ -86,34 +169,15 @@ object Bench {
         artifactFamily.toSeq.sortBy(_._1)
           .filter { case (_, af) => af == family(name) }
           .foreach { case (an, _) =>
-            val a0 = System.nanoTime()
-            try {
-              SparkEntry.artifacts(an)(spark, sfDir)
-              artifactTimes(an) = (System.nanoTime() - a0) / 1e9
-            } catch { case e: Throwable =>
-              failed += an
-              System.err.println(
-                s"[bench] $an FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            }
+            timed(an) { SparkEntry.artifacts(an)(spark, sfDir) }
+              .foreach(sec => artifactTimes(an) = sec)
           }
       }
       prevFamily = family(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            // A crashing query must FAIL the bench (r5 verdict: swallowing
-            // it records a near-zero time — a regression would improve the
-            // headline). Record, report, and exit nonzero below.
-            failed += name
-            System.err.println(
-              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            false
-        }
       // elapsed-until-crash is not a query time: persist null for failed
       // queries and keep them out of the total, so BENCH_LOCAL.json never
       // mixes failure times into round-over-round comparison (ADVICE r6)
-      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      name -> timed(name) { fn(spark, sfDir).count(): Unit }
     }
     // The harness records only the last ~2000 chars of output. Per-query
     // times are rounded to 3 decimals to keep the line short, and the
@@ -125,11 +189,18 @@ object Bench {
       }.mkString("{", ",", "}")
     val arts = artifactTimes.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // Telemetry lives in its own parallel map so existing consumers of
+    // "queries" (round-over-round diffing) keep a flat name->sec shape.
+    val tele = telemetryRows.map { case (k, (gc, run, spill, peak)) =>
+        s"\"$k\":{\"gc_ms\":$gc,\"task_ms\":$run,\"spill_mb\":$spill,\"peak_exec_mem_mb\":$peak}"
+      }.mkString("{", ",", "}")
+    val heapUsedMb =
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
     val artifactSec = artifactTimes.values.sum
     val total = results.flatMap(_._2).sum + artifactSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"telemetry":$tele,"jvm_gc_total_ms":$jvmGcMs,"heap_used_mb":$heapUsedMb,"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
     // Also persist the full result next to the build (harness tail keeps
     // only ~2000 chars of stdout; the file preserves every per-query time).
     // Anchored to the JVM working directory explicitly, and a write failure

@@ -15,6 +15,30 @@ import graft.functions.GraftFunctions.{detRound, stableSum2}
   */
 object Events {
 
+  /** Coerce the events `ts` column to UTC-instant TIMESTAMP, shared by the
+    * batch reader (SparkEntry.events) and the streaming reader
+    * (EventsStream.readEventsStreamNanos) so the two paths cannot drift
+    * (r8 advice — the probe-and-coerce logic was duplicated verbatim).
+    *
+    * The physical type differs across driver testdata generations:
+    *  - TIMESTAMP(NANOS) loads as LongType under `nanosAsLong` →
+    *    truncate-to-micros (`ts div 1000`; integer division truncates
+    *    toward zero — identical to floor for the post-epoch testdata, and
+    *    the same truncation DuckDB applies reading NANOS).
+    *  - TIMESTAMP(MICROS, naive) loads as TIMESTAMP_NTZ → cast to instant.
+    *    The cast interprets wall time in the session zone; callers must pin
+    *    the session timezone to UTC first for the instant to equal the
+    *    file's naive micros.
+    */
+  def coerceEventTs(df: DataFrame, tsType: org.apache.spark.sql.types.DataType): DataFrame =
+    tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Tumbling 1-hour windows per event type: counts, exact-decimal value
     * sums, distinct users. `date_trunc` rather than `window()` so the
     * column shape is plain (and oracle-expressible).

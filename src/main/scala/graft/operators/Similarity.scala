@@ -19,8 +19,11 @@ import graft.functions.VectorExpressions.dotFP
 object Similarity {
 
   /** Left-fold dot product of two float vectors in double precision
-    * (expression-tree form — kept as the semantic reference for tests; the
-    * operators below use the native [[dotFP]]).
+    * (expression-tree form — the semantic reference the oracle mirrors were
+    * validated against; the operators below use the native [[dotFP]], which
+    * VectorExpressionsSpec("dotFP equals the aggregate(zip_with) fold
+    * exactly") pins BIT-identical to this form, so the two can never drift
+    * silently).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

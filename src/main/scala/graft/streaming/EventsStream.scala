@@ -53,11 +53,9 @@ object EventsStream {
       case f => f
     })
     val raw = spark.readStream.schema(srcSchema).parquet(path)
-    tsType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    // Shared coercion rule with the batch reader (r8 advice: the duplicated
+    // probe-and-coerce logic could drift between batch and streaming).
+    graft.operators.Events.coerceEventTs(raw, tsType)
   }
 
   /** Tumbling 1-hour event-time windows with a 2-hour watermark — the

@@ -93,6 +93,64 @@ class MultimodalSpec extends SparkSpec {
     assert(feat(7) === 2.0)
   }
 
+  /** LSB-first bit packer — the WebP lossless bitstream's bit order. */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0; private var nBits = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << nBits
+        nBits += 1
+        if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+        i += 1
+      }
+    }
+    def bytes: Array[Byte] = {
+      val tail = if (nBits > 0) Array(cur.toByte) else Array.empty[Byte]
+      buf.toArray ++ tail
+    }
+  }
+
+  private def le32(v: Int) = Array.tabulate(4)(i => ((v >> (8 * i)) & 255).toByte)
+
+  /** COMPLETE spec-valid WebP lossless (VP8L) file for a solid-ARGB w×h
+    * image, assembled per the public bitstream layout: no transforms, no
+    * color cache, no meta-huffman, then five simple huffman codes — G, R,
+    * B, A as 1-symbol 8-bit codes and distance as a 1-symbol 1-bit code.
+    * One-symbol codes cost zero bits per pixel, so the pixel section is
+    * empty and any compliant decoder renders the solid color.
+    */
+  private def vp8lSolid(w: Int, h: Int, a: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.put(0, 1) // no transforms
+    bw.put(0, 1) // no color cache
+    bw.put(0, 1) // no meta-huffman
+    Seq(g, r, b, a).foreach { sym => // alphabet order: green, red, blue, alpha
+      bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(sym, 8)
+    }
+    bw.put(1, 1); bw.put(0, 1); bw.put(0, 1); bw.put(0, 1) // distance: symbol 0
+    val dims = (w - 1) | ((h - 1) << 14) // then 1-bit alpha hint + 3-bit version, all 0
+    val payload = Array[Byte](0x2F) ++ le32(dims) ++ bw.bytes
+    val padded = payload ++ (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + padded.length) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8L".getBytes("US-ASCII") ++
+      le32(payload.length) ++ padded
+  }
+
+  test("realFeature: a complete spec-valid VP8L file (decodable image, not a bare header) " +
+      "yields the pinned NULL feature — the JRE ships no WebP codec") {
+    // r8 verdict #2a: the null-feature contract must be a TESTED promise on
+    // a real WebP FILE, not an accident of a truncated fixture. A compliant
+    // decoder renders this file as 4x4 solid #336699; the JRE cannot, and
+    // the honest answer is null — never byte-fold arithmetic.
+    val file = vp8lSolid(4, 4, 0xFF, 0x33, 0x66, 0x99)
+    assert(Multimodal.decodeHeader(file) === Some(("webp", 4, 4)))
+    assert(Multimodal.realFeature(file) === null)
+    val (fmt, w, h, feat) = Multimodal.decode(file)
+    assert(fmt === "webp" && w === 4 && h === 4 && feat === null)
+  }
+
   test("decode: real container without a JRE codec (WebP) yields a NULL feature, never fabricated") {
     def le24(v: Int) = Array[Byte]((v & 255).toByte, ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte)
     val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](22, 0, 0, 0) ++
