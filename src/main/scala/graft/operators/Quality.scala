@@ -21,19 +21,29 @@ object Quality {
   final case class Rule(rule: String, table: String, violation: Column)
 
   /** Catalog-style column profile: null and distinct counts per column in
-    * ONE conditional aggregate over the table (count(col) skips nulls on
-    * every engine), `stack`-unpivoted to a row per column — same
-    * one-scan-per-table shape as [[report]].
+    * one scan. Shape (r9): unpivot FIRST (`stack` to narrow
+    * (column_name, value) pairs), pre-aggregate by (column, value), then
+    * roll up per column — n_distinct is the number of surviving non-null
+    * value groups, n_rows/n_nonnull are count sums. Both levels are
+    * map-side combinable and there is NO Expand node: the previous
+    * multi-`countDistinct` single-aggregate form planned Expand×(cols+1),
+    * whose (cols+1)·rows wide intermediate was the engine's most
+    * allocation-sensitive plan (the r8 driver-host contamination inflated
+    * it 11×; at 10B rows the Expand intermediate is 60B wide rows, while
+    * this form shuffles value-group counts). Values compare as strings —
+    * injective within a column's single type, so distinct counts are
+    * unchanged.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val agg = df.agg(count(lit(1)).as("n_rows"),
-      cols.zipWithIndex.flatMap { case (c, i) =>
-        Seq(count(col(c)).as(s"__nn$i"), countDistinct(col(c)).as(s"__nd$i"))
-      }: _*)
-    val stackArgs = cols.zipWithIndex
-      .map { case (c, i) => s"'$c', __nn$i, __nd$i" }.mkString(", ")
-    agg.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nonnull, n_distinct)")
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val byValue = df
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (column_name, __v)")
+      .groupBy(col("column_name"), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    byValue.groupBy(col("column_name"))
+      .agg(sum(col("__cnt")).as("n_rows"),
+        sum(when(col("__v").isNotNull, col("__cnt")).otherwise(lit(0L))).as("n_nonnull"),
+        count(col("__v")).as("n_distinct"))
       .select(col("column_name"), col("n_rows"),
         (col("n_rows") - col("n_nonnull")).as("n_nulls"), col("n_distinct"),
         detRound((col("n_rows") - col("n_nonnull")).cast("double") / col("n_rows"), 4)

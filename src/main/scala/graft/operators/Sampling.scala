@@ -149,8 +149,15 @@ object Sampling {
     // pairs / distinct items), LRU-evictable with the session's storage.
     val p = pos.select(userCol.cast("long").as("user"),
       itemCol.cast("long").as("item")).distinct().cache()
+    // Cache the distinct-items input BEFORE zipWithIndexOrdered: its
+    // repartitionByRange evaluates the upstream lineage three times (range
+    // -sampling job + offsets pass + main pass), and each evaluation is a
+    // full distinct-shuffle over p without this cache (r9 profile:
+    // NegSampleProf measured the index build at 2.5 s of the ~8 s eager
+    // build; this removes two of the three distinct evaluations).
+    val distinctItems = p.select(col("item")).distinct().cache()
     val items = Surrogate.zipWithIndexOrdered(
-      p.select(col("item")).distinct(), "idx", Seq(col("item"))).cache()
+      distinctItems, "idx", Seq(col("item"))).cache()
     val n = items.agg(count(lit(1)).as("n_items"))
     val cand = p
       .select(col("user"), col("item"),
@@ -170,6 +177,7 @@ object Sampling {
       .cache()
     result.count() // materialize, then release the build-side caches
     p.unpersist()
+    distinctItems.unpersist()
     items.unpersist()
     result
   }
