@@ -220,17 +220,32 @@ object Similarity {
     * norm_cent), broadcast-small by construction. Emits (vec_id, embedding,
     * nrm, cell).
     */
-  private def argmaxAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.join(broadcast(cents))
+  private def argmaxAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    // The vec × centroid product carries ONLY (vec_id, cell, cent_cos):
+    // the r9 sf1 scale probe measured the previous form — embedding inside
+    // the max_by value struct — at 18× wall for 10× data, because every
+    // product row materialized a 64-float array copy into the aggregate
+    // input (~5 GB of copies at 20k vecs × 500 centroids). With the arrays
+    // pruned from the product, the partial argmax buffer is (cell, cos)
+    // and the embeddings come back via one narrow vec_id join afterwards.
+    // The (cos DESC, cell ASC) ordering packs into ONE long — max of
+    // qcos·2^44 − cell, where qcos is the already-detRound(…,4) cosine on
+    // its exact 1e-4 grid — because a STRUCT ordering key forces max_by
+    // into SortAggregate (struct buffers aren't hash-aggregable), which
+    // SORTED the whole product; with two atomic longs the argmax is a
+    // HashAggregate (r9 scale probe: the sort was the IVF family's
+    // super-linear term). Bounds: |qcos| ≤ 10^4 and cell < 2^44 ≈ 4.4e12,
+    // far beyond any key cardinality a single table targets.
+    val best = vecs.join(broadcast(cents))
       .withColumn("cent_cos",
         detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
-      .groupBy(col("vec_id")) // plain long key — hashing the 64-float array
-      // per product row costs more than the whole argmax; the embedding
-      // rides in the max_by VALUE instead (copied only on a new max)
-      .agg(max_by(struct(col("cell"), col("embedding"), col("nrm")),
-        struct(col("cent_cos"), -col("cell"))).as("w"))
-      .select(col("vec_id"), col("w.embedding").as("embedding"),
-        col("w.nrm").as("nrm"), col("w.cell").as("cell"))
+      .withColumn("__ord",
+        floor(col("cent_cos") * 1e4 + 0.5).cast("long") * lit(1L << 44) - col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), col("__ord")).as("cell"))
+    vecs.join(best, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+  }
 
   /** Lloyd's k-means iterated to a fixpoint — [[kmeansStep]]'s arithmetic in
     * [[Graph.pagerank]]'s execution contract: O(rounds) Spark jobs (one
@@ -359,21 +374,37 @@ object Similarity {
   def pqCode(corpus: DataFrame, m: Int = 4, dim: Int = 64,
              centroidEvery: Int = 40): DataFrame = {
     val xs = corpus.select(col("vec_id"), explode(array(subStructs(m, dim): _*)).as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("xs"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("xs"),
+        dotFP(col("x.sv"), col("x.sv")).as("xs_n"))
     val cs = pqCodebook(corpus, m, dim, centroidEvery)
+      .withColumn("cs_n", dotFP(col("cs"), col("cs")))
     // nearest codebook entry as a map-side-combinable ARGMIN (same rewrite
     // as argmaxAssign): unique ordering key (dist, cent_id) keeps the
     // window's (dist ASC, cent_id ASC) winner; the sub-vector × codebook
-    // product dies inside the map task instead of being exchanged
+    // product dies inside the map task instead of being exchanged.
+    // Self-norms are computed ONCE per side before the product (r9 scale
+    // probe: evaluating all three dots per pair tripled the join loop's
+    // flops); xs_n + cs_n − 2·dot keeps the exact same IEEE op order, so
+    // distances are bit-identical to the inline form.
+    // (dist ASC, cent_id ASC) packed into one non-negative long — min of
+    // qdist·2^42 + cent_id — for the same HashAggregate-vs-SortAggregate
+    // reason as [[argmaxAssign]]; a single min() then decodes BOTH the
+    // winning code and its distance exactly (dist is on its own 1e-4 grid
+    // and cent_id < 2^42). Bound: quantized dist < ~2·10^6, i.e. sub-
+    // distance < ~200 — holds for the unit-scale embeddings this library
+    // documents; larger-magnitude vectors should be scaled before PQ.
     xs.join(broadcast(cs), Seq("sub"))
       .withColumn("dist", detRound(
-        dotFP(col("xs"), col("xs")) + dotFP(col("cs"), col("cs"))
-          - lit(2.0) * dotFP(col("xs"), col("cs")), 4))
+        col("xs_n") + col("cs_n") - lit(2.0) * dotFP(col("xs"), col("cs")), 4))
+      .withColumn("__ord",
+        floor(col("dist") * 1e4 + 0.5).cast("long") * lit(1L << 42) + col("cent_id"))
       .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(struct(col("cent_id"), col("dist")),
-        struct(col("dist"), col("cent_id"))).as("w"))
-      .select(col("vec_id"), col("sub"), col("w.cent_id").as("code"),
-        col("w.dist").as("dist"))
+      .agg(min(col("__ord")).as("__ord"))
+      .select(col("vec_id"), col("sub"),
+        (col("__ord") % lit(1L << 42)).as("code"),
+        // ord ≥ 0, so shiftright is the exact integer quotient (a plain
+        // `/` would be double division and lose bits at 2^60 magnitudes)
+        (shiftright(col("__ord"), 42).cast("double") / 1e4).as("dist"))
   }
 
   /** One distributed power-iteration step toward the corpus' top principal
@@ -616,6 +647,18 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("keep"))
   }
 
+  /** IVF top-k against the deterministic seed-sample centroid table.
+    *
+    * Parameterization at scale (r9 measured probe): the index build costs
+    * O(N·K) with K = N/centroidEvery, so a FIXED centroidEvery makes the
+    * build quadratic in corpus size — at 10× data the assignment does
+    * 100× the flops (measured sub-linear in wall only because the narrow
+    * product parallelizes). Production IVF holds K ≈ √N or fixed (e.g.
+    * 2^16): GROW centroidEvery with the corpus, or train a fixed-k
+    * codebook with [[kmeans]] and search via [[ivfTopKTrained]]. The gated
+    * queries pin centroidEvery=40 only so the DuckDB oracle enumerates the
+    * same cells.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Int = 40, nprobe: Int = 2): DataFrame =
     ivfSearch(corpus, queries, k, centroidTable(corpus, centroidEvery), nprobe)
@@ -738,12 +781,14 @@ object Similarity {
     // codebook entry — m × |codebook| rows per query, broadcastable
     val qsub = queries
       .select(col("vec_id").as("query_id"), explode(array(subStructs(m, dim): _*)).as("x"))
-      .select(col("query_id"), col("x.sub").as("sub"), col("x.sv").as("qs"))
+      .select(col("query_id"), col("x.sub").as("sub"), col("x.sv").as("qs"),
+        dotFP(col("x.sv"), col("x.sv")).as("qs_n"))
     val cb = pqCodebook(corpus, m, dim, centroidEvery)
+      .withColumn("cs_n", dotFP(col("cs"), col("cs")))
+    // same one-dot-per-pair shape as pqCode — identical IEEE op order
     val adc = qsub.join(broadcast(cb), Seq("sub"))
       .withColumn("d", detRound(
-        dotFP(col("qs"), col("qs")) + dotFP(col("cs"), col("cs"))
-          - lit(2.0) * dotFP(col("qs"), col("cs")), 4))
+        col("qs_n") + col("cs_n") - lit(2.0) * dotFP(col("qs"), col("cs")), 4))
       .select(col("query_id"), col("sub"), col("cent_id").as("code"), col("d"))
     val cand = cells.join(probes, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -476,22 +476,45 @@ class PlanSpec extends SparkSpec {
     // (q_kmeans itself is not listable: its executed plan is rooted at the
     // final round's checkpoint leaf, so the per-round assignment subtree —
     // the same argmaxAssign helper q_kmeans_step pins — is not printed)
-    Seq("q_kmeans_step", "q_pq_code", "q_semantic_dedup",
-      "q_centroid_confusion").foreach { q =>
+    // r9: the argmax orderings over corpus-sized products are PACKED into
+    // one atomic long (argmaxAssign: max_by(cell, qcos·2^44−cell); pqCode:
+    // plain min of qdist·2^42+cent_id) because a struct ordering key forces
+    // SortAggregate — hash-ineligible buffer — which SORTS the full
+    // vec × centroid product per partition (the sf1 scale probe measured
+    // that sort as an 18×-for-10×-data super-linear term). So these plans
+    // must show a HashAggregate argmax and NO SortAggregate anywhere.
+    Seq("q_kmeans_step", "q_pq_code", "q_semantic_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("windowspecdefinition"),
         s"$q assignment fell back to a product window:\n" + p.take(1500))
-      assert(p.contains("max_by") || p.contains("min_by"),
-        s"$q should assign via max_by/min_by partial aggregate:\n" + p.take(1500))
+      assert(p.contains("max_by") || p.contains("min(__ord"),
+        s"$q should assign via a packed-ordering partial aggregate:\n" + p.take(1500))
+      assert(!p.contains("SortAggregate"),
+        s"$q assignment must hash-aggregate, not sort the product:\n" + p.take(1500))
       assert(p.contains("BroadcastExchange"),
         s"$q centroids must broadcast:\n" + p.take(1500))
     }
+    // centroid_confusion's min_by runs on the POST-aggregate score table
+    // (struct ordering → SortAggregate is acceptable there: the product
+    // has already been hash-combined by the quantized-sum groupBy)
+    locally {
+      val p = plan("q_centroid_confusion")
+      assert(!p.contains("windowspecdefinition"),
+        s"q_centroid_confusion fell back to a product window:\n" + p.take(1500))
+      assert(p.contains("min_by"),
+        s"q_centroid_confusion should argmax via min_by:\n" + p.take(1500))
+      assert(p.contains("BroadcastExchange"),
+        s"q_centroid_confusion centroids must broadcast:\n" + p.take(1500))
+    }
     // the IVF searches keep their per-query top-k window (bounded candidate
-    // lists), but the corpus-sized index-build assignment must be max_by
+    // lists), but the corpus-sized index-build assignment must be the
+    // packed-ordering max_by HashAggregate
     Seq("q_ann_ivf", "q_ann_ivf_trained").foreach { q =>
       val p = plan(q)
       assert(p.contains("max_by"),
         s"$q index build should assign via max_by:\n" + p.take(1500))
+      assert(!p.contains("SortAggregate"),
+        s"$q assignment must hash-aggregate, not sort the product:\n" + p.take(1500))
       assert(p.contains("BroadcastExchange"),
         s"$q centroids must broadcast:\n" + p.take(1500))
     }
