@@ -81,10 +81,16 @@ object Bench {
     // sets it, so recorded BENCH rounds always cover everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
+    // Complement filter for scale sweeps (exclude the documented
+    // brute-force anchors at sf1 instead of enumerating ~150 keepers).
+    // Like ONLY, the driver never sets it.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val selected = (only match {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None => SparkEntry.queries
-    }
+    }).filter { case (n, _) => !skip(n) }
     // Fixed (family, name) order (r5 verdict: Map iteration was
     // hash-dependent, so warm-cache attribution shifted whenever the query
     // set changed; a deterministic order makes round-over-round per-query

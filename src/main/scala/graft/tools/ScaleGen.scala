@@ -62,15 +62,23 @@ object ScaleGen {
         }
       }
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    /** Fact-sized tables are written as `nParts` files: the crossJoin
+      * replication inherits the single-partition sf0.1 input, and a lone
+      * 20–250 MB parquet file is ONE scan split — every downstream text/
+      * scan-bound query would serialize on one task, measuring the file
+      * layout instead of the engine (first sweep: q_feature_hashing 21×
+      * wall at ~1 busy thread). Real lake data arrives in many splits;
+      * model that. */
+    def write(name: String, df: DataFrame, nParts: Int = 32): Unit = {
+      val out0 = if (nParts > 0) df.repartition(nParts) else df
+      out0.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scalegen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
 
     // fixed dims: copy through unchanged
-    Seq("nation", "region").foreach(n => write(n, read(n)))
+    Seq("nation", "region").foreach(n => write(n, read(n), nParts = 1))
     // fact-sized tables: self-contained shifted copies
     write("customer", shiftKeys(read("customer"), "c_custkey"))
     write("supplier", shiftKeys(read("supplier"), "s_suppkey"))
@@ -94,6 +102,12 @@ object ScaleGen {
           "concat(slice(embedding, cast(__c AS INT) + 1, size(embedding) - cast(__c AS INT))," +
             " slice(embedding, 1, cast(__c AS INT)))"))
     })
+    // events: shifted ids, same time range (10× density — the realistic
+    // scale-up). Coalesced to ~10 part files so streaming consumers
+    // (maxFilesPerTrigger=1) see a bounded micro-batch count: the probe
+    // measures data scaling, not file-layout-dependent per-batch tax.
+    write("events",
+      shiftKeys(read("events"), "event_id", "user_id"), nParts = 10)
     spark.stop()
   }
 }

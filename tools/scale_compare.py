@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Compare two BENCH_LOCAL.json artifacts (e.g. sf0.1 vs a ScaleGen sf1
+run) and print per-query scaling factors, worst-first. Usage:
+
+    python3 tools/scale_compare.py BASE.json SCALED.json [min_base_sec]
+
+Queries below min_base_sec (default 0.3 s) in the base run are grouped
+into a single "fast tail" line — their factors are dominated by fixed
+per-job overhead, not data scaling.
+"""
+import json
+import sys
+
+
+def main() -> None:
+    base = json.load(open(sys.argv[1]))
+    scaled = json.load(open(sys.argv[2]))
+    floor = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
+    qb = {**base["queries"], **base.get("artifacts", {})}
+    qs = {**scaled["queries"], **scaled.get("artifacts", {})}
+    rows, tail_b, tail_s, tail_n = [], 0.0, 0.0, 0
+    for name in sorted(set(qb) & set(qs)):
+        b, s = qb[name], qs[name]
+        if b is None or s is None:
+            print(f"SKIP {name}: null time (failed?)")
+            continue
+        if b < floor:
+            tail_b += b
+            tail_s += s
+            tail_n += 1
+            continue
+        rows.append((s / b, name, b, s))
+    rows.sort(reverse=True)
+    print(f"{'factor':>7}  {'base_s':>7}  {'scaled_s':>8}  query")
+    for f, name, b, s in rows:
+        tel = scaled.get("telemetry", {}).get(name, {})
+        extra = (f"  gc={tel.get('gc_ms')}ms task={tel.get('task_ms')}ms"
+                 f" peak={tel.get('peak_exec_mem_mb')}MB" if tel else "")
+        print(f"{f:7.1f}  {b:7.2f}  {s:8.2f}  {name}{extra}")
+    if tail_n:
+        print(f"{tail_s / max(tail_b, 1e-9):7.1f}  {tail_b:7.2f}  {tail_s:8.2f}"
+              f"  <fast tail: {tail_n} queries under {floor}s base>")
+    tb = sum(v for v in qb.values() if v is not None)
+    ts = sum(v for v in qs.values() if v is not None)
+    print(f"\ncommon-query totals: base {tb:.1f}s scaled {ts:.1f}s"
+          f" ({ts / tb:.1f}x for 10x rows)")
+
+
+if __name__ == "__main__":
+    main()
