@@ -120,11 +120,13 @@ object Bench {
       else n.split("_").take(2).mkString("_")
     val ordered = selected.toSeq.sortBy { case (n, _) => (family(n), n) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    // name -> (gc_ms, task_ms, spill_mb, peak_exec_mem_mb) per timed action;
-    // gc_ms is the whole-JVM MX-bean delta (primary contamination signal),
-    // the rest come from drained task metrics.
+    // name -> (gc_ms, task_gc_ms, task_ms, spill_mb, peak_exec_mem_mb) per
+    // timed action; gc_ms is the whole-JVM MX-bean delta (primary
+    // contamination signal), task_gc_ms the drained per-task jvmGCTime sum
+    // (GC landing inside task execution specifically), the rest task
+    // metrics.
     val telemetryRows =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long, Long)]
     def drain(): Unit =
       org.apache.spark.graftbench.BusAccess.drain(spark.sparkContext)
     /** Time one action with telemetry attribution. Returns elapsed seconds,
@@ -135,6 +137,7 @@ object Bench {
       drain()
       telemetry.resetPeak()
       val gc0 = jvmGcMs
+      val tgc0 = telemetry.taskGcMs.get
       val run0 = telemetry.taskRunMs.get
       val spill0 = telemetry.spillBytes.get
       val t0 = System.nanoTime()
@@ -153,6 +156,7 @@ object Bench {
       drain()
       telemetryRows(name) = (
         jvmGcMs - gc0,
+        telemetry.taskGcMs.get - tgc0,
         telemetry.taskRunMs.get - run0,
         (telemetry.spillBytes.get - spill0) >> 20,
         telemetry.peakExecMem >> 20)
@@ -197,8 +201,8 @@ object Bench {
       .mkString("{", ",", "}")
     // Telemetry lives in its own parallel map so existing consumers of
     // "queries" (round-over-round diffing) keep a flat name->sec shape.
-    val tele = telemetryRows.map { case (k, (gc, run, spill, peak)) =>
-        s"\"$k\":{\"gc_ms\":$gc,\"task_ms\":$run,\"spill_mb\":$spill,\"peak_exec_mem_mb\":$peak}"
+    val tele = telemetryRows.map { case (k, (gc, tgc, run, spill, peak)) =>
+        s"\"$k\":{\"gc_ms\":$gc,\"task_gc_ms\":$tgc,\"task_ms\":$run,\"spill_mb\":$spill,\"peak_exec_mem_mb\":$peak}"
       }.mkString("{", ",", "}")
     val heapUsedMb =
       (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20

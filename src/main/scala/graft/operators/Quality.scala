@@ -35,19 +35,38 @@ object Quality {
     * unchanged.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType}
+    // The stack needs one common type, so values group as strings. The
+    // rendering must stay injective per column for n_distinct to equal
+    // countDistinct (review r9): binary renders as hex (a UTF-8 cast
+    // mangles invalid sequences and can merge distinct blobs), and
+    // float/double add +0.0 first so -0.0 and 0.0 group together, the
+    // same normalization hash aggregation applies to the native types.
+    def rendered(c: String): String = df.schema(c).dataType match {
+      case BinaryType => s"hex(`$c`)"
+      case DoubleType | FloatType => s"CAST(`$c` + 0.0 AS STRING)"
+      case _ => s"CAST(`$c` AS STRING)"
+    }
+    val stackArgs = cols.map(c => s"'$c', ${rendered(c)}").mkString(", ")
     val byValue = df
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (column_name, __v)")
       .groupBy(col("column_name"), col("__v"))
       .agg(count(lit(1)).as("__cnt"))
-    byValue.groupBy(col("column_name"))
+    val profiled = byValue.groupBy(col("column_name"))
       .agg(sum(col("__cnt")).as("n_rows"),
         sum(when(col("__v").isNotNull, col("__cnt")).otherwise(lit(0L))).as("n_nonnull"),
         count(col("__v")).as("n_distinct"))
-      .select(col("column_name"), col("n_rows"),
-        (col("n_rows") - col("n_nonnull")).as("n_nulls"), col("n_distinct"),
-        detRound((col("n_rows") - col("n_nonnull")).cast("double") / col("n_rows"), 4)
-          .as("null_rate"))
+    // An empty table must still report every column (the pre-r9 single-
+    // aggregate form did); anchor on the literal column list and fill the
+    // counts with zero. The anchor is |cols| rows — broadcast-trivial.
+    import df.sparkSession.implicits._
+    cols.toDF("column_name").join(profiled, Seq("column_name"), "left")
+      .select(col("column_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_rows") - col("n_nonnull"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        detRound(coalesce(col("n_rows") - col("n_nonnull"), lit(0L)).cast("double")
+          / coalesce(col("n_rows"), lit(0L)), 4).as("null_rate"))
   }
 
   /** k-anonymity audit over a quasi-identifier tuple — the privacy gate a

@@ -234,15 +234,34 @@ object Similarity {
     // into SortAggregate (struct buffers aren't hash-aggregable), which
     // SORTED the whole product; with two atomic longs the argmax is a
     // HashAggregate (r9 scale probe: the sort was the IVF family's
-    // super-linear term). Bounds: |qcos| ≤ 10^4 and cell < 2^44 ≈ 4.4e12,
-    // far beyond any key cardinality a single table targets.
-    val best = vecs.join(broadcast(cents))
+    // super-linear term). |qcos| ≤ 10^4 by construction; an UNDEFINED
+    // cosine — zero-norm vector or centroid, where Spark's non-ANSI
+    // double division yields NULL (and a defensive NaN is possible from
+    // degenerate inputs) — maps to the −10001 sentinel so it sorts LAST:
+    // that is DuckDB's NULLS LAST under the oracle mirrors' ORDER BY cos
+    // DESC, and it means a zero-norm vector still gets a DETERMINISTIC
+    // cell (the lowest centroid id) instead of a null one. The cell <
+    // 2^44 bound is enforced loudly on the (small) centroid side: ids
+    // beyond it would silently cross quantization levels.
+    val guardedCents = cents.withColumn("cell",
+      when(col("cell") >= lit(1L << 44) || col("cell") < 0,
+        raise_error(concat(lit("argmaxAssign: centroid id out of [0, 2^44): "),
+          col("cell").cast("string"))))
+        .otherwise(col("cell")))
+    val best = vecs.join(broadcast(guardedCents))
       .withColumn("cent_cos",
         detRound(dotFP(col("embedding"), col("emb_cent")) / (col("nrm") * col("norm_cent")), 4))
       .withColumn("__ord",
-        floor(col("cent_cos") * 1e4 + 0.5).cast("long") * lit(1L << 44) - col("cell"))
+        coalesce(
+          when(!isnan(col("cent_cos")), floor(col("cent_cos") * 1e4 + 0.5).cast("long")),
+          lit(-10001L)) * lit(1L << 44) - col("cell"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), col("__ord")).as("cell"))
+    // Embeddings come back via one narrow vec_id join. This re-evaluates
+    // the vecs lineage a second time when the caller didn't cache it —
+    // deliberately: the re-pass is a column-pruned scan plus N norm dots,
+    // while caching a corpus-sized input is exactly what a 100 TB run
+    // cannot do. Callers that iterate (kmeans) cache vecs themselves.
     vecs.join(best, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
   }
@@ -390,14 +409,29 @@ object Similarity {
     // qdist·2^42 + cent_id — for the same HashAggregate-vs-SortAggregate
     // reason as [[argmaxAssign]]; a single min() then decodes BOTH the
     // winning code and its distance exactly (dist is on its own 1e-4 grid
-    // and cent_id < 2^42). Bound: quantized dist < ~2·10^6, i.e. sub-
-    // distance < ~200 — holds for the unit-scale embeddings this library
-    // documents; larger-magnitude vectors should be scaled before PQ.
-    xs.join(broadcast(cs), Seq("sub"))
+    // and cent_id < 2^42, guarded below). An undefined distance (NULL
+    // from a malformed sub-vector, or a defensive NaN) maps to the 2^20
+    // sentinel so it sorts GREATEST and loses the argmin — DuckDB's
+    // NULLS LAST under the mirror's ORDER BY dist ASC; a real quantized
+    // dist at or beyond the sentinel (sub-distance ≥ ~105, i.e.
+    // non-unit-scale embeddings) raises instead of silently wrapping —
+    // scale such vectors before PQ.
+    xs.join(broadcast(cs.withColumn("cent_id",
+        when(col("cent_id") >= lit(1L << 42) || col("cent_id") < 0,
+          raise_error(concat(lit("pqCode: codebook id out of [0, 2^42): "),
+            col("cent_id").cast("string"))))
+          .otherwise(col("cent_id")))), Seq("sub"))
       .withColumn("dist", detRound(
         col("xs_n") + col("cs_n") - lit(2.0) * dotFP(col("xs"), col("cs")), 4))
+      .withColumn("__q",
+        coalesce(
+          when(!isnan(col("dist")), floor(col("dist") * 1e4 + 0.5).cast("long")),
+          lit(1L << 20)))
       .withColumn("__ord",
-        floor(col("dist") * 1e4 + 0.5).cast("long") * lit(1L << 42) + col("cent_id"))
+        when(col("__q") > lit(1L << 20) || col("__q") < 0,
+          raise_error(concat(lit("pqCode: quantized distance out of [0, 2^20]: "),
+            col("__q").cast("string"))))
+          .otherwise(col("__q")) * lit(1L << 42) + col("cent_id"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(col("__ord")).as("__ord"))
       .select(col("vec_id"), col("sub"),

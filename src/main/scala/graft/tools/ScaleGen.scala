@@ -94,13 +94,18 @@ object ScaleGen {
           when(col("__c") === 0, col("text")).otherwise(expr(
             "concat_ws(' ', transform(split(text, ' '), w -> concat(w, '⦙', cast(__c AS STRING))))")))
     })
-    // embeddings: shifted ids + per-copy left rotation
+    // embeddings: shifted ids + per-copy left rotation (mod dim, so copy
+    // counts beyond the dimensionality still rotate legally; copies that
+    // share a rotation remain exact cross-copy duplicates — acceptable for
+    // a perf probe, noted in the scaladoc)
     write("embeddings", replicate(read("embeddings")) { (d, off) =>
-      d.withColumn("vec_id",
+      d.withColumn("__r", expr("cast(__c % size(embedding) AS INT)"))
+        .withColumn("vec_id",
           (col("vec_id") + off).cast(read("embeddings").schema("vec_id").dataType))
         .withColumn("embedding", expr(
-          "concat(slice(embedding, cast(__c AS INT) + 1, size(embedding) - cast(__c AS INT))," +
-            " slice(embedding, 1, cast(__c AS INT)))"))
+          "concat(slice(embedding, __r + 1, size(embedding) - __r)," +
+            " slice(embedding, 1, __r))"))
+        .drop("__r")
     })
     // events: shifted ids, same time range (10× density — the realistic
     // scale-up). Coalesced to ~10 part files so streaming consumers

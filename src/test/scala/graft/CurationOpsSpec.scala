@@ -166,4 +166,40 @@ class CurationOpsSpec extends SparkSpec {
     // roughly half of the 200 en rows survive (md5 is uniform)
     assert(out.length > 60 && out.length < 140, s"got ${out.length}")
   }
+
+  test("columnProfile: empty table still reports every column with zero counts") {
+    import graft.operators.Quality
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val out = Quality.columnProfile(empty, Seq("id", "name"))
+      .orderBy(col("column_name")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("id", 0L, 0L, 0L), ("name", 0L, 0L, 0L)))
+  }
+
+  test("columnProfile: -0.0 and 0.0 group as one distinct value; binary profiles by bytes") {
+    import graft.operators.Quality
+    val df = Seq(
+      (1L, 0.0, Array[Byte](0x41)),
+      (2L, -0.0, Array[Byte](0xC3.toByte)), // invalid UTF-8 alone
+      (3L, 1.5, Array[Byte](0xC3.toByte, 0x28))) // also invalid, distinct bytes
+      .toDF("id", "d", "b")
+    val out = Quality.columnProfile(df, Seq("d", "b"))
+      .orderBy(col("column_name")).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    // countDistinct semantics: signed zeros normalize together (2 distinct
+    // doubles), and distinct binary payloads stay distinct even when a
+    // UTF-8 string cast would mangle both to the replacement character
+    assert(out("d") === 2L)
+    assert(out("b") === 3L)
+  }
+
+  test("columnProfile matches the pre-reshape conditional-aggregate semantics on nulls") {
+    import graft.operators.Quality
+    val df = Seq(
+      (1L, Option("x")), (2L, Option("x")), (3L, None), (4L, Option("y")))
+      .toDF("id", "s")
+    val r = Quality.columnProfile(df, Seq("s")).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      === ((4L, 1L, 2L, 0.25)))
+  }
 }

@@ -243,6 +243,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("assignment: undefined cosines (zero-norm) sort LAST and still yield a deterministic cell, never null") {
+    // vec 0 is the zero vector and (centroidEvery=2) a seed centroid.
+    // Spark's non-ANSI double division makes every cosine against it NULL
+    // (0/0 → NULL, not NaN); the packed ordering maps undefined to the
+    // −10001 sentinel — DuckDB's NULLS LAST under the mirror's ORDER BY
+    // cos DESC — so the zero-norm CENTROID loses to any real cosine, and
+    // the zero-norm VECTOR (all orderings undefined) deterministically
+    // takes the lowest cell id instead of a null cell.
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val step = Similarity.kmeansStep(emb, centroidEvery = 2)
+      .orderBy($"cell", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // vec 0 → cell 0 (sentinel tie → lowest cell); vecs 1,2,3 → cell 2
+    assert(step.toSeq === Seq(
+      (0L, 0L, 0.0, 1L), (0L, 1L, 0.0, 1L),
+      (2L, 0L, 1.333333, 3L), (2L, 1L, 0.333333, 3L)))
+  }
+
   test("kmeans: one tol=0 round reproduces kmeansStep exactly") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),

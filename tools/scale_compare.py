@@ -40,10 +40,15 @@ def main() -> None:
     if tail_n:
         print(f"{tail_s / max(tail_b, 1e-9):7.1f}  {tail_b:7.2f}  {tail_s:8.2f}"
               f"  <fast tail: {tail_n} queries under {floor}s base>")
-    tb = sum(v for v in qb.values() if v is not None)
-    ts = sum(v for v in qs.values() if v is not None)
-    print(f"\ncommon-query totals: base {tb:.1f}s scaled {ts:.1f}s"
-          f" ({ts / tb:.1f}x for 10x rows)")
+    # totals over the INTERSECTION only, both values non-null — summing
+    # each run's full set would inflate the base with queries the scaled
+    # run skipped (review r9)
+    common = [(qb[n], qs[n]) for n in set(qb) & set(qs)
+              if qb[n] is not None and qs[n] is not None]
+    tb = sum(b for b, _ in common)
+    ts = sum(s for _, s in common)
+    print(f"\ncommon-query totals ({len(common)} queries): base {tb:.1f}s"
+          f" scaled {ts:.1f}s ({ts / tb:.1f}x for 10x rows)")
 
 
 if __name__ == "__main__":
