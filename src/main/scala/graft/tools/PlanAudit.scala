@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Whole-surface physical-plan audit: builds every SparkEntry query's
+  * executed plan (no execution — plans only, so sf0.001 is fine) and
+  * flags the operators that become scale terms when their input is
+  * corpus-sized (r9: a struct-ordering max_by planned as SortAggregate
+  * read as an 18×-for-10×-data term at sf1):
+  *
+  *  - SortAggregate           (hash-ineligible aggregate → sorts its input)
+  *  - CartesianProduct        (unconstrained product)
+  *  - BroadcastNestedLoopJoin (constrained product — fine for broadcast
+  *                             dictionaries, a smell on data-sized inputs)
+  *  - global Window           (windowspecdefinition with no PARTITION BY —
+  *                             single-partition sort)
+  *  - ObjectHashAggregate     (informational: collect_list/typed buffers)
+  *
+  * Prints one line per query with nonzero flags. Known-bounded uses are
+  * triaged in SURVEY §8.7, not silenced here — the tool reports, the doc
+  * judges.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val flags = Seq(
+      "SortAggregate" -> "sortAgg",
+      "CartesianProduct" -> "cartesian",
+      "BroadcastNestedLoopJoin" -> "bnlj",
+      "ObjectHashAggregate" -> "objHashAgg")
+    var audited = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val hits = flags.flatMap { case (needle, label) =>
+          val n = needle.r.findAllIn(plan).length
+          if (n > 0) Some(s"$label=$n") else None
+        }
+        // WindowExec.toString renders `Window [exprs], [partition], [order]`
+        // for a partitioned window but only `Window [exprs], [order]` for a
+        // GLOBAL one (single-partition sort of its whole input): count the
+        // `], [` separators on each Window line — one separator = global.
+        val globalWindows = plan.split("\n").count { line =>
+          line.contains("Window [") &&
+            "\\], \\[".r.findAllIn(line).length == 1
+        }
+        val all = hits ++ (if (globalWindows > 0) Seq(s"globalWin=$globalWindows") else Nil)
+        audited += 1
+        if (all.nonEmpty) println(s"[planaudit] $name: ${all.mkString(" ")}")
+      } catch {
+        case e: Throwable =>
+          println(s"[planaudit] $name: PLAN_ERROR ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(120))
+      }
+    }
+    println(s"[planaudit] audited $audited queries")
+    spark.stop()
+  }
+}

@@ -14,6 +14,57 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("whole-surface plan gate: no cartesian, no global window, SortAggregate only where triaged") {
+    // The r9 sf1 probe showed one SortAggregate (struct-keyed argmax over a
+    // corpus product) reading as 18x-for-10x-data; this gate keeps the FULL
+    // 187-query surface free of the operators that become scale terms.
+    // Triaged SortAggregate allowlist (rationale in SURVEY §8.7):
+    //  - q_centroid_confusion / q_label_prop: min_by with a generic-type
+    //    ordering on POST-aggregate tables (packed longs can't host
+    //    arbitrary label types / 1e9-quantized sums);
+    //  - q_scd2 / q_scd2_lookup: Spark plans grouped min(STRING) as
+    //    SortAggregate (var-length buffers aren't hash-mutable), and the
+    //    downstream window needs the same (key, ts) order anyway.
+    val sortAggTriaged = Set(
+      "q_centroid_confusion", "q_label_prop", "q_scd2", "q_scd2_lookup")
+    // Global windows (WindowExec renders `Window [exprs], [order]` with no
+    // partition bracket) funnel their whole input through ONE task — legal
+    // only when that input is bounded by construction. Triaged classes:
+    //  - dictionary dims: row_number over <=25-row distinct segment/brand/
+    //    nation tables (the dim family and everything that embeds it);
+    //  - two-pass offset machinery (zipWithIndexOrdered /
+    //    rankedRunningTotal): the offsets window runs over #partitions
+    //    rows, never data rows — negative_sampling, interleave, pack,
+    //    domain_gini, vocab_coverage, surrogates, the graph artifact;
+    //  - bounded cumulative passes: histogram bins (hist_quantile,
+    //    winsorize), the distinct-value frontier (skyline), the ntile demo.
+    // A NEW query appearing here means a data-sized global sort — triage
+    // it or redesign before allowlisting.
+    val globalWinTriaged = Set(
+      "q_column_profile", "q_cooccur_lift", "q_degree_dist",
+      "q_dim_categoria_cliente", "q_dim_categoria_produto", "q_dim_cliente",
+      "q_dim_fornecedor", "q_dim_localidade", "q_dim_loja", "q_dim_produto",
+      "q_dim_promocao", "q_dim_tempo", "q_dim_vendedor", "q_domain_gini",
+      "q_fato_vendas", "q_fato_vendas_v2", "q_hist_quantile", "q_interleave",
+      "q_item_neighbors", "q_label_prop", "q_negative_sampling", "q_pack",
+      "q_pagerank_step", "q_report_summary", "q_skyline", "q_surrogate_key",
+      "q_surrogate_scalable", "q_triangle_count", "q_vocab_coverage",
+      "q_window_ntile", "q_winsorize")
+    def hasGlobalWindow(p: String): Boolean = p.split("\n").exists { line =>
+      line.contains("Window [") && "\\], \\[".r.findAllIn(line).length == 1
+    }
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      if (p.contains("CartesianProduct")) offenders += s"$name: CartesianProduct"
+      if (hasGlobalWindow(p) && !globalWinTriaged(name))
+        offenders += s"$name: untriaged global Window"
+      if (p.contains("SortAggregate") && !sortAggTriaged(name))
+        offenders += s"$name: untriaged SortAggregate"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("q_scan_project pushes the filter into the parquet scan") {
     val p = plan("q_scan_project")
     assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,1000.0)]"), p.take(2000))
