@@ -47,9 +47,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Decouple partition count from thread count for sizing experiments
+    // (at 10x+ data the fixed cpus-sized partitions spill; more partitions
+    // with the SAME thread count shrinks each sort's working set, where
+    // more threads would just oversubscribe the cores). Driver never sets
+    // it, so recorded rounds keep partitions = cpus.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false") // F13: null on parse failure
       .config("spark.ui.enabled", "false")
