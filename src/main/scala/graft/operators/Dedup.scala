@@ -28,16 +28,31 @@ object Dedup {
   def words(text: Column): Column = split(text, " ")
 
   /** First 60 bits of md5 as a non-negative long — engine-portable hash.
-    * (15 hex chars < 2^60, so `conv` never wraps negative.)
+    * (15 hex chars < 2^60, so the value never wraps negative.) Evaluated
+    * by the native codegen [[graft.functions.HashExpressions.Md5Slice60]]
+    * (digest bytes → long, thread-local MessageDigest — no hex string /
+    * substring / conv-parse allocations per row); [[hash60Ref]] keeps the
+    * composed form as the semantic reference the DuckDB oracle mirrors,
+    * pinned bit-identical by HashExpressionsSpec.
     */
   def hash60(c: Column): Column =
+    graft.functions.HashExpressions.hash60Native(c)
+
+  /** The composed reference form of [[hash60]] — oracle-mirrored
+    * semantics, used only by the parity spec. */
+  def hash60Ref(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Second independent 60-bit md5 slice, reduced mod 1e9+7 so that
     * `h1 + j·h2m` stays far below 2^63 for j < 64 on every engine
     * (DuckDB throws on BIGINT overflow; Spark would silently wrap).
+    * Native evaluation like [[hash60]]; [[hash60bRef]] is the mirror.
     */
   def hash60b(c: Column): Column =
+    graft.functions.HashExpressions.hash60bNative(c) % 1000000007L
+
+  /** The composed reference form of [[hash60b]]. */
+  def hash60bRef(c: Column): Column =
     conv(substring(md5(c), 16, 15), 16, 10).cast("long") % 1000000007L
 
   /** Exact dedup by content: keep the smallest id per identical key.
