@@ -19,15 +19,30 @@ import org.apache.spark.sql.SparkSession
 private final class BenchTelemetryListener extends SparkListener {
   val taskGcMs = new AtomicLong // sum of per-task JVM GC time (ms)
   val taskRunMs = new AtomicLong // sum of executor run time (ms)
+  val taskCpuMs = new AtomicLong // sum of executor ON-CPU time (ns -> ms)
+  val taskSchedMs = new AtomicLong // sum of per-task scheduler delay (ms)
+  val nTasks = new AtomicLong // task count
   val spillBytes = new AtomicLong // memory + disk spill
   private val windowPeak = new AtomicLong // max per-task peakExecutionMemory
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
     if (m != null) {
+      nTasks.incrementAndGet()
       taskGcMs.addAndGet(m.jvmGCTime)
       taskRunMs.addAndGet(m.executorRunTime)
+      // executorCpuTime is the thread's actual ON-CPU nanoseconds; run time
+      // is task wall. run >> cpu with flat GC = the thread existed but was
+      // not scheduled — host CPU starvation, the r9 driver-outlier signature
+      // (q_curation 50.8 s, gc 134 ms) that gc-only telemetry called clean.
+      taskCpuMs.addAndGet(m.executorCpuTime / 1000000L)
       spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       windowPeak.accumulateAndGet(m.peakExecutionMemory, (a, b) => math.max(a, b))
+      val info = te.taskInfo
+      if (info != null) {
+        val sched = info.duration - m.executorRunTime -
+          m.executorDeserializeTime - m.resultSerializationTime
+        taskSchedMs.addAndGet(math.max(0L, sched))
+      }
     }
   }
   def resetPeak(): Unit = windowPeak.set(0L)
@@ -127,13 +142,17 @@ object Bench {
       else n.split("_").take(2).mkString("_")
     val ordered = selected.toSeq.sortBy { case (n, _) => (family(n), n) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    // name -> (gc_ms, task_gc_ms, task_ms, spill_mb, peak_exec_mem_mb) per
-    // timed action; gc_ms is the whole-JVM MX-bean delta (primary
+    // Per timed action: gc_ms is the whole-JVM MX-bean delta (primary
     // contamination signal), task_gc_ms the drained per-task jvmGCTime sum
-    // (GC landing inside task execution specifically), the rest task
-    // metrics.
+    // (GC landing inside task execution specifically), task_ms the summed
+    // executor run (wall) time, cpu_ms the summed ON-CPU time, sched_ms the
+    // summed scheduler delay, n_tasks the task count. task_ms >> cpu_ms
+    // with flat GC is host CPU starvation (r10, VERDICT r9 #4).
+    final case class Tele(gcMs: Long, taskGcMs: Long, taskMs: Long,
+                          cpuMs: Long, schedMs: Long, nTasks: Long,
+                          spillMb: Long, peakMb: Long)
     val telemetryRows =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long, Long)]
+      scala.collection.mutable.LinkedHashMap.empty[String, Tele]
     def drain(): Unit =
       org.apache.spark.graftbench.BusAccess.drain(spark.sparkContext)
     /** Time one action with telemetry attribution. Returns elapsed seconds,
@@ -146,6 +165,9 @@ object Bench {
       val gc0 = jvmGcMs
       val tgc0 = telemetry.taskGcMs.get
       val run0 = telemetry.taskRunMs.get
+      val cpu0 = telemetry.taskCpuMs.get
+      val sched0 = telemetry.taskSchedMs.get
+      val ntask0 = telemetry.nTasks.get
       val spill0 = telemetry.spillBytes.get
       val t0 = System.nanoTime()
       val ok =
@@ -161,10 +183,13 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       drain()
-      telemetryRows(name) = (
+      telemetryRows(name) = Tele(
         jvmGcMs - gc0,
         telemetry.taskGcMs.get - tgc0,
         telemetry.taskRunMs.get - run0,
+        telemetry.taskCpuMs.get - cpu0,
+        telemetry.taskSchedMs.get - sched0,
+        telemetry.nTasks.get - ntask0,
         (telemetry.spillBytes.get - spill0) >> 20,
         telemetry.peakExecMem >> 20)
       if (ok) Some(sec) else None
@@ -208,21 +233,33 @@ object Bench {
       .mkString("{", ",", "}")
     // Telemetry lives in its own parallel map so existing consumers of
     // "queries" (round-over-round diffing) keep a flat name->sec shape.
-    val tele = telemetryRows.map { case (k, (gc, tgc, run, spill, peak)) =>
-        s"\"$k\":{\"gc_ms\":$gc,\"task_gc_ms\":$tgc,\"task_ms\":$run,\"spill_mb\":$spill,\"peak_exec_mem_mb\":$peak}"
+    val tele = telemetryRows.map { case (k, t) =>
+        s"\"$k\":{\"gc_ms\":${t.gcMs},\"task_gc_ms\":${t.taskGcMs},\"task_ms\":${t.taskMs}," +
+          s"\"cpu_ms\":${t.cpuMs},\"sched_ms\":${t.schedMs},\"n_tasks\":${t.nTasks}," +
+          s"\"spill_mb\":${t.spillMb},\"peak_exec_mem_mb\":${t.peakMb}}"
       }.mkString("{", ",", "}")
     val heapUsedMb =
       (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
     val artifactSec = artifactTimes.values.sum
     val total = results.flatMap(_._2).sum + artifactSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // A run is the ROUND-GATE artifact only when it covers the full suite at
+    // the default sf with the default partitioning — ONLY/SKIP subsets, a
+    // non-default sfDir (scale probes) or a partition-sizing override go to
+    // BENCH_SUBSET.json so a dev iteration can never clobber BENCH_LOCAL
+    // .json (r9: a 7-query sf1 anchor run at d71901c shadowed the committed
+    // 167 s / 187 full-suite gate artifact; later a 3-query adjudication run
+    // shadowed that).
+    val isFullRun = only.isEmpty && skip.isEmpty &&
+      sfDir == "/root/testdata/sf0.1" && shufflePartitions == cpus
     val line =
-      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"telemetry":$tele,"jvm_gc_total_ms":$jvmGcMs,"heap_used_mb":$heapUsedMb,"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"telemetry":$tele,"jvm_gc_total_ms":$jvmGcMs,"heap_used_mb":$heapUsedMb,"sf":"$sfDir","cpus":$cpus,"full_suite":$isFullRun,"n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
     // Also persist the full result next to the build (harness tail keeps
     // only ~2000 chars of stdout; the file preserves every per-query time).
     // Anchored to the JVM working directory explicitly, and a write failure
     // is reported rather than silently dropped (ADVICE r4).
-    val benchOut = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json")
+    val benchOut = java.nio.file.Paths.get(sys.props("user.dir"),
+      if (isFullRun) "BENCH_LOCAL.json" else "BENCH_SUBSET.json")
     try java.nio.file.Files.write(benchOut, line.getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"warning: could not persist $benchOut: $e") }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{PyTextExpressions => Py, VectorExpressions => Vec, TopKAggregate}
+import graft.operators.Dedup
+
+/** Codegen no-fallback gate (r10): every custom expression's generated code
+  * MUST compile. r9 shipped a `doGenCode` emitting a source-path class name
+  * (`HashExpressions.Md5Bits$.MODULE$`) that Janino rejected — Spark
+  * silently fell back to interpreted projections (221 warnings per full
+  * test run) while every parity spec still passed, so the claimed native
+  * optimization never engaged and nothing noticed. This suite turns that
+  * class of silent de-optimization into a hard failure:
+  *
+  *  - `spark.sql.codegen.factoryMode=CODEGEN_ONLY` makes
+  *    UnsafeProjection/MutableProjection creation THROW on a codegen
+  *    compile error instead of falling back to interpreted;
+  *  - `spark.sql.codegen.fallback=false` does the same for whole-stage
+  *    codegen compilation.
+  *
+  * Under these settings this suite evaluates every custom expression with
+  * real data and checks a value, so a bad `doGenCode` fails the build by
+  * name. (Verified red on the pre-fix HEAD~: the hash60 test dies with
+  * Janino's CompileException; green after the Md5Bits hoist.)
+  */
+class CodegenGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `body` with codegen failures promoted to errors, restoring the
+    * shared session's conf afterwards (the forked test JVM runs suites
+    * sequentially, so this cannot race another suite).
+    */
+  private def strictCodegen[A](body: => A): A = {
+    val conf = spark.conf
+    val oldFallback = conf.getOption("spark.sql.codegen.fallback")
+    val oldFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try body
+    finally {
+      oldFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        v => conf.set("spark.sql.codegen.fallback", v))
+      oldFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        v => conf.set("spark.sql.codegen.factoryMode", v))
+    }
+  }
+
+  private def texts: DataFrame =
+    Seq("hello world", "JOÃO DA silva", "south-EAST região",
+        "the quick brown fox jumps", "", "açaí & pão 123")
+      .toDF("s")
+
+  test("hash60/hash60b generated code compiles and matches the composed forms") {
+    strictCodegen {
+      val bad = spark.range(0, 2000)
+        .select(concat_ws("#", col("id"), col("id") * 31 % 97).as("s"))
+        .select(
+          Dedup.hash60($"s").as("h"), Dedup.hash60Ref($"s").as("hr"),
+          Dedup.hash60b($"s").as("b"), Dedup.hash60bRef($"s").as("br"))
+        .filter($"h" =!= $"hr" || $"b" =!= $"br").count()
+      assert(bad === 0L)
+    }
+  }
+
+  test("PyText family generated code compiles (title/clean/name/region)") {
+    strictCodegen {
+      val r = texts.select(
+        Py.pyTitle($"s"), Py.pyCleanText($"s"),
+        Py.pyStandardizeName($"s"), Py.pyStandardizeRegion($"s")).collect()
+      assert(r.length === 6)
+      assert(r(0).getString(0) === "Hello World")
+    }
+  }
+
+  test("vector family generated code compiles (dot/jaccard/intersect/fingerprint/shingles)") {
+    strictCodegen {
+      val df = Seq(
+        (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0),
+         Array("a", "b", "c"), Array("b", "c", "d"), "abracadabra")
+      ).toDF("v1", "v2", "a1", "a2", "t")
+      val r = df.select(
+        Vec.dotFP($"v1", $"v2").as("dot"),
+        Vec.sortedJaccard($"a1", $"a2").as("jac"),
+        Vec.sortedIntersectCount($"a1", $"a2").as("ic"),
+        Vec.rollingFingerprint($"t", 4).as("fp"),
+        Vec.shingleSet($"t", 1).as("sh")).collect()(0)
+      assert(r.getDouble(0) === 32.0)
+      assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
+      assert(r.getLong(2) === 2L)
+      assert(r.getLong(3) >= 0L)
+    }
+  }
+
+  test("TopKByScore aggregate runs under strict codegen (ObjectHashAggregate path)") {
+    strictCodegen {
+      val r = spark.range(0, 100)
+        .select(col("id"), (col("id") % 10).as("g"))
+        .groupBy($"g")
+        .agg(TopKAggregate.topKByScore(col("id").cast("double"), col("id"), 3).as("top"))
+        .count()
+      assert(r === 10L)
+    }
+  }
+
+  test("full ETL flagship plans compile under strict codegen (no silent interpreter fallback)") {
+    // The real gate: the widest projections in the engine — the fact build
+    // and an LSH band-key build — must survive CODEGEN_ONLY end-to-end.
+    strictCodegen {
+      val sfDir = "/root/testdata/sf0.001"
+      val fato = SparkEntry.queries("q_fato_vendas")(spark, sfDir)
+      assert(fato.limit(5).count() > 0L)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      assert(pairs.count() >= 0L)
+    }
+  }
+}

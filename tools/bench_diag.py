@@ -1,23 +1,41 @@
 #!/usr/bin/env python3
 """Contamination diagnosis for a Bench JSON artifact (BENCH_LOCAL.json /
-BENCH_r{N}.json with the r9 telemetry map). Usage:
+BENCH_r{N}.json with the r9+ telemetry map). Usage:
 
     python3 tools/bench_diag.py BENCH.json [BASELINE.json]
 
 Per query it computes the GC share of wall time and, with a baseline
-artifact, the wall ratio. Classification (the r8 adjudication, encoded):
+artifact, the wall ratio. Classification (the r8/r9 adjudications, encoded):
 
   - wall inflated AND gc share high        -> HOST MEMORY PRESSURE
-  - wall inflated AND task_ms inflated     -> real plan/work change
+  - task_ms >> cpu_ms AND gc flat          -> HOST CPU STARVATION (threads
+                                              existed but were descheduled;
+                                              the r9 q_curation signature:
+                                              50.8s wall, gc 134ms, which
+                                              gc-only telemetry called clean)
+  - wall inflated AND task+cpu inflated    -> real plan/work change
   - wall inflated, task_ms flat, gc flat   -> scheduling/layout (few busy
                                               threads; check partitioning)
 
-A run whose jvm_gc_total_ms exceeds 10% of total wall is flagged
-contaminated as a whole — its per-query times should not be used for
-round-over-round comparison (r8: 558s driver run vs 184s same-code).
+cpu_ms (summed executor ON-CPU time) and sched_ms/n_tasks exist in r10+
+artifacts. A pre-r10 artifact cannot positively distinguish starvation from
+a work change — those flag as "ambiguous (pre-r10 artifact): re-run
+isolated".
+
+A run whose jvm_gc_total_ms exceeds 10% of total wall, or with any starved
+query, is flagged as a whole — its per-query times should not be used for
+round-over-round comparison (r8: 558s driver run vs 184s same-code; r9:
+q_curation 50.8s driver vs 3.3-4.0s isolated x3).
 """
 import json
 import sys
+
+# executorRunTime > STARVE_RATIO * executorCpuTime on a CPU-bound suite
+# means the task threads spent most of their wall descheduled. Shuffle-read
+# waits in local mode are memory-speed, so healthy queries here run near
+# cpu ~= run; 2.5x leaves headroom for minor IO waits.
+STARVE_RATIO = 2.5
+MIN_WALL_S = 2.0  # ignore sub-2s queries: constant costs dominate
 
 
 def load(path):
@@ -34,28 +52,52 @@ def main() -> None:
     jvm_gc = d.get("jvm_gc_total_ms", 0)
     print(f"run: {d['sf']}  total {total:.1f}s  n={d['n_queries']}"
           f"  jvm_gc {jvm_gc}ms ({jvm_gc / (10 * total):.1f}% of wall)")
-    if jvm_gc > 100 * total:  # ms vs s: >10% of wall
-        print("VERDICT: CONTAMINATED — whole-run GC above 10% of wall; do "
-              "not use per-query times for round-over-round comparison")
-    else:
-        print("VERDICT: clean — GC below 10% of wall")
     flagged = []
+    starved = []
     for name, wall in qs.items():
         t = tel.get(name)
         if not t or wall < 0.5:
             continue
         gc_share = t["gc_ms"] / (wall * 1000)
         ratio = (wall / base[name]) if base and base.get(name) else None
+        task_ms = t.get("task_ms", 0)
+        cpu_ms = t.get("cpu_ms")
+        # CPU starvation: the task threads' wall greatly exceeds their
+        # on-CPU time while GC is flat. Does not need a baseline — the gap
+        # is visible inside the single artifact.
+        if (cpu_ms is not None and wall >= MIN_WALL_S and gc_share < 0.1
+                and task_ms > STARVE_RATIO * max(cpu_ms, 1)):
+            starved.append((name, wall, task_ms, cpu_ms))
+            flagged.append((name, wall, gc_share, ratio,
+                            f"HOST CPU STARVATION (task {task_ms}ms vs "
+                            f"cpu {cpu_ms}ms, gc flat)"))
+            continue
         if gc_share > 0.3 or (ratio and ratio > 3):
-            kind = ("host memory pressure" if gc_share > 0.3 else
-                    "work change" if ratio and t.get("task_ms", 0) > 3000 * wall
-                    else "scheduling/layout (few busy threads)")
+            if gc_share > 0.3:
+                kind = "host memory pressure"
+            elif cpu_ms is None:
+                kind = ("ambiguous (pre-r10 artifact, no cpu_ms): work "
+                        "change or CPU starvation — re-run isolated")
+            elif task_ms > 3000 * wall:
+                kind = "work change"
+            else:
+                kind = "scheduling/layout (few busy threads)"
             flagged.append((name, wall, gc_share, ratio, kind))
+    if jvm_gc > 100 * total:  # ms vs s: >10% of wall
+        print("VERDICT: CONTAMINATED — whole-run GC above 10% of wall; do "
+              "not use per-query times for round-over-round comparison")
+    elif starved:
+        names = ", ".join(n for n, *_ in starved)
+        print(f"VERDICT: CONTAMINATED — CPU-starved queries ({names}); "
+              "host was oversubscribed, re-run isolated before comparing")
+    else:
+        print("VERDICT: clean — GC below 10% of wall, no starved queries")
     for name, wall, gc_share, ratio, kind in sorted(flagged, key=lambda x: -x[1]):
         r = f" {ratio:.1f}x vs baseline" if ratio else ""
         print(f"  {name}: {wall:.1f}s gc={gc_share:.0%}{r} -> {kind}")
     if not flagged:
-        print("no per-query anomalies (gc share <=30%, ratio <=3x)")
+        print("no per-query anomalies (gc share <=30%, ratio <=3x, "
+              "task/cpu <=2.5x)")
 
 
 if __name__ == "__main__":
