@@ -45,6 +45,19 @@ object Quality {
     def rendered(c: String): String = df.schema(c).dataType match {
       case BinaryType => s"hex(`$c`)"
       case DoubleType | FloatType => s"CAST(`$c` + 0.0 AS STRING)"
+      // CAST(x AS STRING) is NOT injective for complex types — array('a, b')
+      // and array('a','b') both render '[a, b]' — so a generic caller would
+      // get silently undercounted n_distinct. Fail loudly instead of lying
+      // (ADVICE r9); profile complex columns via an explicit to_json/hash
+      // projection chosen by the caller.
+      case t: org.apache.spark.sql.types.DataType
+          if t.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+             t.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+             t.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        throw new IllegalArgumentException(
+          s"columnProfile: column `$c` has non-atomic type ${t.catalogString}; " +
+            "its string rendering is not injective, so n_distinct would be " +
+            "silently wrong — project it to a scalar (to_json, hash) first")
       case _ => s"CAST(`$c` AS STRING)"
     }
     val stackArgs = cols.map(c => s"'$c', ${rendered(c)}").mkString(", ")

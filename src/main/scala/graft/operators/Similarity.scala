@@ -289,18 +289,35 @@ object Similarity {
              checkpointDir: Option[String] = None): DataFrame =
     kmeansRun(corpus, centroidEvery, maxIter, tol, quantScale, checkpointDir)._1
 
+  /** [[kmeans]] with a FIXED-size seed — the first `k` vectors instead of
+    * the corpus-growing `vec_id % centroidEvery` sample. This is the
+    * production codebook parameterization (K does not scale with N, so
+    * the N × K assignment per Lloyd round stays LINEAR in the corpus);
+    * the `centroidEvery` form exists for oracle-enumerable cell sets. */
+  def kmeansFixedK(corpus: DataFrame, k: Int, maxIter: Int = 2,
+                   tol: Double = 0.0, quantScale: Double = 1e6,
+                   checkpointDir: Option[String] = None): DataFrame =
+    kmeansRunSeeded(corpus, col("vec_id") < k, maxIter, tol, quantScale,
+      checkpointDir)._1
+
   /** [[kmeans]] plus the number of rounds actually executed — the
     * observable the early-exit spec pins. */
   def kmeansRun(corpus: DataFrame, centroidEvery: Int = 40, maxIter: Int = 5,
                 tol: Double = 0.0, quantScale: Double = 1e6,
-                checkpointDir: Option[String] = None): (DataFrame, Int) = {
+                checkpointDir: Option[String] = None): (DataFrame, Int) =
+    kmeansRunSeeded(corpus, col("vec_id") % centroidEvery === 0, maxIter,
+      tol, quantScale, checkpointDir)
+
+  private def kmeansRunSeeded(corpus: DataFrame, seedPred: Column,
+                              maxIter: Int, tol: Double, quantScale: Double,
+                              checkpointDir: Option[String]): (DataFrame, Int) = {
     val ckRoot = IterState.root(checkpointDir)
     val vecs = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm")).cache()
     // seed = the deterministic sample, cast to array<double> so the centroid
     // schema is identical in every round (round ≥ 2 emits double arrays)
     var cents = IterState(
-      vecs.filter(col("vec_id") % centroidEvery === 0)
+      vecs.filter(seedPred)
         .select(col("vec_id").as("cell"),
           transform(col("embedding"), x => x.cast("double")).as("emb_cent"),
           lit(0L).as("n_vectors")),
@@ -437,8 +454,15 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         (col("__ord") % lit(1L << 42)).as("code"),
         // ord ≥ 0, so shiftright is the exact integer quotient (a plain
-        // `/` would be double division and lose bits at 2^60 magnitudes)
-        (shiftright(col("__ord"), 42).cast("double") / 1e4).as("dist"))
+        // `/` would be double division and lose bits at 2^60 magnitudes).
+        // When the sentinel won — EVERY distance in the (vec_id, sub)
+        // group undefined — the decoded 104.8576 would be a FABRICATED
+        // number (ADVICE r9): surface NULL instead, exactly what the
+        // DuckDB mirror's ORDER BY dist (all-NULL group) emits. The code
+        // stays: both engines deterministically pick the lowest cent_id.
+        when(shiftright(col("__ord"), 42) === lit(1L << 20),
+          lit(null).cast("double"))
+          .otherwise(shiftright(col("__ord"), 42).cast("double") / 1e4).as("dist"))
   }
 
   /** One distributed power-iteration step toward the corpus' top principal
@@ -821,6 +845,141 @@ object Similarity {
       .withColumn("cs_n", dotFP(col("cs"), col("cs")))
     // same one-dot-per-pair shape as pqCode — identical IEEE op order
     val adc = qsub.join(broadcast(cb), Seq("sub"))
+      .withColumn("d", detRound(
+        col("qs_n") + col("cs_n") - lit(2.0) * dotFP(col("qs"), col("cs")), 4))
+      .select(col("query_id"), col("sub"), col("cent_id").as("code"), col("d"))
+    val cand = cells.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(adc, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(floor(col("d") * 1e4 + 0.5).cast("long")).as("ds"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ds"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (col("ds").cast("double") / 1e4).as("approx_l2"))
+  }
+
+  /** Sub-vector slices of `df` as DOUBLE arrays with precomputed self-dot:
+    * (vec_id, sub, xs, xs_n). Double upfront (float widening is exact) so
+    * every Lloyd round and the final code assignment see one schema. */
+  private def subVectors(df: DataFrame, m: Int, dim: Int): DataFrame =
+    df.select(col("vec_id"), explode(array(subStructs(m, dim): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"),
+        transform(col("x.sv"), v => v.cast("double")).as("xs"))
+      .withColumn("xs_n", dotFP(col("xs"), col("xs")))
+
+  /** Nearest-codebook-entry assignment per (vec_id, sub) under squared L2 —
+    * [[pqCode]]'s packed-ordering argmin (HashAggregate, map-side
+    * combinable; see the codegen notes there) against an ARBITRARY codebook
+    * `(cent_id, sub, cs)`. Returns (vec_id, sub, code). */
+  private def argminSubAssign(xs: DataFrame, cb: DataFrame): DataFrame = {
+    val cbN = cb
+      .withColumn("cent_id",
+        when(col("cent_id") >= lit(1L << 42) || col("cent_id") < 0,
+          raise_error(concat(lit("argminSubAssign: codebook id out of [0, 2^42): "),
+            col("cent_id").cast("string"))))
+          .otherwise(col("cent_id")))
+      .withColumn("cs_n", dotFP(col("cs"), col("cs")))
+    xs.join(broadcast(cbN), Seq("sub"))
+      .withColumn("dist", detRound(
+        col("xs_n") + col("cs_n") - lit(2.0) * dotFP(col("xs"), col("cs")), 4))
+      .withColumn("__q",
+        coalesce(
+          when(!isnan(col("dist")), floor(col("dist") * 1e4 + 0.5).cast("long")),
+          lit(1L << 20)))
+      .withColumn("__ord",
+        when(col("__q") > lit(1L << 20) || col("__q") < 0,
+          raise_error(concat(lit("argminSubAssign: quantized distance out of [0, 2^20]: "),
+            col("__q").cast("string"))))
+          .otherwise(col("__q")) * lit(1L << 42) + col("cent_id"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("__ord")).as("__ord"))
+      .select(col("vec_id"), col("sub"),
+        (col("__ord") % lit(1L << 42)).as("code"))
+  }
+
+  /** TRAINED product-quantization codebook: per-subspace Lloyd's k-means
+    * with a FIXED-size seed (the first `k` vectors' sub-vectors), `iters`
+    * update rounds. This is the production answer to [[pqCode]]'s
+    * `centroidEvery` parameterization, whose K = N/centroidEvery makes the
+    * code-assignment product QUADRATIC in the corpus (the r9 scale probe's
+    * 7.4×-per-10× residual on q_ann_ivfpq): here K is constant, so
+    * training and assignment are one broadcast join per round — linear.
+    * Same determinism recipe as [[kmeansRun]]: quantize-before-sum means,
+    * detRound(1e-6) double centroids, ties to the lower entry id.
+    * Returns (cent_id, sub, cs) — cs an array<double> of length dim/m.
+    */
+  def trainedPqCodebook(corpus: DataFrame, m: Int = 4, dim: Int = 64,
+                        k: Int = 32, iters: Int = 1,
+                        quantScale: Double = 1e6): DataFrame = {
+    val xs = subVectors(corpus, m, dim).cache()
+    var cb = subVectors(corpus.filter(col("vec_id") < k), m, dim)
+      .select(col("vec_id").as("cent_id"), col("sub"), col("xs").as("cs"))
+    var i = 0
+    while (i < iters) {
+      val assigned = argminSubAssign(xs, cb)
+      // sub-vector means come back via one narrow (vec_id, sub) join — the
+      // argmin product carried only ids (argmaxAssign's array-pruning rule)
+      cb = xs.join(assigned, Seq("vec_id", "sub"))
+        .select(col("code").as("cell"), col("sub"), posexplode(col("xs")))
+        .groupBy(col("cell"), col("sub"), col("pos"))
+        .agg(sum(floor(col("col") * quantScale + 0.5)).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cell"), col("sub"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => detRound(x.getField("s") / quantScale / x.getField("n"), 6)).as("cs"))
+        .select(col("cell").as("cent_id"), col("sub"), col("cs"))
+      i += 1
+    }
+    // k × m rows — broadcast-small; cached because the search consumes it
+    // twice (code assignment + per-query ADC tables)
+    cb.cache()
+  }
+
+  /** IVF-PQ search against TRAINED fixed-K artifacts — the production
+    * parameterization of [[ivfPqTopK]] (VERDICT r9 #5): the coarse
+    * quantizer is [[kmeansFixedK]] (kCoarse cells, `coarseIters` Lloyd
+    * rounds) and the PQ codebook is [[trainedPqCodebook]] (kPq entries per
+    * subspace), so EVERY index-build product is N × constant — linear in
+    * the corpus where the `centroidEvery` form is quadratic. Search is the
+    * same ADC shape: per-query exact sub-distance tables against the tiny
+    * codebook, candidates pruned to the nprobe probed cells, one equi join
+    * on (query, sub, code) + a quantized sum.
+    */
+  def ivfPqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+                       m: Int = 4, dim: Int = 64,
+                       kCoarse: Int = 32, coarseIters: Int = 2,
+                       kPq: Int = 32, pqIters: Int = 1,
+                       nprobe: Int = 2): DataFrame = {
+    val coarse = kmeansFixedK(corpus, kCoarse, coarseIters)
+    val cents = coarse.select(col("cell").as("cent_id"), col("emb_cent"),
+      sqrt(dotFP(col("emb_cent"), col("emb_cent"))).as("norm_cent"))
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
+    val cells = argmaxAssign(withNorm, cents.withColumnRenamed("cent_id", "cell"))
+      .select(col("vec_id"), col("cell"))
+    val cb = trainedPqCodebook(corpus, m, dim, kPq, pqIters)
+    val codes = argminSubAssign(subVectors(corpus, m, dim), cb)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
+        sqrt(dotFP(col("embedding"), col("embedding"))).as("norm_q"))
+      .join(broadcast(cents))
+      .withColumn("cent_cos",
+        detRound(dotFP(col("emb_q"), col("emb_cent")) / (col("norm_q") * col("norm_cent")), 4))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val qsub = subVectors(queries, m, dim)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("xs").as("qs"), col("xs_n").as("qs_n"))
+    val cbN = cb.withColumn("cs_n", dotFP(col("cs"), col("cs")))
+    // same one-dot-per-pair shape as pqCode — identical IEEE op order
+    val adc = qsub.join(broadcast(cbN), Seq("sub"))
       .withColumn("d", detRound(
         col("qs_n") + col("cs_n") - lit(2.0) * dotFP(col("qs"), col("cs")), 4))
       .select(col("query_id"), col("sub"), col("cent_id").as("code"), col("d"))

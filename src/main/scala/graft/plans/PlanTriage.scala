@@ -1,0 +1,109 @@
+package graft.plans
+
+/** The single source of truth for plan-gate exemptions (VERDICT r9 #6):
+  * every query allowed to plan a SortAggregate or a GLOBAL window carries
+  * its justification HERE, next to the name. `tools/PlanAudit` prints the
+  * reason beside each flagged query and PlanSpec's whole-surface gate
+  * consumes these exact maps — so the allowlist and its rationale cannot
+  * drift apart, and a future builder touching a triaged query sees why it
+  * is exempt without re-deriving the argument (SURVEY §8.7 holds the
+  * long-form versions).
+  *
+  * Discipline: a NEW name appearing in either map needs a reason that
+  * bounds the operator's input ("post-aggregate", "≤25-row dictionary",
+  * "#partitions rows") — "it was in the plan" is not a reason. PlanSpec
+  * additionally fails when a triaged query STOPS exhibiting the operator,
+  * so stale exemptions are flushed instead of accumulating.
+  */
+object PlanTriage {
+
+  /** Queries whose executed plan may contain SortAggregate. Everywhere
+    * else a SortAggregate is treated as a scale regression: it sorts its
+    * whole input per partition, the r9-measured 18×-per-10× term. */
+  val sortAgg: Map[String, String] = Map(
+    "q_centroid_confusion" ->
+      ("min_by with a generic-struct ordering, but on the POST-aggregate " +
+        "(label × cell) score table — the corpus product was already " +
+        "hash-combined by the quantized-sum groupBy, so the sort input is " +
+        "label-cardinality, not data-sized"),
+    "q_label_prop" ->
+      ("min_by over per-node neighbor-vote sums (1e9-quantized) — the " +
+        "ordering value is a generic type, but the input is the " +
+        "POST-aggregate vote table: one row per (node, label) after the " +
+        "map-side combine, bounded by degree, never the raw edge product"),
+    "q_scd2" ->
+      ("grouped min(STRING) — a var-length buffer is hash-ineligible, so " +
+        "Spark plans SortAggregate; the downstream change-detection window " +
+        "needs the same (key, ts) order, so the sort is paid once, not " +
+        "added"),
+    "q_scd2_lookup" ->
+      ("embeds q_scd2's dimension build (same grouped min(STRING) " +
+        "SortAggregate); the probe side itself is a hash join"))
+
+  /** Queries whose executed plan may contain a GLOBAL window (no
+    * PARTITION BY — the whole input funnels through one task). Legal only
+    * when that input is bounded by construction. */
+  val globalWindow: Map[String, String] = {
+    val dimDict =
+      "row_number over a distinct dictionary segment (≤25 rows at any " +
+        "scale — TPC-H nation/segment/brand cardinality), the dim-build " +
+        "surrogate-key assignment"
+    val embedsDims =
+      "embeds the dimension builds — their ≤25-row dictionary windows " +
+        "(see the q_dim_* reason), not a fact-sized window"
+    val twoPass =
+      "two-pass offset machinery (zipWithIndexOrdered / " +
+        "rankedRunningTotal): the global window runs over ONE ROW PER " +
+        "PARTITION (the per-partition offsets), never over data rows"
+    val bins =
+      "cumulative pass over a POST-aggregate bin table (fixed bin count), " +
+        "not over data rows"
+    Map(
+      "q_dim_categoria_cliente" -> dimDict,
+      "q_dim_categoria_produto" -> dimDict,
+      "q_dim_cliente" -> dimDict,
+      "q_dim_fornecedor" -> dimDict,
+      "q_dim_localidade" -> dimDict,
+      "q_dim_loja" -> dimDict,
+      "q_dim_produto" -> dimDict,
+      "q_dim_promocao" -> dimDict,
+      "q_dim_tempo" ->
+        ("row_number over the generated 2,192-row calendar spine — fixed " +
+          "size by construction (date range), not data-sized"),
+      "q_dim_vendedor" -> dimDict,
+      "q_surrogate_key" -> dimDict,
+      "q_fato_vendas" -> embedsDims,
+      "q_fato_vendas_v2" -> embedsDims,
+      "q_report_summary" -> embedsDims,
+      "q_cooccur_lift" ->
+        ("consumes the co-purchase artifact, whose id assignment uses the " +
+          "two-pass offset scheme — the global window is #partitions rows"),
+      "q_degree_dist" ->
+        "artifact consumer (see q_cooccur_lift) — offsets window only",
+      "q_item_neighbors" ->
+        "artifact consumer (see q_cooccur_lift) — offsets window only",
+      "q_label_prop" ->
+        "artifact consumer (see q_cooccur_lift) — offsets window only",
+      "q_pagerank_step" ->
+        "artifact consumer (see q_cooccur_lift) — offsets window only",
+      "q_triangle_count" ->
+        "artifact consumer (see q_cooccur_lift) — offsets window only",
+      "q_domain_gini" -> twoPass,
+      "q_interleave" -> twoPass,
+      "q_negative_sampling" -> twoPass,
+      "q_pack" -> twoPass,
+      "q_surrogate_scalable" -> twoPass,
+      "q_vocab_coverage" -> twoPass,
+      "q_column_profile" ->
+        ("final ordering/rate pass over one row per PROFILED COLUMN " +
+          "(table-width-bounded), the post-aggregate profile table"),
+      "q_hist_quantile" -> bins,
+      "q_winsorize" -> bins,
+      "q_skyline" ->
+        ("frontier scan over the DISTINCT (price, quantity) grid — a " +
+          "post-aggregate table bounded by the value-grid cardinality"),
+      "q_window_ntile" ->
+        ("ntile demo over the 4-row per-segment aggregate — " +
+          "post-aggregate, dictionary-bounded"))
+  }
+}

@@ -502,11 +502,11 @@ object OracleSql {
     * centroids are 1e-6-rounded DOUBLE lists rebuilt with
     * `list(... ORDER BY pos)`, bit-matching the engine's detRound double
     * arrays, so every later assignment cosine agrees cross-engine. */
-  /** The Lloyd round CTE chain shared by [[kmeansChainSql]] and
-    * [[annIvfTrainedSql]]: `c0` is the seed sample, round `i` produces
-    * `a_i` (assignment), `p_i` (per-(cell,pos) quantized sums), `c_i`
-    * (centroid lists). */
-  private def kmeansRoundsCtes(centroidEvery: Int, iters: Int): String = {
+  /** The Lloyd round CTE chain shared by [[kmeansChainSql]],
+    * [[annIvfTrainedSql]] and [[ivfPqTrainedSql]]: `c0` is the seed sample
+    * (rows matching `seedWhere`), round `i` produces `a_i` (assignment),
+    * `p_i` (per-(cell,pos) quantized sums), `c_i` (centroid lists). */
+  private def kmeansRoundsCtesSeeded(seedWhere: String, iters: Int): String = {
     val mean6 = detRoundSql("s / 1000000.0 / n", 6)
     val rounds = (1 to iters).map { i =>
       val cents = s"c${i - 1}"
@@ -525,9 +525,12 @@ object OracleSql {
          |      FROM p$i GROUP BY cell)""".stripMargin
     }.mkString(",\n")
     s"""c0 AS (SELECT vec_id AS cell, embedding AS emb_cent
-       |      FROM embeddings WHERE vec_id % $centroidEvery = 0),
+       |      FROM embeddings WHERE $seedWhere),
        |$rounds""".stripMargin
   }
+
+  private def kmeansRoundsCtes(centroidEvery: Int, iters: Int): String =
+    kmeansRoundsCtesSeeded(s"vec_id % $centroidEvery = 0", iters)
 
   def kmeansChainSql(centroidEvery: Int, iters: Int): String = {
     val mean6 = detRoundSql("s / 1000000.0 / n", 6)
@@ -686,6 +689,83 @@ object OracleSql {
        |adc AS (SELECT query_id, qs2.sub, cent_id AS code,
        |        ${detRoundSql(adcDist, 4)} AS d
        |      FROM qsub qs2 JOIN cb c ON qs2.sub = c.sub),
+       |cand AS (SELECT p.query_id, a.vec_id FROM assign a
+       |      JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id),
+       |sc AS (SELECT cand.query_id, cand.vec_id,
+       |        CAST(sum(CAST(floor(d * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ds
+       |      FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+       |      JOIN adc ON adc.query_id = cand.query_id
+       |        AND adc.sub = codes.sub AND adc.code = codes.code
+       |      GROUP BY 1, 2),
+       |r AS (SELECT query_id, vec_id, ds,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY ds, vec_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, rank, vec_id, CAST(ds AS DOUBLE) / 10000.0 AS approx_l2
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q_ann_ivfpq_trained mirror (VERDICT r9 #5): the coarse quantizer is
+    * the fixed-K Lloyd chain ([[kmeansRoundsCtesSeeded]] with `vec_id <
+    * kCoarse` seeds) and the PQ codebook is a per-subspace Lloyd chain with
+    * `vec_id < kPq` seeds — both constant-size, mirroring
+    * Similarity.ivfPqTopKTrained's linear index build. Search is ivfPqSql's
+    * ADC shape against the trained tables. */
+  def ivfPqTrainedSql(k: Int, querySel: String, m: Int, dim: Int,
+                      kCoarse: Int, coarseIters: Int,
+                      kPq: Int, pqIters: Int, nprobe: Int): String = {
+    val subDim = dim / m
+    val subVals = (0 until m).map(s => s"($s)").mkString(", ")
+    def sl(e: String) = s"$e[(sub * $subDim + 1):(sub * $subDim + $subDim)]"
+    val mean6 = detRoundSql("s / 1000000.0 / n", 6)
+    val dist = s"${dotSql("x.xs", "x.xs")} + ${dotSql("c.cs", "c.cs")} - 2.0 * ${dotSql("x.xs", "c.cs")}"
+    val adcDist =
+      s"${dotSql("qs2.qs", "qs2.qs")} + ${dotSql("c.cs", "c.cs")} - 2.0 * ${dotSql("qs2.qs", "c.cs")}"
+    val pqRounds = (1 to pqIters).map { i =>
+      val prev = s"cb${i - 1}"
+      s"""pa$i AS (SELECT vec_id, sub, xs, cell FROM (
+         |      SELECT x.vec_id, x.sub, x.xs, c.cent_id AS cell,
+         |        row_number() OVER (PARTITION BY x.vec_id, x.sub
+         |          ORDER BY ${detRoundSql(dist, 4)}, c.cent_id) AS rn
+         |      FROM xs x JOIN $prev c ON x.sub = c.sub) WHERE rn = 1),
+         |px$i AS (SELECT cell, sub, i AS pos,
+         |        CAST(floor(xs[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS q
+         |      FROM pa$i, range(1, ${subDim + 1}) t(i)),
+         |pp$i AS (SELECT cell, sub, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+         |      FROM px$i GROUP BY 1, 2, 3),
+         |cb$i AS (SELECT cell AS cent_id, sub, list($mean6 ORDER BY pos) AS cs
+         |      FROM pp$i GROUP BY cell, sub)""".stripMargin
+    }.mkString(",\n")
+    val cbFinal = s"cb$pqIters"
+    s"""WITH ${kmeansRoundsCtesSeeded(s"vec_id < $kCoarse", coarseIters)},
+       |cents AS (SELECT cell AS cent_id, emb_cent FROM c$coarseIters),
+       |assign AS (SELECT vec_id, cell FROM (
+       |      SELECT e.vec_id, c.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c.emb_cent"), 4)} DESC,
+       |                   c.cent_id) AS rn
+       |      FROM embeddings e, cents c) WHERE rn = 1),
+       |subs AS (SELECT CAST(sub AS BIGINT) AS sub FROM (VALUES $subVals) t(sub)),
+       |xs AS (SELECT vec_id, sub, ${sl("embedding")} AS xs FROM embeddings, subs),
+       |cb0 AS (SELECT vec_id AS cent_id, sub, ${sl("embedding")} AS cs
+       |       FROM embeddings, subs WHERE vec_id < $kPq),
+       |$pqRounds,
+       |codes AS (SELECT vec_id, sub, cent_id AS code FROM (
+       |      SELECT x.vec_id, x.sub, c.cent_id,
+       |        row_number() OVER (PARTITION BY x.vec_id, x.sub
+       |          ORDER BY ${detRoundSql(dist, 4)}, c.cent_id) AS rn
+       |      FROM xs x JOIN $cbFinal c ON x.sub = c.sub) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS emb_q
+       |      FROM embeddings WHERE $querySel),
+       |probes AS (SELECT query_id, cell FROM (
+       |      SELECT q.query_id, c.cent_id AS cell,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY ${detRoundSql(cosineSql("q.emb_q", "c.emb_cent"), 4)} DESC,
+       |                   c.cent_id) AS rn
+       |      FROM q, cents c) WHERE rn <= $nprobe),
+       |qsub AS (SELECT query_id, sub, ${sl("emb_q")} AS qs FROM q, subs),
+       |adc AS (SELECT query_id, qs2.sub, cent_id AS code,
+       |        ${detRoundSql(adcDist, 4)} AS d
+       |      FROM qsub qs2 JOIN $cbFinal c ON qs2.sub = c.sub),
        |cand AS (SELECT p.query_id, a.vec_id FROM assign a
        |      JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id),
        |sc AS (SELECT cand.query_id, cand.vec_id,

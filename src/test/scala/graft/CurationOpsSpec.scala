@@ -193,6 +193,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("b") === 3L)
   }
 
+  test("columnProfile: non-atomic columns fail fast instead of undercounting distincts") {
+    import graft.operators.Quality
+    // array('a, b') and array('a','b') render identically as strings, so a
+    // silent profile would merge them; the API must refuse (ADVICE r9)
+    val df = Seq((1L, Seq("a, b")), (2L, Seq("a", "b"))).toDF("id", "arr")
+    val e = intercept[IllegalArgumentException] {
+      Quality.columnProfile(df, Seq("id", "arr"))
+    }
+    assert(e.getMessage.contains("arr") && e.getMessage.contains("non-atomic"))
+    // atomic columns on the same frame still profile fine
+    val ok = Quality.columnProfile(df, Seq("id")).collect()(0)
+    assert(ok.getLong(1) === 2L && ok.getLong(3) === 2L)
+  }
+
   test("columnProfile matches the pre-reshape conditional-aggregate semantics on nulls") {
     import graft.operators.Quality
     val df = Seq(

@@ -17,50 +17,40 @@ class PlanSpec extends SparkSpec {
   test("whole-surface plan gate: no cartesian, no global window, SortAggregate only where triaged") {
     // The r9 sf1 probe showed one SortAggregate (struct-keyed argmax over a
     // corpus product) reading as 18x-for-10x-data; this gate keeps the FULL
-    // 187-query surface free of the operators that become scale terms.
-    // Triaged SortAggregate allowlist (rationale in SURVEY §8.7):
-    //  - q_centroid_confusion / q_label_prop: min_by with a generic-type
-    //    ordering on POST-aggregate tables (packed longs can't host
-    //    arbitrary label types / 1e9-quantized sums);
-    //  - q_scd2 / q_scd2_lookup: Spark plans grouped min(STRING) as
-    //    SortAggregate (var-length buffers aren't hash-mutable), and the
-    //    downstream window needs the same (key, ts) order anyway.
-    val sortAggTriaged = Set(
-      "q_centroid_confusion", "q_label_prop", "q_scd2", "q_scd2_lookup")
-    // Global windows (WindowExec renders `Window [exprs], [order]` with no
-    // partition bracket) funnel their whole input through ONE task — legal
-    // only when that input is bounded by construction. Triaged classes:
-    //  - dictionary dims: row_number over <=25-row distinct segment/brand/
-    //    nation tables (the dim family and everything that embeds it);
-    //  - two-pass offset machinery (zipWithIndexOrdered /
-    //    rankedRunningTotal): the offsets window runs over #partitions
-    //    rows, never data rows — negative_sampling, interleave, pack,
-    //    domain_gini, vocab_coverage, surrogates, the graph artifact;
-    //  - bounded cumulative passes: histogram bins (hist_quantile,
-    //    winsorize), the distinct-value frontier (skyline), the ntile demo.
-    // A NEW query appearing here means a data-sized global sort — triage
-    // it or redesign before allowlisting.
-    val globalWinTriaged = Set(
-      "q_column_profile", "q_cooccur_lift", "q_degree_dist",
-      "q_dim_categoria_cliente", "q_dim_categoria_produto", "q_dim_cliente",
-      "q_dim_fornecedor", "q_dim_localidade", "q_dim_loja", "q_dim_produto",
-      "q_dim_promocao", "q_dim_tempo", "q_dim_vendedor", "q_domain_gini",
-      "q_fato_vendas", "q_fato_vendas_v2", "q_hist_quantile", "q_interleave",
-      "q_item_neighbors", "q_label_prop", "q_negative_sampling", "q_pack",
-      "q_pagerank_step", "q_report_summary", "q_skyline", "q_surrogate_key",
-      "q_surrogate_scalable", "q_triangle_count", "q_vocab_coverage",
-      "q_window_ntile", "q_winsorize")
+    // query surface free of the operators that become scale terms.
+    // The allowlists live in graft.plans.PlanTriage — ONE map per operator,
+    // each name carrying its boundedness justification, shared with
+    // tools/PlanAudit so the audit output and this gate can never disagree
+    // (VERDICT r9 #6). A NEW query flagged here means a data-sized global
+    // sort: redesign it, or add it to PlanTriage WITH a reason that bounds
+    // its input. The reverse direction is also asserted below: a triaged
+    // query that no longer exhibits the operator is a STALE exemption and
+    // fails the gate until its PlanTriage entry is removed.
+    val sortAggTriaged = graft.plans.PlanTriage.sortAgg.keySet
+    val globalWinTriaged = graft.plans.PlanTriage.globalWindow.keySet
     def hasGlobalWindow(p: String): Boolean = p.split("\n").exists { line =>
       line.contains("Window [") && "\\], \\[".r.findAllIn(line).length == 1
     }
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val sortAggSeen = scala.collection.mutable.Set.empty[String]
+    val globalWinSeen = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       if (p.contains("CartesianProduct")) offenders += s"$name: CartesianProduct"
-      if (hasGlobalWindow(p) && !globalWinTriaged(name))
-        offenders += s"$name: untriaged global Window"
-      if (p.contains("SortAggregate") && !sortAggTriaged(name))
-        offenders += s"$name: untriaged SortAggregate"
+      if (hasGlobalWindow(p)) {
+        globalWinSeen += name
+        if (!globalWinTriaged(name)) offenders += s"$name: untriaged global Window"
+      }
+      if (p.contains("SortAggregate")) {
+        sortAggSeen += name
+        if (!sortAggTriaged(name)) offenders += s"$name: untriaged SortAggregate"
+      }
+    }
+    (sortAggTriaged -- sortAggSeen).toSeq.sorted.foreach { name =>
+      offenders += s"$name: STALE PlanTriage.sortAgg entry (plan no longer has a SortAggregate)"
+    }
+    (globalWinTriaged -- globalWinSeen).toSeq.sorted.foreach { name =>
+      offenders += s"$name: STALE PlanTriage.globalWindow entry (plan no longer has a global Window)"
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
@@ -431,6 +421,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), "codebook/centroid joins must broadcast")
     // every ranking window is keyed (per vector-sub or per query), never global
+    "windowspecdefinition\\(".r.findAllMatchIn(p).foreach { m =>
+      val head = p.substring(m.end).takeWhile(_ != 'A')
+      assert(head.contains("#"), s"unpartitioned window: '${head.take(80)}'")
+    }
+  }
+
+  test("q_ann_ivfpq_trained: fixed-K trained index — hash-aggregate argmin/argmax, broadcast artifacts") {
+    val p = plan("q_ann_ivfpq_trained")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // coarse assignment (max_by) and PQ code assignment (packed min) must
+    // both be map-side-combinable HashAggregates — a SortAggregate here is
+    // the r9-measured super-linear term on corpus-sized products
+    assert(p.contains("max_by"), "coarse assignment should use the packed argmax")
+    assert(p.contains("min(__ord"), "code assignment should use the packed argmin")
+    assert(!p.contains("SortAggregate"),
+      "trained index build must hash-aggregate, not sort the product:\n" + p.take(1500))
+    assert(p.contains("BroadcastExchange"), "centroids/codebook must broadcast")
+    // ranking windows keyed per query/vector — never global
     "windowspecdefinition\\(".r.findAllMatchIn(p).foreach { m =>
       val head = p.substring(m.end).takeWhile(_ != 'A')
       assert(head.contains("#"), s"unpartitioned window: '${head.take(80)}'")

@@ -264,6 +264,74 @@ class SimilaritySpec extends SparkSpec {
       (2L, 0L, 1.333333, 3L), (2L, 1L, 0.333333, 3L)))
   }
 
+  test("pqCode: an all-undefined distance group yields NULL dist, never the decoded sentinel") {
+    // vec 1's embedding is NULL, so every sub-distance against the codebook
+    // is undefined; the packed argmin's 2^20 sentinel wins, and the decode
+    // must surface dist = NULL (the DuckDB mirror's all-NULL ORDER BY
+    // group), NOT the fabricated 104.8576 (ADVICE r9). The code still
+    // resolves deterministically to the lowest cent_id on both engines.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, null.asInstanceOf[Seq[Float]]),
+      (2L, Seq(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqCode(emb, m = 2, dim = 4, centroidEvery = 2)
+      .orderBy($"vec_id", $"sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 0L, Some(0.0)), (0L, 1L, 0L, Some(0.0)),
+      (1L, 0L, 0L, None), (1L, 1L, 0L, None),
+      (2L, 0L, 2L, Some(0.0)), (2L, 1L, 2L, Some(0.0))))
+  }
+
+  test("trainedPqCodebook: one Lloyd round refines the fixed seed toward sub-space means") {
+    // 4 vectors, m=2 (subDim 2), kPq=2 → seeds are vecs 0,1. Vectors 0,2
+    // share sub-vector geometry with seed 0; 1,3 with seed 1 — after one
+    // round each codebook entry is the detRound-6 quantized mean of its
+    // two members, per subspace.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(3.0f, 0.0f, 0.0f, 3.0f)),
+      (3L, Seq(0.0f, 3.0f, 3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.trainedPqCodebook(emb, m = 2, dim = 4, k = 2, iters = 1)
+      .orderBy($"cent_id", $"sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(cb.toSeq === Seq(
+      (0L, 0L, Seq(2.0, 0.0)), (0L, 1L, Seq(0.0, 2.0)),
+      (1L, 0L, Seq(0.0, 2.0)), (1L, 1L, Seq(2.0, 0.0))))
+  }
+
+  test("ivfPqTopKTrained: trained ADC ranks in-cell candidates by approximate L2") {
+    // 8 vectors in two clean clusters; queries = the two cluster anchors.
+    // kCoarse=2 (seeds 0,1), kPq=2, one PQ round. Each query's top
+    // neighbors must come from its own cluster with ascending approx_l2.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f, 2.0f)), (3L, Seq(0.0f, 2.0f, 2.0f, 0.0f)),
+      (4L, Seq(3.0f, 0.0f, 0.0f, 3.0f)), (5L, Seq(0.0f, 3.0f, 3.0f, 0.0f)),
+      (6L, Seq(1.5f, 0.0f, 0.0f, 1.5f)), (7L, Seq(0.0f, 1.5f, 1.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopKTrained(
+        emb, emb.filter($"vec_id" < 2), k = 3,
+        m = 2, dim = 4, kCoarse = 2, coarseIters = 1, kPq = 2, pqIters = 1,
+        nprobe = 1)
+      .orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // cluster purity: query 0's list ⊂ even ids, query 1's ⊂ odd ids
+    out.foreach { case (q, _, v, _) =>
+      assert(v % 2 === q % 2, s"query $q got cross-cluster neighbor $v")
+    }
+    // ranks ascend in approx_l2 within each query
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ds = rows.sortBy(_._2).map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("kmeans: one tol=0 round reproduces kmeansStep exactly") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
