@@ -30,17 +30,57 @@ q_curation 50.8s driver vs 3.3-4.0s isolated x3).
 import json
 import sys
 
-# executorRunTime > STARVE_RATIO * executorCpuTime on a CPU-bound suite
-# means the task threads spent most of their wall descheduled. Shuffle-read
-# waits in local mode are memory-speed, so healthy queries here run near
-# cpu ~= run; 2.5x leaves headroom for minor IO waits.
-STARVE_RATIO = 2.5
+# executorRunTime > STARVE_RATIO * executorCpuTime means the task threads
+# spent most of their wall off-CPU. That is NOT always contamination:
+# task wall legitimately includes BLOCKING waits — per-round checkpoint
+# writes (the pagerank/kmeans/CC loops), streaming state-store commits
+# (q_stream_*), and broadcast-build waits — and the committed r10 clean
+# full-suite run measured those structural ratios up to 6.2x
+# (q_pagerank_step; streaming joins 5.2-5.6x) on an idle host. The r9
+# starvation incident (q_curation: 50.8s wall, 3.3-4.0s isolated) sat at
+# ~13x. 8x splits the two regimes: above every observed structural wait,
+# comfortably below real oversubscription. Mild starvation (<8x) is
+# accepted as the price of zero false positives on I/O-bound queries.
+STARVE_RATIO = 8.0
 MIN_WALL_S = 2.0  # ignore sub-2s queries: constant costs dominate
 
 
 def load(path):
     d = json.load(open(path))
+    if "queries" not in d and "parsed" in d:
+        # Driver-wrapped artifact (BENCH_r{N}.json: {n, rc, sf, tail,
+        # parsed}). `parsed` holds the full bench JSON when the driver
+        # could parse it; when the stdout line was truncated it is null and
+        # only the LAST ~2000 chars survive in `tail` — salvage what the
+        # fragment holds (telemetry objects + the run totals) rather than
+        # crashing. The r9 adjudication needed exactly this: the committed
+        # driver artifact's tail held 19 of 187 telemetry rows and the
+        # whole-run GC totals, nothing more.
+        if d["parsed"]:
+            d = d["parsed"]
+        else:
+            import re
+            tail = d.get("tail", "")
+            tele = {m.group(1): json.loads(m.group(2)) for m in re.finditer(
+                r'"((?:q_|artifact:)[\w:]+)":(\{"gc_ms":[^}]*\})', tail)}
+            tot = re.search(r'"jvm_gc_total_ms":(\d+).*"n_queries":(\d+).*'
+                            r'"value":([\d.]+)', tail)
+            print(f"note: driver artifact with truncated tail — salvaged "
+                  f"{len(tele)} telemetry rows, no per-query walls; "
+                  f"pre-r10 driver runs cannot be fully diagnosed")
+            d = {"queries": {}, "telemetry": tele,
+                 "sf": d.get("sf", "?"),
+                 "jvm_gc_total_ms": int(tot.group(1)) if tot else 0,
+                 "n_queries": int(tot.group(2)) if tot else len(tele),
+                 "value": float(tot.group(3)) if tot else 0.0}
     qs = {**d["queries"], **d.get("artifacts", {})}
+    # task_ms is the summed executor-thread wall; without per-query driver
+    # walls (salvaged tails) it is the only timing signal, so surface it as
+    # a lower-bound wall estimate for the starvation screen below.
+    if not qs and d.get("telemetry"):
+        qs = {k: t.get("task_ms", 0) / 1000.0
+              for k, t in d["telemetry"].items()}
+        d["__walls_estimated"] = True
     return d, {k: v for k, v in qs.items() if v is not None}
 
 
@@ -90,14 +130,19 @@ def main() -> None:
         names = ", ".join(n for n, *_ in starved)
         print(f"VERDICT: CONTAMINATED — CPU-starved queries ({names}); "
               "host was oversubscribed, re-run isolated before comparing")
+    elif d.get("__walls_estimated") or len(qs) < d.get("n_queries", 0):
+        print("VERDICT: clean-AS-FAR-AS-VISIBLE — GC below 10% of wall, no "
+              f"starved queries among the {len(qs)}/{d.get('n_queries')} "
+              "visible; the artifact is incomplete, so absence of a flag is "
+              "NOT evidence of a clean run")
     else:
         print("VERDICT: clean — GC below 10% of wall, no starved queries")
     for name, wall, gc_share, ratio, kind in sorted(flagged, key=lambda x: -x[1]):
         r = f" {ratio:.1f}x vs baseline" if ratio else ""
         print(f"  {name}: {wall:.1f}s gc={gc_share:.0%}{r} -> {kind}")
     if not flagged:
-        print("no per-query anomalies (gc share <=30%, ratio <=3x, "
-              "task/cpu <=2.5x)")
+        print(f"no per-query anomalies (gc share <=30%, ratio <=3x, "
+              f"task/cpu <={STARVE_RATIO:g}x)")
 
 
 if __name__ == "__main__":
