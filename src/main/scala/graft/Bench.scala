@@ -59,6 +59,26 @@ object Bench {
     ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime.max(0L)).sum
 
+  /** Host-steal CPU ms from `/proc/stat` (field 8, jiffies at USER_HZ=100):
+    * time the hypervisor ran OTHER tenants while this guest's vCPUs were
+    * runnable. On a contended virtualized host the stolen ticks land inside
+    * guest thread CPU accounting, so `cpu_ms` itself inflates — same code,
+    * same data, N× the measured "on-CPU" time — which no GC or task/cpu
+    * ratio rule can catch (r9's manual q_curation adjudication; measured
+    * again r10: q_winnow 0.8 → 11.3 cpu-s, 3 identical tasks, zero GC,
+    * while this counter advanced in step). Returns -1 when the file is
+    * unreadable (non-Linux / masked procfs) so diag can say "no signal"
+    * instead of "no steal".
+    */
+  private def hostStealMs: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val toks = src.getLines().next().trim.split("\\s+")
+        if (toks.length > 8 && toks(0) == "cpu") toks(8).toLong * 10L else -1L
+      } finally src.close()
+    } catch { case _: Exception => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,6 +97,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val stealRunStart = hostStealMs
     val telemetry = new BenchTelemetryListener
     spark.sparkContext.addSparkListener(telemetry)
     // Warm the JVM/session before timing: codegen + shuffle machinery +
@@ -150,7 +171,7 @@ object Bench {
     // with flat GC is host CPU starvation (r10, VERDICT r9 #4).
     final case class Tele(gcMs: Long, taskGcMs: Long, taskMs: Long,
                           cpuMs: Long, schedMs: Long, nTasks: Long,
-                          spillMb: Long, peakMb: Long)
+                          spillMb: Long, peakMb: Long, stealMs: Long)
     val telemetryRows =
       scala.collection.mutable.LinkedHashMap.empty[String, Tele]
     def drain(): Unit =
@@ -169,6 +190,7 @@ object Bench {
       val sched0 = telemetry.taskSchedMs.get
       val ntask0 = telemetry.nTasks.get
       val spill0 = telemetry.spillBytes.get
+      val steal0 = hostStealMs
       val t0 = System.nanoTime()
       val ok =
         try { body; true } catch {
@@ -191,7 +213,8 @@ object Bench {
         telemetry.taskSchedMs.get - sched0,
         telemetry.nTasks.get - ntask0,
         (telemetry.spillBytes.get - spill0) >> 20,
-        telemetry.peakExecMem >> 20)
+        telemetry.peakExecMem >> 20,
+        { val s1 = hostStealMs; if (steal0 < 0 || s1 < 0) -1L else s1 - steal0 })
       if (ok) Some(sec) else None
     }
     // Shared-artifact builds are timed as their own `artifact:*` entries at
@@ -236,7 +259,7 @@ object Bench {
     val tele = telemetryRows.map { case (k, t) =>
         s"\"$k\":{\"gc_ms\":${t.gcMs},\"task_gc_ms\":${t.taskGcMs},\"task_ms\":${t.taskMs}," +
           s"\"cpu_ms\":${t.cpuMs},\"sched_ms\":${t.schedMs},\"n_tasks\":${t.nTasks}," +
-          s"\"spill_mb\":${t.spillMb},\"peak_exec_mem_mb\":${t.peakMb}}"
+          s"\"spill_mb\":${t.spillMb},\"peak_exec_mem_mb\":${t.peakMb},\"steal_ms\":${t.stealMs}}"
       }.mkString("{", ",", "}")
     val heapUsedMb =
       (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
@@ -252,8 +275,12 @@ object Bench {
     // shadowed that).
     val isFullRun = only.isEmpty && skip.isEmpty &&
       sfDir == "/root/testdata/sf0.1" && shufflePartitions == cpus
+    val stealRunTotal = {
+      val s1 = hostStealMs
+      if (stealRunStart < 0 || s1 < 0) -1L else s1 - stealRunStart
+    }
     val line =
-      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"telemetry":$tele,"jvm_gc_total_ms":$jvmGcMs,"heap_used_mb":$heapUsedMb,"sf":"$sfDir","cpus":$cpus,"full_suite":$isFullRun,"n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"telemetry":$tele,"jvm_gc_total_ms":$jvmGcMs,"host_steal_total_ms":$stealRunTotal,"heap_used_mb":$heapUsedMb,"sf":"$sfDir","cpus":$cpus,"full_suite":$isFullRun,"n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
     // Also persist the full result next to the build (harness tail keeps
     // only ~2000 chars of stdout; the file preserves every per-query time).
     // Anchored to the JVM working directory explicitly, and a write failure
