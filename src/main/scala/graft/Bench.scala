@@ -79,9 +79,46 @@ object Bench {
       } finally src.close()
     } catch { case _: Exception => -1L }
 
+  @volatile private var canarySink = 0L
+
+  /** Host-speed canary: wall time of a FIXED single-thread arithmetic spin
+    * (best of 3), microseconds. Run after each query, it measures how fast
+    * this host executes a constant instruction stream at that moment —
+    * independent of any query's code. Needed because neighbor contention
+    * on a shared host can inflate cycles-per-instruction (memory-bandwidth
+    * squeeze, frequency drop) without EITHER counter moving: a contended
+    * r10 run measured q_bm25 at 19× its committed CPU time with 110 ms of
+    * steal and flat GC — real cycles burned stalled, invisible to
+    * steal/GC/task-ratio rules, while the canary inflates in step. Best-of-3
+    * filters the probe thread's own descheduling; the spin is long enough
+    * (~5 ms healthy) to average over scheduler jitter and short enough to
+    * cost <1% of a full run.
+    */
+  private def canaryUs: Long = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < 3) {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var j = 0
+      while (j < 8000000) { s += j.toLong * j; j += 1 }
+      canarySink = s // defeat dead-code elimination
+      val d = System.nanoTime() - t0
+      if (d < best) best = d
+      i += 1
+    }
+    best / 1000L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default = the host's cores capped at the contract's local[32]; the
+    // env override exists for thread-count experiments. A fixed literal
+    // default here is a landmine: if the launcher does not export
+    // SPARK_GRAFT_CPUS, the recorded round silently benches a different
+    // machine shape than the committed gate artifact.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     // Decouple partition count from thread count for sizing experiments
     // (at 10x+ data the fixed cpus-sized partitions spill; more partitions
     // with the SAME thread count shrinks each sort's working set, where
@@ -119,6 +156,10 @@ object Bench {
       val warmUdf = udf((s: String) => if (s == null) "" else s.trim)
       tiny.select(warmUdf(col("id").cast("string"))).agg(count(lit(1))).collect()
     }
+    // JIT-compile the canary spin before any timed use, then record the
+    // run-start host speed as the reference the per-query values divide by.
+    (1 to 5).foreach(_ => canaryUs)
+    val canaryBaselineUs = canaryUs
     // Dev-only subset filter (mirrors Verify's SPARK_GRAFT_ONLY): iterate on
     // one query's timing without paying for the full suite. The driver never
     // sets it, so recorded BENCH rounds always cover everything.
@@ -171,7 +212,8 @@ object Bench {
     // with flat GC is host CPU starvation (r10, VERDICT r9 #4).
     final case class Tele(gcMs: Long, taskGcMs: Long, taskMs: Long,
                           cpuMs: Long, schedMs: Long, nTasks: Long,
-                          spillMb: Long, peakMb: Long, stealMs: Long)
+                          spillMb: Long, peakMb: Long, stealMs: Long,
+                          canaryUs: Long)
     val telemetryRows =
       scala.collection.mutable.LinkedHashMap.empty[String, Tele]
     def drain(): Unit =
@@ -214,7 +256,8 @@ object Bench {
         telemetry.nTasks.get - ntask0,
         (telemetry.spillBytes.get - spill0) >> 20,
         telemetry.peakExecMem >> 20,
-        { val s1 = hostStealMs; if (steal0 < 0 || s1 < 0) -1L else s1 - steal0 })
+        { val s1 = hostStealMs; if (steal0 < 0 || s1 < 0) -1L else s1 - steal0 },
+        canaryUs)
       if (ok) Some(sec) else None
     }
     // Shared-artifact builds are timed as their own `artifact:*` entries at
@@ -259,7 +302,8 @@ object Bench {
     val tele = telemetryRows.map { case (k, t) =>
         s"\"$k\":{\"gc_ms\":${t.gcMs},\"task_gc_ms\":${t.taskGcMs},\"task_ms\":${t.taskMs}," +
           s"\"cpu_ms\":${t.cpuMs},\"sched_ms\":${t.schedMs},\"n_tasks\":${t.nTasks}," +
-          s"\"spill_mb\":${t.spillMb},\"peak_exec_mem_mb\":${t.peakMb},\"steal_ms\":${t.stealMs}}"
+          s"\"spill_mb\":${t.spillMb},\"peak_exec_mem_mb\":${t.peakMb},\"steal_ms\":${t.stealMs}," +
+          s"\"canary_us\":${t.canaryUs}}"
       }.mkString("{", ",", "}")
     val heapUsedMb =
       (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
@@ -280,7 +324,7 @@ object Bench {
       if (stealRunStart < 0 || s1 < 0) -1L else s1 - stealRunStart
     }
     val line =
-      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"telemetry":$tele,"jvm_gc_total_ms":$jvmGcMs,"host_steal_total_ms":$stealRunTotal,"heap_used_mb":$heapUsedMb,"sf":"$sfDir","cpus":$cpus,"full_suite":$isFullRun,"n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"telemetry":$tele,"jvm_gc_total_ms":$jvmGcMs,"host_steal_total_ms":$stealRunTotal,"canary_baseline_us":$canaryBaselineUs,"heap_used_mb":$heapUsedMb,"sf":"$sfDir","cpus":$cpus,"full_suite":$isFullRun,"n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
     // Also persist the full result next to the build (harness tail keeps
     // only ~2000 chars of stdout; the file preserves every per-query time).
     // Anchored to the JVM working directory explicitly, and a write failure
