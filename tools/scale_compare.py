@@ -31,11 +31,27 @@ def main() -> None:
             continue
         rows.append((s / b, name, b, s))
     rows.sort(reverse=True)
+    # Host-health screen (r10): a scale factor measured during host
+    # contention is not a scale factor. Mark queries whose window shows
+    # steal (>25% of cpu demand) or a slow speed canary (>2.5x baseline)
+    # in EITHER artifact — see tools/bench_diag.py for the signals.
+    def contended(artifact, name):
+        t = artifact.get("telemetry", {}).get(name, {})
+        steal, cpu = t.get("steal_ms", -1), t.get("cpu_ms", 0)
+        if steal >= 300 and steal > 0.25 * (cpu + steal):
+            return "steal"
+        canary, cb = t.get("canary_us", -1), artifact.get("canary_baseline_us", 0)
+        if canary > 0 and cb > 0 and canary > 2.5 * cb:
+            return "slow-host"
+        return None
     print(f"{'factor':>7}  {'base_s':>7}  {'scaled_s':>8}  query")
     for f, name, b, s in rows:
         tel = scaled.get("telemetry", {}).get(name, {})
         extra = (f"  gc={tel.get('gc_ms')}ms task={tel.get('task_ms')}ms"
                  f" peak={tel.get('peak_exec_mem_mb')}MB" if tel else "")
+        taint = contended(base, name) or contended(scaled, name)
+        if taint:
+            extra += f"  [CONTAMINATED: {taint} — factor unreliable]"
         print(f"{f:7.1f}  {b:7.2f}  {s:8.2f}  {name}{extra}")
     if tail_n:
         print(f"{tail_s / max(tail_b, 1e-9):7.1f}  {tail_b:7.2f}  {tail_s:8.2f}"
