@@ -52,7 +52,14 @@ object ScaleGen {
     def replicate(df: DataFrame)(shift: (DataFrame, Column) => DataFrame): DataFrame = {
       val cols = df.columns
       val c = spark.range(copies).select(col("id").as("__c"))
-      shift(df.crossJoin(c), col("__c") * Offset)
+      // Fan the single-file sf0.1 source out BEFORE the crossJoin: the
+      // broadcast-nested-loop replication inherits the left side's
+      // partitioning, so a one-split input serializes the whole copies×rows
+      // generation onto ~1 task (measured: 1000-copy orders at ~1.5 busy
+      // cores). Row content is partitioning-independent (key shifts are
+      // per-row); only file assignment varies, which write() re-shuffles
+      // anyway.
+      shift(df.repartition(cpus.toInt).crossJoin(c), col("__c") * Offset)
         .select(cols.head, cols.tail: _*)
     }
     def shiftKeys(df: DataFrame, keys: String*): DataFrame =
