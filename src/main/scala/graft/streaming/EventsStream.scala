@@ -47,7 +47,19 @@ object EventsStream {
     // UTC pin: the NTZ branch's cast interprets wall time in the session
     // zone; only UTC makes the instant equal the file's naive micros.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val tsType = spark.read.parquet(path).schema("ts").dataType
+    // The footer probe must NOT hand the glob to the single-path batch
+    // reader: resolveRelation stats the LITERAL path first (the
+    // FileStreamSink metadata check), and a glob that matches nothing
+    // verbatim throws FileNotFoundException before glob expansion. The
+    // stream source globs fine — only this probe needs the expansion, and
+    // one matched file's footer is enough (one generation per directory).
+    val probePath = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Option(fs.globStatus(p)).filter(_.nonEmpty)
+        .map(_.head.getPath.toString).getOrElse(path)
+    }
+    val tsType = spark.read.parquet(probePath).schema("ts").dataType
     val srcSchema = StructType(eventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f
