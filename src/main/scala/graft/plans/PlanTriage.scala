@@ -17,6 +17,34 @@ package graft.plans
   */
 object PlanTriage {
 
+  /** Is this rendered `WindowExec` line a GLOBAL window (empty PARTITION
+    * BY — the whole input funnels through one task)?
+    *
+    * `WindowExec.toString` renders up to three bracketed lists:
+    * `Window [exprs], [partitionSpec], [orderSpec]` — but BOTH trailing
+    * lists are optional. The r9 heuristic ("one `], [` separator ⇒
+    * global") silently misclassified a PARTITIONED-but-UNORDERED window
+    * (e.g. `min(x) OVER (PARTITION BY k)` — one separator, and the
+    * trailing list is the partition spec) as global. The two one-separator
+    * cases are distinguishable by content: an order spec always renders
+    * sort directions (` ASC`/` DESC`), a partition spec never does. A
+    * zero-separator `Window [exprs]` line (no partition, no order) is
+    * global too.
+    */
+  def isGlobalWindowLine(line: String): Boolean =
+    line.contains("Window [") && {
+      val seps = "\\], \\[".r.findAllIn(line).length
+      seps == 0 || (seps == 1 && {
+        val last = line.substring(line.lastIndexOf("], [") + 4)
+        last.contains(" ASC") || last.contains(" DESC")
+      })
+    }
+
+  /** Count of global-window lines in a rendered physical plan — the single
+    * classifier shared by tools/PlanAudit and PlanSpec's gate. */
+  def globalWindowCount(plan: String): Int =
+    plan.split("\n").count(isGlobalWindowLine)
+
   /** Queries whose executed plan may contain SortAggregate. Everywhere
     * else a SortAggregate is treated as a scale regression: it sorts its
     * whole input per partition, the r9-measured 18×-per-10× term. */
@@ -75,19 +103,14 @@ object PlanTriage {
       "q_fato_vendas" -> embedsDims,
       "q_fato_vendas_v2" -> embedsDims,
       "q_report_summary" -> embedsDims,
-      "q_cooccur_lift" ->
-        ("consumes the co-purchase artifact, whose id assignment uses the " +
-          "two-pass offset scheme — the global window is #partitions rows"),
-      "q_degree_dist" ->
-        "artifact consumer (see q_cooccur_lift) — offsets window only",
-      "q_item_neighbors" ->
-        "artifact consumer (see q_cooccur_lift) — offsets window only",
-      "q_label_prop" ->
-        "artifact consumer (see q_cooccur_lift) — offsets window only",
-      "q_pagerank_step" ->
-        "artifact consumer (see q_cooccur_lift) — offsets window only",
-      "q_triangle_count" ->
-        "artifact consumer (see q_cooccur_lift) — offsets window only",
+      // NOTE (r10): the co-purchase-artifact consumers (q_cooccur_lift,
+      // q_degree_dist, q_item_neighbors, q_label_prop, q_link_predict,
+      // q_pagerank_step, q_triangle_count) were triaged here through r9 as
+      // "offsets window only" — the old string classifier misread their
+      // PARTITIONED-but-unordered basket-size-cap window
+      // (count(*) OVER (PARTITION BY l_orderkey)) as global. With
+      // [[isGlobalWindowLine]] order-aware, those plans have NO global
+      // window and need no exemption.
       "q_domain_gini" -> twoPass,
       "q_interleave" -> twoPass,
       "q_negative_sampling" -> twoPass,

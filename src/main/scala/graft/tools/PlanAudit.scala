@@ -53,14 +53,9 @@ object PlanAudit {
             Some(s"$label=$n${triage(graft.plans.PlanTriage.sortAgg)}")
           else Some(s"$label=$n")
         }
-        // WindowExec.toString renders `Window [exprs], [partition], [order]`
-        // for a partitioned window but only `Window [exprs], [order]` for a
-        // GLOBAL one (single-partition sort of its whole input): count the
-        // `], [` separators on each Window line — one separator = global.
-        val globalWindows = plan.split("\n").count { line =>
-          line.contains("Window [") &&
-            "\\], \\[".r.findAllIn(line).length == 1
-        }
+        // shared classifier (PlanTriage.isGlobalWindowLine): partitioned-
+        // but-unordered windows are NOT global, order specs carry ASC/DESC
+        val globalWindows = graft.plans.PlanTriage.globalWindowCount(plan)
         val all = hits ++ (if (globalWindows > 0)
           Seq(s"globalWin=$globalWindows${triage(graft.plans.PlanTriage.globalWindow)}")
         else Nil)

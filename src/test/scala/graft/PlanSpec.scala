@@ -28,9 +28,8 @@ class PlanSpec extends SparkSpec {
     // fails the gate until its PlanTriage entry is removed.
     val sortAggTriaged = graft.plans.PlanTriage.sortAgg.keySet
     val globalWinTriaged = graft.plans.PlanTriage.globalWindow.keySet
-    def hasGlobalWindow(p: String): Boolean = p.split("\n").exists { line =>
-      line.contains("Window [") && "\\], \\[".r.findAllIn(line).length == 1
-    }
+    def hasGlobalWindow(p: String): Boolean =
+      graft.plans.PlanTriage.globalWindowCount(p) > 0
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     val sortAggSeen = scala.collection.mutable.Set.empty[String]
     val globalWinSeen = scala.collection.mutable.Set.empty[String]
