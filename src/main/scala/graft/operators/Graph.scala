@@ -158,6 +158,45 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
 
+  /** Resource-Allocation link prediction (Zhou/Lü/Zhang, Eur. Phys. J. B
+    * 2009) over an undirected pair table: candidate pair (a, b) — NOT
+    * already an edge — scores `Σ_{u ∈ N(a)∩N(b)} 1/deg(u)`, the RA index
+    * (Adamic–Adar's 1/ln(deg) sibling that benchmarks at least as well
+    * and needs no transcendental — 1/deg is one IEEE division, exact
+    * cross-engine, where ln's last ULP is not; the [[TextAnalysis]]
+    * tf-rarity determinism convention). Weights quantize to 1e-6 integers
+    * BEFORE the pair sum, ranks tie-break on (a, b), so the top-k set is
+    * unique on every engine.
+    *
+    * Scale shape: degrees and weights attach at the center node u with ONE
+    * shuffle; the wedge self-join on u reuses that partitioning; the fanout
+    * is Σ deg(u)² — bounded on the co-purchase artifact by its basket-size
+    * cap and min-support prune (the [[triangleStats]] argument); the final
+    * top-k is TakeOrdered, never a global sort.
+    */
+  def resourceAllocation(pairs: DataFrame, aCol: String, bCol: String,
+                         k: Int = 50, quantScale: Double = 1e6): DataFrame = {
+    val und = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val nb = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = nb.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val w = nb.join(deg, Seq("u"))
+      .select(col("u"), col("v"),
+        floor(lit(quantScale) / col("deg") + lit(0.5)).cast("long").as("w_q"))
+    val cand = w.as("l").join(w.as("r"),
+        col("l.u") === col("r.u") && col("l.v") < col("r.v"))
+      .select(col("l.v").as("a"), col("r.v").as("b"), col("l.w_q").as("w_q"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w_q")).as("score_q"))
+    cand.join(und, Seq("a", "b"), "left_anti")
+      .orderBy(col("score_q").desc, col("a"), col("b")).limit(k)
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        detRound(col("score_q").cast("double") / quantScale, 4).as("score"))
+  }
+
   /** One label-propagation step (community detection's inner loop): every
     * node takes the MODE of its neighbors' labels, ties to the smallest
     * label — where [[graft.operators.Dedup.connectedComponents]] spreads

@@ -269,6 +269,73 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaMetaSchema)
   }
 
+  /** 64-bit difference hash (dHash) over a DECODED raster — the standard
+    * cheap perceptual fingerprint for image near-dup detection (equal hash
+    * ⇒ visually-identical candidate; Hamming-near hashes ⇒ near-dup). The
+    * raster is reduced to a 9×8 luma grid by POINT-SAMPLING with pure
+    * integer arithmetic — sample (gx, gy) reads pixel
+    * `(((2·gx+1)·w) / 18, ((2·gy+1)·h) / 16)` (integer division, i.e. the
+    * grid-cell center rounded down) — and bit i = gy·8+gx is set when the
+    * right neighbor's luma exceeds the sample's. Luma is the exact integer
+    * `299·r + 587·g + 114·b` (×1000 fixed point): no IEEE anywhere, so an
+    * external engine recomputes the hash bit-exactly from the pixel
+    * formula. Packed as two BIGINTs (bits 0–31 → lo, 32–63 → hi) so
+    * neither engine touches the sign bit.
+    */
+  def dHash(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val lum = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y = ((2 * gy + 1) * h) / 16
+      var gx = 0
+      while (gx < 9) {
+        val x = ((2 * gx + 1) * w) / 18
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >>> 16) & 255; val g = (rgb >>> 8) & 255; val b = rgb & 255
+        lum(gy)(gx) = 299L * r + 587L * g + 114L * b
+        gx += 1
+      }
+      gy += 1
+    }
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      val bit = if (lum(i / 8)((i % 8) + 1) > lum(i / 8)(i % 8)) 1L else 0L
+      if (i < 32) lo |= bit << i else hi |= bit << (i - 32)
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("phash_hi", LongType),
+    StructField("phash_lo", LongType)))
+
+  /** Per-partition decode → [[dHash]] table (doc_id, width, height,
+    * phash_hi, phash_lo). Undecodable payloads get null dimensions/hashes —
+    * the same honest no-feature contract as [[decodeMeta]]. Per-row cost is
+    * the codec plus 72 pixel reads; nothing leaves the partition.
+    */
+  def phashMeta(spark: SparkSession, withPayloads: DataFrame, id: String): DataFrame = {
+    val rdd = withPayloads.select(col(id).cast("long"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val docId = r.getLong(0)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(docId, null, null, null, null)
+        else {
+          val (hi, lo) = dHash(img)
+          Row(docId, img.getWidth, img.getHeight, hi, lo)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, phashSchema)
+  }
+
   /** Resize planning over decoded metadata: target dimensions fitting within
     * `maxSide`, aspect preserved, INTEGER arithmetic only (`div`) so the
     * result is bit-identical on every engine. The actual pixel resample is

@@ -370,6 +370,46 @@ object Sketches {
       sum(when(col("member") && !col("hit"), 1L).otherwise(0L)).as("n_false_neg"))
   }
 
+  /** Bloom semi-join REDUCTION — the runtime-filter pattern that makes a
+    * 100 TB probe-side join cheap. The build side's keys compress into a
+    * CONSTANT-size artifact (the m-bit bloom bitmap, packed into ≤ m/64
+    * longs via bit_or and shipped as ONE broadcast row), the probe side
+    * keeps only rows whose k bloom positions are all set — a pure codegen
+    * per-row predicate, no explode, no shuffle — and only the surviving
+    * fraction reaches the exact semi join. Blooms have no false negatives,
+    * so the result is EXACTLY the semi join (false positives are removed
+    * by the final exact join); the bloom stage exists to cut the join's
+    * probe input from |probe| to |matches| + ε·|probe|. This is the
+    * manual, oracle-checkable form of Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter` injection.
+    *
+    * Returns the probe rows that survive (the exact semi join), original
+    * columns intact.
+    */
+  def bloomReduceJoin(build: DataFrame, buildKey: Column,
+                      probe: DataFrame, probeKey: Column): DataFrame = {
+    val pow2 = array((0 until 64).map(i => lit(1L << i)): _*)
+    val keys = build.select(buildKey.cast("string").as("__k")).distinct()
+    // one row: map word-index -> packed 64-bit word of set bloom bits
+    val bitmap = keys.select(bloomPositions(col("__k")).as("pos")).distinct()
+      .select(shiftright(col("pos"), 6).cast("int").as("w"),
+        element_at(pow2, (col("pos") % 64).cast("int") + 1).as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("__bm"))
+    val probed = probe.withColumn("__k", probeKey.cast("string"))
+      .crossJoin(broadcast(bitmap))
+    val allSet = (0 until BloomHashes).map { i =>
+      val pos = bloomBit(col("__k"), i).cast("long")
+      coalesce(
+        element_at(col("__bm"), shiftright(pos, 6).cast("int"))
+          .bitwiseAND(element_at(pow2, (pos % 64).cast("int") + 1)) =!= 0,
+        lit(false))
+    }.reduce(_ && _)
+    probed.filter(allSet).drop("__bm")
+      .join(keys, Seq("__k"), "left_semi")
+      .drop("__k")
+  }
+
   /** Winsorized aggregate: clip values at the [[histogramQuantiles]]
     * p-quantile estimate before summing — the feature-engineering step that
     * stops one whale from owning a mean. Composition of two scale-safe

@@ -445,6 +445,55 @@ object TextAnalysis {
         (Dedup.hash60(lower(col("token"))) % dim).as("bucket"))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("f"))
 
+  /** DSIR-style importance selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): pick the
+    * raw documents whose [[hashFeatures]] unigram profile best matches a
+    * TARGET domain. Per hashed bucket b, with add-one smoothing,
+    * p_t(b) = (ct_b+1)/(Tt+dim) over target docs and p_r(b) likewise over
+    * the whole corpus; a document scores Σ_b f_db · λ_b.
+    *
+    * λ is the FIRST-ORDER (log-free) ratio weight `p_t/p_r − 1` rather
+    * than DSIR's `ln(p_t/p_r)`: ln's last ULP varies across libm
+    * implementations and would poison the cross-engine hash gate, while
+    * the ratio is built from IEEE basic ops only (mult/div of
+    * integer-derived doubles — correctly rounded everywhere); for the
+    * near-1 ratios smoothing produces, `r − 1` is ln r's first-order
+    * expansion and ranks identically in the tails that matter. Same
+    * determinism convention as [[topTermsByTfRarity]] / [[bm25TopTerms]].
+    * λ quantizes to 1e-6 integers BEFORE the per-doc sum (exact BIGINT
+    * accumulation — partition order can't move a rank), and the cutoff is
+    * a total order (score desc, doc_id), so the selected set is unique.
+    *
+    * Scale shape: token-count aggregates are map-side combinable; the λ
+    * table is `dim`-bounded (constant, broadcast); the top-n is
+    * TakeOrdered, never a global sort. Nothing is ever corpus² and no
+    * driver state — the 100 TB data-selection pass.
+    */
+  def dsirSelect(docs: DataFrame, id: String, text: String,
+                 targetPred: Column, n: Int = 100, dim: Int = 1024,
+                 quantScale: Double = 1e6): DataFrame = {
+    val feats = hashFeatures(docs, id, text, dim)
+    val tgtIds = docs.filter(targetPred).select(col(id).cast("long").as("doc_id"))
+    val tgt = feats.join(tgtIds, Seq("doc_id"))
+      .groupBy(col("bucket")).agg(sum(col("f")).as("ct"))
+    val raw = feats.groupBy(col("bucket")).agg(sum(col("f")).as("cr"))
+    val tTot = tgt.agg(sum(col("ct")).as("tt"))
+    val rTot = raw.agg(sum(col("cr")).as("rt"))
+    val lam = raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        floor(
+          (((col("ct") + 1).cast("double") * (col("rt") + dim).cast("double"))
+            / ((col("cr") + 1).cast("double") * (col("tt") + dim).cast("double"))
+            - lit(1.0)) * quantScale + lit(0.5)).cast("long").as("lam_q"))
+    feats.join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(sum(col("f") * col("lam_q")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id")).limit(n)
+      .select(col("doc_id"),
+        detRound(col("score_q").cast("double") / quantScale, 4).as("score"))
+  }
+
   /** Sparse TF-IDF cosine near-duplicate pairs via the inverted index —
     * the TOKEN-space sibling of the dense embedding near-dup: candidate
     * pairs form only where two documents SHARE a token (one equi join on

@@ -545,7 +545,19 @@ object OracleSql {
     * of the seed sample. */
   def annIvfTrainedSql(k: Int, querySel: String, centroidEvery: Int,
                        iters: Int, nprobe: Int): String =
-    s"""WITH ${kmeansRoundsCtes(centroidEvery, iters)},
+    annIvfSeededSql(k, querySel, s"vec_id % $centroidEvery = 0", iters, nprobe)
+
+  /** q_ann_ivf_fixedk mirror: the same trained-IVF search but seeded
+    * `vec_id < kCoarse` — Similarity.kmeansFixedK's seed predicate — so K
+    * stays CONSTANT as the corpus grows (the linear production
+    * parameterization, vs annIvfTrainedSql's K = N/centroidEvery). */
+  def annIvfFixedKSql(k: Int, querySel: String, kCoarse: Int,
+                      iters: Int, nprobe: Int): String =
+    annIvfSeededSql(k, querySel, s"vec_id < $kCoarse", iters, nprobe)
+
+  private def annIvfSeededSql(k: Int, querySel: String, seedWhere: String,
+                              iters: Int, nprobe: Int): String =
+    s"""WITH ${kmeansRoundsCtesSeeded(seedWhere, iters)},
        |cents AS (SELECT cell AS cent_id, emb_cent FROM c$iters),
        |assign AS (SELECT vec_id, emb_c, cell FROM (
        |      SELECT e.vec_id, e.embedding AS emb_c, c.cent_id AS cell,

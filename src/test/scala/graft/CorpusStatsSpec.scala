@@ -671,4 +671,48 @@ class CorpusStatsSpec extends SparkSpec {
       .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(again.map(_._2).toSeq === out.map(_._3).toSeq)
   }
+
+  test("dsirSelect: target-vocabulary docs outrank off-domain docs, cutoff is total-ordered") {
+    // target domain = lang 'en'; its vocabulary is {alpha}; off-domain is {beta}
+    val docs = Seq(
+      (1L, "alpha alpha alpha", "en"), (2L, "alpha alpha", "en"),
+      (3L, "alpha alpha alpha", "xx"), (4L, "beta beta beta", "xx"),
+      (5L, "beta beta", "xx"), (6L, "alpha beta", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        col("lang") === "en", n = 3)
+      .orderBy($"score".desc, $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length === 3)
+    // the three all-alpha docs (1, 2, 3) are the most target-like; the
+    // raw-domain doc 3 proves selection scores CONTENT, not the label
+    assert(out.map(_._1).toSet === Set(1L, 2L, 3L))
+    // every selected score beats every rejected one (beta-heavy docs)
+    val rejected = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        col("lang") === "en", n = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.map(_._2).min > rejected(4L) && rejected(4L) <= rejected(6L))
+    // partitioning invariance: quantize-before-sum means the exact same set
+    val again = TextAnalysis.dsirSelect(docs.repartition(7), "doc_id", "text",
+        col("lang") === "en", n = 3)
+      .orderBy($"score".desc, $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq === out.toSeq)
+  }
+
+  test("resourceAllocation: hand-computed RA scores on a wedge + triangle, edges excluded") {
+    // triangle {1,2,3} plus pendant 3-4: candidate non-edges are (1,4) and
+    // (2,4), each via shared neighbor 3 (deg 3) -> score 1/3; wedge pair
+    // (1,2) etc. are existing edges and must not appear
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = graft.operators.Graph.resourceAllocation(pairs, "a", "b", k = 10)
+      .orderBy($"item_a", $"item_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // floor(1e6/3 + 0.5) = 333333 -> detRound(0.333333, 4) = 0.3333
+    assert(out.toSeq === Seq((1L, 4L, 0.3333), (2L, 4L, 0.3333)))
+    // k cutoff is a total order: k = 1 keeps the (a, b)-smallest of the tie
+    val top1 = graft.operators.Graph.resourceAllocation(pairs, "a", "b", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.toSeq === Seq((1L, 4L)))
+  }
 }

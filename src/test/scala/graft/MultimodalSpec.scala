@@ -209,4 +209,43 @@ class MultimodalSpec extends SparkSpec {
     val n = "plain synthetic text".getBytes("UTF-8").length
     assert(out(3L)._2 === 64 + n % 512 && out(3L)._3 === 64 + (n * 7) % 512)
   }
+
+  /** The oracle's independent dHash recomputation from the synthetic-PNG
+    * generating formula — no BufferedImage anywhere. */
+  private def formulaDHash(docId: Long): (Long, Long) = {
+    val w = 8 + (docId % 9); val h = 8 + ((docId * 3) % 9)
+    def lum(gx: Long, gy: Long): Long = {
+      val x = ((2 * gx + 1) * w) / 18; val y = ((2 * gy + 1) * h) / 16
+      299 * ((31 * x + 17 * y + docId) % 256) +
+        587 * ((7 * x + 13 * y + 2 * docId) % 256) +
+        114 * ((3 * x + 29 * y + 5 * docId) % 256)
+    }
+    var hi = 0L; var lo = 0L
+    for (i <- 0 until 64) {
+      val bit = if (lum(i % 8 + 1, i / 8) > lum(i % 8, i / 8)) 1L else 0L
+      if (i < 32) lo |= bit << i else hi |= bit << (i - 32)
+    }
+    (hi, lo)
+  }
+
+  test("dHash: decoded-raster hash equals the formula recomputation, bit for bit") {
+    for (id <- Seq(0L, 1L, 7L, 13L, 100L, 12345L)) {
+      val img = ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticPng(id)))
+      assert(Multimodal.dHash(img) === formulaDHash(id), s"doc $id")
+    }
+  }
+
+  test("phashMeta: real payloads hash, undecodable payloads get honest nulls") {
+    val rows = Seq(
+      (5L, Multimodal.syntheticPng(5L)),
+      (6L, "not an image at all".getBytes("UTF-8")))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val out = Multimodal.phashMeta(spark, df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val (hi, lo) = formulaDHash(5L)
+    assert(out(5L).getLong(3) === hi && out(5L).getLong(4) === lo)
+    assert(out(5L).getInt(1) === 13 && out(5L).getInt(2) === 14) // 8+5%9, 8+15%9
+    assert(out(6L).isNullAt(1) && out(6L).isNullAt(3) && out(6L).isNullAt(4))
+  }
 }

@@ -332,6 +332,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKTrained over kmeansFixedK: constant-K coarse cells give cluster-pure full lists") {
+    // two clean clusters, fixed K=2 (seeds are vecs 0,1 — one per cluster).
+    // K stays 2 no matter how many vectors arrive: the linear production
+    // parameterization q_ann_ivf_fixedk gates.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f, 2.0f)), (3L, Seq(0.0f, 2.0f, 2.0f, 0.0f)),
+      (4L, Seq(3.0f, 0.0f, 0.0f, 3.0f)), (5L, Seq(0.0f, 3.0f, 3.0f, 0.0f)),
+      (6L, Seq(1.5f, 0.0f, 0.0f, 1.5f)), (7L, Seq(0.0f, 1.5f, 1.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFixedK(emb, k = 2, maxIter = 2)
+    assert(cents.count() === 2L, "K must stay the fixed constant")
+    val out = Similarity.ivfTopKTrained(
+        emb, emb.filter($"vec_id" < 2), k = 3, cents, nprobe = 1)
+      .orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // each query gets its full k=3 in-cluster list (4 same-cluster vectors
+    // minus itself), ranked by descending cosine
+    assert(out.count(_._1 == 0L) === 3 && out.count(_._1 == 1L) === 3)
+    out.foreach { case (q, _, v, _) =>
+      assert(v % 2 === q % 2, s"query $q got cross-cluster neighbor $v")
+    }
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_._2).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("kmeans: one tol=0 round reproduces kmeansStep exactly") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),

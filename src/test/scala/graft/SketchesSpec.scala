@@ -201,4 +201,33 @@ class SketchesSpec extends SparkSpec {
       assert(over === est - exact)
     }
   }
+
+  test("bloomReduceJoin: result is EXACTLY the semi join, under any partitioning") {
+    val build = (1 to 40).filter(_ % 4 == 0).map(i => (i.toLong, s"b$i"))
+      .toDF("k", "tag")
+    val probe = (1 to 200).map(i => ((i % 50).toLong, i.toLong))
+      .toDF("fk", "payload")
+    val got = Sketches.bloomReduceJoin(build, $"k", probe, $"fk")
+      .orderBy($"fk", $"payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = probe.join(build.select($"k".as("fk")).distinct(),
+        Seq("fk"), "left_semi")
+      .orderBy($"fk", $"payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty, "toy semi join must not be empty")
+    // bloom has no false negatives and the final join removes false
+    // positives — so even reshuffled inputs give the identical exact set
+    val again = Sketches.bloomReduceJoin(
+        build.repartition(7), $"k", probe.repartition(5), $"fk")
+      .orderBy($"fk", $"payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === want.toSeq)
+  }
+
+  test("bloomReduceJoin: empty build side keeps nothing (all-zero bitmap, not a null map)") {
+    val build = Seq.empty[(Long, String)].toDF("k", "tag")
+    val probe = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("fk", "payload")
+    assert(Sketches.bloomReduceJoin(build, $"k", probe, $"fk").count() === 0L)
+  }
 }
