@@ -197,7 +197,7 @@ object Bench {
     // (SparkEntry.copurchasePairsArtifact) — one contiguous cache window
     val graphFamily = Set("q_cooccur_lift", "q_triangle_count", "q_label_prop",
       "q_label_prop_loop", "q_pagerank", "q_pagerank_step", "q_item_neighbors",
-      "q_degree_dist")
+      "q_degree_dist", "q_link_predict")
     def family(n: String): String =
       if (warehouseFamily(n)) "q_dim" // runs with the dim queries' window
       else if (graphFamily(n)) "q_cooccur"

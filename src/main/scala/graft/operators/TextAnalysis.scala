@@ -472,7 +472,12 @@ object TextAnalysis {
   def dsirSelect(docs: DataFrame, id: String, text: String,
                  targetPred: Column, n: Int = 100, dim: Int = 1024,
                  quantScale: Double = 1e6): DataFrame = {
-    val feats = hashFeatures(docs, id, text, dim)
+    // deliberate materialization (the triangleStats argument): the hashed
+    // feature table feeds three differently-shaped consumers (target
+    // counts, raw counts, the per-doc weighted sum) — uncached, each
+    // re-runs the corpus tokenization explode; cached, the expensive
+    // lineage runs once and the memo is the SMALL (doc, bucket, f) table
+    val feats = hashFeatures(docs, id, text, dim).cache()
     val tgtIds = docs.filter(targetPred).select(col(id).cast("long").as("doc_id"))
     val tgt = feats.join(tgtIds, Seq("doc_id"))
       .groupBy(col("bucket")).agg(sum(col("f")).as("ct"))

@@ -244,6 +244,39 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_bloom_join_reduce: bitmap broadcasts once, the probe side never explodes") {
+    val p = plan("q_bloom_join_reduce")
+    assert(!p.contains("CartesianProduct"))
+    // one BNLJ = the one-row bitmap attach; the exact semi join is a hash join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length === 1, p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    // bloomPositions explodes on the BUILD side only — a probe-side Generate
+    // would multiply the big scan by k
+    assert("Generate".r.findAllIn(p).length === 1,
+      "only the build side may explode bloom positions")
+  }
+
+  test("q_dsir: λ broadcasts, cutoff is TakeOrdered, features tokenize once") {
+    val p = plan("q_dsir")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "top-n must never be a global sort")
+    // the cached feature table serves all three consumers: without the
+    // memo the corpus tokenization explode appears once per consumer
+    assert(p.contains("InMemoryTableScan"), "hashed features must be materialized once")
+  }
+
+  test("q_link_predict: wedge join stays an equi join, cutoff is TakeOrdered") {
+    val p = plan("q_link_predict")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must never be a global sort")
+  }
+
+  test("q_multimodal_phash: dup grouping partitions BY HASH — no global window") {
+    val p = plan("q_multimodal_phash")
+    assert(graft.plans.PlanTriage.globalWindowCount(p) === 0)
+    assert(p.contains("Window"), "the keep flag is a hash-partitioned window")
+  }
+
   test("q_pii_redact: pure projection — no shuffle except the final sort") {
     val p = plan("q_pii_redact")
     assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin") &&
