@@ -31,3 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the r5 driver-host bench regression); host has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )
+// dev-only passthrough for A/B-ing spark confs on the forked mains, e.g.
+// SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.join.preferSortMergeJoin=false"
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -286,8 +286,17 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b").distinct()
-    val result = candidates
+    // Verification joins carry the SHUFFLE_HASH hint on the candidate side:
+    // without it the planner broadcasts candidates only while they fit the
+    // 10 MB threshold, and one decade later silently degrades to a
+    // SortMergeJoin that SORTS the corpus-sized shingle-array table twice
+    // (measured at 1000×: verify 98 s of the 183 s artifact build — the
+    // whole third-decade super-linearity). A shuffled hash join builds on
+    // the id-pair side (two longs per row, tiny per partition) and streams
+    // the wide arrays unsorted — linear at every scale.
+    val result = candidates.hint("shuffle_hash")
       .join(prepared.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+      .hint("shuffle_hash")
       .join(prepared.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -341,8 +350,12 @@ object Dedup {
       .filter(col("delta_o") === 0 || col("id_d") < col("id_o"))
       .select(least(col("id_d"), col("id_o")).as("doc_id_a"),
         greatest(col("id_d"), col("id_o")).as("doc_id_b")).distinct()
-    val result = candidates
+    // same SHUFFLE_HASH discipline as minhashLshPairs' verification: a
+    // large delta's candidate set outgrows the broadcast threshold and
+    // would otherwise sort the corpus-sized shingle table
+    val result = candidates.hint("shuffle_hash")
       .join(prepared.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+      .hint("shuffle_hash")
       .join(prepared.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)

@@ -49,6 +49,24 @@ object MiniProf {
         hash60(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
       }: _*)))
     t("banded")(banded.count())
+    // pair-phase decomposition mirroring minhashLshPairs' internals
+    val preparedC = prepared.cache()
+    t("cache:prepared")(preparedC.count())
+    val bandedC = banded.cache()
+    t("cache:banded")(bandedC.count())
+    val l = bandedC.select(col("doc_id").as("doc_id_a"), col("pos").as("band"), col("col").as("band_hash"))
+    val r = bandedC.select(col("doc_id").as("doc_id_b"), col("pos").as("band"), col("col").as("band_hash"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct().cache()
+    t("candidates")(candidates.count())
+    val verified = candidates
+      .join(preparedC.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+      .join(preparedC.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
+      .withColumn("jaccard", graft.functions.VectorExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.6)
+    t("verify")(verified.count())
+    preparedC.unpersist(); bandedC.unpersist(); candidates.unpersist()
     t("full")(minhashLshPairs(docs, "doc_id", "text").count())
     spark.stop()
   }
