@@ -389,7 +389,11 @@ object Sketches {
   def bloomReduceJoin(build: DataFrame, buildKey: Column,
                       probe: DataFrame, probeKey: Column): DataFrame = {
     val pow2 = array((0 until 64).map(i => lit(1L << i)): _*)
-    val keys = build.select(buildKey.cast("string").as("__k")).distinct()
+    // null build keys can never match an equi semi join — and unfiltered
+    // they would ride a null bit position into map_from_entries, which
+    // rejects null map keys at runtime
+    val keys = build.select(buildKey.cast("string").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
     // one row: map word-index -> packed 64-bit word of set bloom bits
     val bitmap = keys.select(bloomPositions(col("__k")).as("pos")).distinct()
       .select(shiftright(col("pos"), 6).cast("int").as("w"),

@@ -468,6 +468,12 @@ object TextAnalysis {
     * table is `dim`-bounded (constant, broadcast); the top-n is
     * TakeOrdered, never a global sort. Nothing is ever corpus² and no
     * driver state — the 100 TB data-selection pass.
+    *
+    * Contracts: a zero-token document has no feature row and therefore
+    * cannot be selected (both engines agree — it has no evidence either
+    * way). `targetPred` should match ≥1 document: an empty target makes
+    * every λ NULL (sum over nothing) and the selection degenerates to
+    * null scores, identically on both engines.
     */
   def dsirSelect(docs: DataFrame, id: String, text: String,
                  targetPred: Column, n: Int = 100, dim: Int = 1024,

@@ -230,4 +230,13 @@ class SketchesSpec extends SparkSpec {
     val probe = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("fk", "payload")
     assert(Sketches.bloomReduceJoin(build, $"k", probe, $"fk").count() === 0L)
   }
+
+  test("bloomReduceJoin: null keys drop on both sides, exactly like the equi semi join") {
+    val build = Seq(Some(4L), None, Some(8L)).toDF("k")
+    val probe = Seq((Some(4L), 1L), (None, 2L), (Some(5L), 3L), (Some(8L), 4L))
+      .toDF("fk", "payload")
+    val got = Sketches.bloomReduceJoin(build, $"k", probe, $"fk")
+      .orderBy($"payload").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((4L, 1L), (8L, 4L)))
+  }
 }
