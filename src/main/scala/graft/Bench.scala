@@ -268,7 +268,8 @@ object Bench {
     // "artifacts" JSON object so per-query times stay comparable.
     val artifactFamily = Map(
       "artifact:copurchase_pairs" -> "q_cooccur",
-      "artifact:lsh_pairs" -> "q_dedup")
+      "artifact:lsh_pairs" -> "q_dedup",
+      "artifact:fixedk_centroids" -> "q_ann")
     val artifactTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var prevFamily = ""
     val results = ordered.map { case (name, fn) =>

@@ -953,8 +953,13 @@ object Similarity {
                        m: Int = 4, dim: Int = 64,
                        kCoarse: Int = 32, coarseIters: Int = 2,
                        kPq: Int = 32, pqIters: Int = 1,
-                       nprobe: Int = 2): DataFrame = {
-    val coarse = kmeansFixedK(corpus, kCoarse, coarseIters)
+                       nprobe: Int = 2,
+                       coarseCents: Option[DataFrame] = None): DataFrame = {
+    // `coarseCents` lets a caller hand in the PERSISTED trained quantizer
+    // (the production artifact — train once, every index consumer reuses
+    // it); must be kmeansFixedK(corpus, kCoarse, coarseIters) output so
+    // the oracle's seed-parameterized Lloyd chain still matches
+    val coarse = coarseCents.getOrElse(kmeansFixedK(corpus, kCoarse, coarseIters))
     val cents = coarse.select(col("cell").as("cent_id"), col("emb_cent"),
       sqrt(dotFP(col("emb_cent"), col("emb_cent"))).as("norm_cent"))
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
