@@ -498,6 +498,12 @@ object TextAnalysis {
           (((col("ct") + 1).cast("double") * (col("rt") + dim).cast("double"))
             / ((col("cr") + 1).cast("double") * (col("tt") + dim).cast("double"))
             - lit(1.0)) * quantScale + lit(0.5)).cast("long").as("lam_q"))
+    // Lifecycle: the feats cache stays registered until the session drops
+    // it (Bench clears caches at family boundaries; a library caller doing
+    // repeated selections should unpersist via spark.catalog.clearCache or
+    // re-plan). Deliberately NOT the eager materialize-then-release recipe:
+    // that would hand back an opaque pre-computed cache and hide the
+    // TakeOrdered/broadcast plan shape the whole-surface gate inspects.
     feats.join(broadcast(lam), Seq("bucket"))
       .groupBy(col("doc_id")).agg(sum(col("f") * col("lam_q")).as("score_q"))
       .orderBy(col("score_q").desc, col("doc_id")).limit(n)
