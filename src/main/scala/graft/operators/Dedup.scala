@@ -292,8 +292,18 @@ object Dedup {
     // SortMergeJoin that SORTS the corpus-sized shingle-array table twice
     // (measured at 1000×: verify 98 s of the 183 s artifact build — the
     // whole third-decade super-linearity). A shuffled hash join builds on
-    // the id-pair side (two longs per row, tiny per partition) and streams
-    // the wide arrays unsorted — linear at every scale.
+    // the id-pair side and streams the wide arrays unsorted.
+    //
+    // Build-side boundedness (the condition Graph.rankLoop's negative
+    // result makes mandatory for any forced SHJ): join 1 builds on bare
+    // id pairs; join 2 builds on those pairs PLUS one shingle array each —
+    // still the LSH-PRUNED candidate set, whose smallness (Σ bucket² ≪ n²)
+    // is this operator's core contract, with per-partition build size
+    // constant when shuffle partitions scale with data (§8.5). If a
+    // degenerate corpus densifies candidates toward quadratic, the pair
+    // table itself explodes before join strategy matters — and SMJ
+    // degrades on the same input by sorting strictly more bytes.
+    // Empirical: SHJ survives sf100 (109 s) where SMJ cliffs.
     val result = candidates.hint("shuffle_hash")
       .join(prepared.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
       .hint("shuffle_hash")

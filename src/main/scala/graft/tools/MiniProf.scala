@@ -60,8 +60,12 @@ object MiniProf {
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b").distinct().cache()
     t("candidates")(candidates.count())
-    val verified = candidates
+    // mirrors minhashLshPairs' verification INCLUDING its shuffle_hash
+    // hints — an unhinted copy would profile the pre-fix SMJ plan and
+    // misattribute a cliff the production code no longer has
+    val verified = candidates.hint("shuffle_hash")
       .join(preparedC.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+      .hint("shuffle_hash")
       .join(preparedC.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
       .withColumn("jaccard", graft.functions.VectorExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.6)

@@ -16,7 +16,16 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 object StateScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = if (args.length > 1) args(1) else "/tmp/state_scale_out"
+    // Append-mode sink: a pre-existing output dir would make this run's
+    // final count CUMULATIVE across invocations (each run reprocesses the
+    // whole input against a fresh checkpoint) — corrupting exactly the
+    // provider A/B this tool exists for. Default to a fresh temp dir;
+    // refuse an explicit dir that already exists.
+    val out = if (args.length > 1) {
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(args(1))),
+        s"output dir ${args(1)} already exists — appended rows would double-count; remove it first")
+      args(1)
+    } else java.nio.file.Files.createTempDirectory("state_scale_out").toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
