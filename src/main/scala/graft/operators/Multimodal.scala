@@ -336,6 +336,42 @@ object Multimodal {
     spark.createDataFrame(rdd, phashSchema)
   }
 
+  /** NEAR-duplicate image pairs at Hamming ≤ `maxHamming` over the 64-bit
+    * [[dHash]] — the image twin of [[Dedup.simhashPairs]]'s pigeonhole
+    * blocking: the hash splits into four 16-bit chunks, and ≤ 3 bit flips
+    * leave at least one chunk identical, so candidate pairs form ONLY
+    * where a chunk matches (one equi join on (chunk, value) — never
+    * all-pairs) and each survivor is verified by two popcounts (O(1) per
+    * pair). Undecodable rows (null hash, the [[phashMeta]] no-feature
+    * contract) never enter the pairing. Same blocking asymptote note as
+    * the text dedup family: bucket sizes are bounded by how dispersed the
+    * hash space is — real image corpora disperse; an adversarially
+    * uniform corpus degrades any LSH-family blocker toward its bucket².
+    */
+  def phashNearDupPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = hashed.filter(col("phash_hi").isNotNull)
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
+    val chunked = sig.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+      posexplode(array(
+        col("phash_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("phash_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val l = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_id_a"), col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"))
+    val r = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_id_b"), col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b")))
+          + bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
+  }
+
   /** Resize planning over decoded metadata: target dimensions fitting within
     * `maxSide`, aspect preserved, INTEGER arithmetic only (`div`) so the
     * result is bit-identical on every engine. The actual pixel resample is

@@ -236,6 +236,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phashNearDupPairs: pigeonhole candidates, popcount verify, nulls never pair") {
+    import spark.implicits._
+    // A=0, B flips 1 bit, C flips 3 bits (ham A-C=3, B-C=2); D flips a
+    // whole 16-bit chunk (ham 16 — candidate via the other chunks, must be
+    // verified away); E is undecodable (null hash) and must never pair
+    val hashed = Seq(
+      (1L, Some(0L), Some(0L)), (2L, Some(0L), Some(1L)),
+      (3L, Some(0L), Some(11L)), (4L, Some(0xFFFFL), Some(0L)),
+      (5L, None: Option[Long], None: Option[Long]))
+      .toDF("doc_id", "phash_hi", "phash_lo")
+    val out = Multimodal.phashNearDupPairs(hashed)
+      .orderBy($"doc_id_a", $"doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1), (1L, 3L, 3), (2L, 3L, 2)))
+  }
+
   test("phashMeta: real payloads hash, undecodable payloads get honest nulls") {
     val rows = Seq(
       (5L, Multimodal.syntheticPng(5L)),
