@@ -484,8 +484,16 @@ object TextAnalysis {
     // re-runs the corpus tokenization explode; cached, the expensive
     // lineage runs once and the memo is the SMALL (doc, bucket, f) table
     val feats = hashFeatures(docs, id, text, dim).cache()
-    val tgtIds = docs.filter(targetPred).select(col(id).cast("long").as("doc_id"))
-    val tgt = feats.join(tgtIds, Seq("doc_id"))
+    // Target-domain counts come from RE-TOKENIZING the filtered target
+    // subset, NOT from joining feats against the target id set: the id
+    // join broadcasts only while the target fits the 10 MB threshold and
+    // one decade later silently degrades to a SortMergeJoin that sorts
+    // the corpus-sized feature table (measured at 1000×: 12.5× per 10×
+    // rows — the LSH verify-join cliff's sibling; 3.4× post-fix). The
+    // re-tokenization is a pushed-down filtered scan of the target share
+    // of the corpus — no shuffle, no join, no broadcast limit — and the
+    // deterministic tokenizer makes the counts identical either way.
+    val tgt = hashFeatures(docs.filter(targetPred), id, text, dim)
       .groupBy(col("bucket")).agg(sum(col("f")).as("ct"))
     val raw = feats.groupBy(col("bucket")).agg(sum(col("f")).as("cr"))
     val tTot = tgt.agg(sum(col("ct")).as("tt"))
