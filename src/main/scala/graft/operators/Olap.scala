@@ -264,6 +264,16 @@ object Olap {
     * extreme values cannot drag. Three grouped exact-percentile aggregates
     * + two joins, all keyed on the (bounded-cardinality) group.
     *
+    * Scale bound (why the exact percentile is acceptable here, the §8.7
+    * worst-anchor): Spark's exact `percentile` buffers one (value, count)
+    * entry per DISTINCT value per group, so its state is bounded by the
+    * VALUE DOMAIN, not the row count — prices are quantity × part-price
+    * combinations (a few million entries, ~tens of MB), and the r9/r10
+    * sweeps measure the query saturating at ≤5.8× per 10× rows as the
+    * domain fills. A genuinely unbounded-domain median (e.g. raw doubles)
+    * must switch to the mergeable histogram sketch
+    * ([[graft.operators.Sketches.histogramQuantilesByGroup]]) instead.
+    *
     * Both medians are detRound(4)-quantized BEFORE the predicate so the
     * `dev > k·MAD` comparison sees bit-identical operands on every engine
     * (exact-percentile interpolation order differs at the last ulp).
