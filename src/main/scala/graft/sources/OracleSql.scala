@@ -580,6 +580,40 @@ object OracleSql {
        |SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q_hits mirror: Graph.hits unrolled `iters` rounds over the directed
+    * orders bipartite graph (src = custkey, dst = orderkey + 2^40 — the
+    * q_pagerank_dangling offset). Each half-step: quantized contribution
+    * sum, max-scaled quantized L2 norm, detRound(10) — expression shapes
+    * byte-matched to the engine's so every round composes exactly. */
+  def hitsChainSql(iters: Int): String = {
+    val q = "1000000000000.0"   // contribution quantScale 1e12
+    val nq = "1000000000.0"     // norm quantScale 1e9
+    def half(prev: String, outPfx: String, joinKey: String, outKey: String,
+             vIn: String, vOut: String, r: Int): String =
+      s"""${outPfx}r$r AS (SELECT e.$outKey AS node,
+         |        CAST(sum(CAST(floor($vIn * $q + 0.5) AS BIGINT)) AS BIGINT) AS sq
+         |      FROM e JOIN $prev p ON e.$joinKey = p.node GROUP BY 1),
+         |${outPfx}v$r AS (SELECT node, sq / $q AS $vOut FROM ${outPfx}r$r),
+         |${outPfx}m$r AS (SELECT max(abs($vOut)) AS m FROM ${outPfx}v$r),
+         |${outPfx}n$r AS (SELECT CAST(sum(CAST(floor(($vOut / m) * ($vOut / m) * $nq
+         |          + 0.5) AS BIGINT)) AS BIGINT) AS ssq, max(m) AS m
+         |      FROM ${outPfx}v$r, ${outPfx}m$r),
+         |$outPfx$r AS (SELECT node,
+         |        ${detRoundSql(s"$vOut / (m * sqrt(ssq / $nq))", 10)} AS $vOut
+         |      FROM ${outPfx}v$r, ${outPfx}n$r)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      half(s"h${r - 1}", "a", "src", "dst", "h", "a", r) + ",\n" +
+        half(s"a$r", "h", "dst", "src", "a", "h", r)
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+       |        CAST(o_orderkey AS BIGINT) + 1099511627776 AS dst FROM orders),
+       |h0 AS (SELECT DISTINCT src AS node, 1.0 AS h FROM e),
+       |$rounds
+       |SELECT node, 'hub' AS kind, h AS score FROM h$iters
+       |UNION ALL SELECT node, 'auth' AS kind, a AS score FROM a$iters
+       |ORDER BY kind, node""".stripMargin
+  }
+
   /** q_semantic_dedup mirror: the IVF/k-means cell assignment (annIvfSql's
     * assign CTE) + intra-cell lower-id-wins near-dup marking. */
   def semanticDedupSql(centroidEvery: Int, threshold: Double): String =

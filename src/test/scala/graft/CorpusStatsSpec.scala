@@ -700,6 +700,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("hits: star graph — the 3-edge hub out-scores the 1-edge hub, scores stay L2-normalized") {
+    // 1→{10,11,12}, 2→10: node 1 is the stronger hub, node 10 (two
+    // pointers, one of them the best hub) the strongest authority
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val out = graft.operators.Graph.hits(edges, maxIter = 2)
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    assert(out(("hub", 1L)) > out(("hub", 2L)))
+    assert(out(("auth", 10L)) > out(("auth", 11L)))
+    assert(out(("auth", 11L)) === out(("auth", 12L)), "symmetric leaves tie")
+    // each side stays (quantized-)L2-normalized
+    val hubSq = out.collect { case (("hub", _), v) => v * v }.sum
+    val authSq = out.collect { case (("auth", _), v) => v * v }.sum
+    assert(math.abs(hubSq - 1.0) < 1e-3 && math.abs(authSq - 1.0) < 1e-3)
+    // determinism: repartitioned input gives bit-identical scores
+    val again = graft.operators.Graph.hits(edges.repartition(5), maxIter = 2)
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    assert(again === out)
+  }
+
   test("resourceAllocation: hand-computed RA scores on a wedge + triangle, edges excluded") {
     // triangle {1,2,3} plus pendant 3-4: candidate non-edges are (1,4) and
     // (2,4), each via shared neighbor 3 (deg 3) -> score 1/3; wedge pair
