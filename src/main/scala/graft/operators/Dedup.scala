@@ -304,9 +304,17 @@ object Dedup {
     // table itself explodes before join strategy matters — and SMJ
     // degrades on the same input by sorting strictly more bytes.
     // Empirical: SHJ survives sf100 (109 s) where SMJ cliffs.
-    val result = candidates.hint("shuffle_hash")
+    //
+    // Escape hatch (ADVICE r10): SHJ trades SMJ's spill-based degradation
+    // for a hard unspillable-build failure if an adversarial corpus breaks
+    // the LSH-pruning contract anyway; `spark.graft.lsh.verifyJoinHint=merge`
+    // (or any other join hint name) restores the spilling strategy without
+    // a code change. Default stays shuffle_hash — the measured sf100 winner.
+    val verifyHint = docs.sparkSession.conf
+      .get("spark.graft.lsh.verifyJoinHint", "shuffle_hash")
+    val result = candidates.hint(verifyHint)
       .join(prepared.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
-      .hint("shuffle_hash")
+      .hint(verifyHint)
       .join(prepared.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)

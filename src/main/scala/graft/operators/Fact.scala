@@ -101,6 +101,55 @@ object Fact {
     measured
   }
 
+  /** ONE disjoint hash-slice of the fact build — the bounded-scratch
+    * backfill unit (SURVEY §8.8: the one-shot sf100 build's aggregate
+    * shuffle scratch exceeds a single host's disk; slicing bounds it).
+    *
+    * Slicing is on the J1 JOIN KEY (`id_venda`): both inputs filter to
+    * `pmod(xxhash64(id_venda), nSlices) = slice` BEFORE the join, so
+    * - the slices partition the vendas⋈item_vendas row set exactly (every
+    *   joined row exists in exactly the slice its id_venda hashes to), and
+    *   every later op is per-row ⇒ UNION over slices ≡ the one-shot batch
+    *   build (the q_fato_backfill oracle + FactBackfillSpec pin this);
+    * - every shuffle inside slice i carries ~1/nSlices of the data (xxhash64
+    *   is uniform), so peak scratch for the whole backfill is one slice's.
+    * The price is nSlices scans of the inputs — sequential reads, not
+    * scratch; at 100 TB the K passes also pipeline against the previous
+    * slice's sink write. The filter sits directly over the scan (no
+    * shuffle before it); with id-sorted/ranged source files a RANGE slicing
+    * would additionally prune row groups, but hash slicing is skew-proof by
+    * construction, the property that matters for bounded scratch.
+    */
+  def fatoVendasSlice(vendas: DataFrame, itemVendas: DataFrame, dimTempo: DataFrame,
+                      dimCliente: DataFrame, dimProduto: DataFrame, dimVendedor: DataFrame,
+                      dimLoja: DataFrame, nSlices: Int, slice: Int): DataFrame = {
+    require(nSlices > 0 && slice >= 0 && slice < nSlices,
+      s"slice $slice out of range for $nSlices slices")
+    def cut(df: DataFrame): DataFrame =
+      df.filter(pmod(xxhash64(col("id_venda")), lit(nSlices)) === slice)
+    fatoVendasNoSk(cut(vendas), cut(itemVendas), dimTempo, dimCliente, dimProduto,
+      dimVendedor, dimLoja)
+  }
+
+  /** The whole backfill as one plan: union of all `nSlices` slices, with a
+    * surrogate key that stays globally unique ACROSS slices — each slice's
+    * zero-pass unique id is stretched by `sk*nSlices + slice`, so two
+    * independently-run slices can never collide (monotonically_increasing_id
+    * restarts its partition numbering per job, so the plain key would).
+    * Used by the oracle-gated q_fato_backfill; the operational sf100 recipe
+    * (tools/FactBackfillProbe) runs the same slices as SEPARATE jobs with a
+    * sink append between them, which is what actually bounds scratch.
+    */
+  def fatoVendasBackfill(vendas: DataFrame, itemVendas: DataFrame, dimTempo: DataFrame,
+                         dimCliente: DataFrame, dimProduto: DataFrame, dimVendedor: DataFrame,
+                         dimLoja: DataFrame, nSlices: Int): DataFrame =
+    (0 until nSlices).map { i =>
+      Surrogate.uniqueKey(
+          fatoVendasSlice(vendas, itemVendas, dimTempo, dimCliente, dimProduto,
+            dimVendedor, dimLoja, nSlices, i), "sk_venda")
+        .withColumn("sk_venda", col("sk_venda") * nSlices + i)
+    }.reduce(_ unionAll _)
+
   /** v2 — the DEAD richer variant (etl_completo.py:810-934), kept in the
     * inventory because it is the only consumer of the promo path (J7/J9,
     * SURVEY §3.3). Differences from v1: no row is ever dropped for its date

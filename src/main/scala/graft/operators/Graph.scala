@@ -207,10 +207,16 @@ object Graph {
       val ss = raw.crossJoin(broadcast(m))
         .agg(sum(floor((col(c) / col("m")) * (col(c) / col("m")) * normQuant
           + 0.5)).as("ssq"), max(col("m")).as("m"))
+      // m = 0 means EVERY score quantized to zero (|scores| < ~1/quantScale,
+      // i.e. a degenerate/astronomically-large graph): the norm is 0 and the
+      // division would emit NaN that detRound propagates silently. Guard to
+      // an all-zero score vector — the mathematically consistent limit, and
+      // deterministic where NaN ordering is not (ADVICE r10).
       val out = IterState(
         raw.crossJoin(broadcast(ss))
           .select(col("node"),
-            detRound(col(c) / (col("m") * sqrt(col("ssq") / normQuant)), 10).as(c)),
+            when(col("m") === 0.0, lit(0.0)).otherwise(
+              detRound(col(c) / (col("m") * sqrt(col("ssq") / normQuant)), 10)).as(c)),
         ckRoot, round + 1)
       IterState.drop(raw, ckRoot, round)
       out

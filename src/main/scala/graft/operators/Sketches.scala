@@ -388,30 +388,40 @@ object Sketches {
     */
   def bloomReduceJoin(build: DataFrame, buildKey: Column,
                       probe: DataFrame, probeKey: Column): DataFrame = {
+    // staging-column names are derived to MISS the probe's own schema — a
+    // probe that already carries a `__k`/`__bm` would otherwise be silently
+    // overwritten and dropped, breaking the original-columns-intact
+    // contract (ADVICE r10)
+    val taken = probe.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .filterNot(taken.contains).next()
+    val kCol = fresh("__k")
+    val bmCol = fresh("__bm")
     val pow2 = array((0 until 64).map(i => lit(1L << i)): _*)
     // null build keys can never match an equi semi join — and unfiltered
     // they would ride a null bit position into map_from_entries, which
     // rejects null map keys at runtime
-    val keys = build.select(buildKey.cast("string").as("__k"))
-      .filter(col("__k").isNotNull).distinct()
+    val keys = build.select(buildKey.cast("string").as(kCol))
+      .filter(col(kCol).isNotNull).distinct()
     // one row: map word-index -> packed 64-bit word of set bloom bits
-    val bitmap = keys.select(bloomPositions(col("__k")).as("pos")).distinct()
+    val bitmap = keys.select(bloomPositions(col(kCol)).as("pos")).distinct()
       .select(shiftright(col("pos"), 6).cast("int").as("w"),
         element_at(pow2, (col("pos") % 64).cast("int") + 1).as("m"))
       .groupBy(col("w")).agg(expr("bit_or(m)").as("word"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("__bm"))
-    val probed = probe.withColumn("__k", probeKey.cast("string"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as(bmCol))
+    val probed = probe.withColumn(kCol, probeKey.cast("string"))
       .crossJoin(broadcast(bitmap))
     val allSet = (0 until BloomHashes).map { i =>
-      val pos = bloomBit(col("__k"), i).cast("long")
+      val pos = bloomBit(col(kCol), i).cast("long")
       coalesce(
-        element_at(col("__bm"), shiftright(pos, 6).cast("int"))
+        element_at(col(bmCol), shiftright(pos, 6).cast("int"))
           .bitwiseAND(element_at(pow2, (pos % 64).cast("int") + 1)) =!= 0,
         lit(false))
     }.reduce(_ && _)
-    probed.filter(allSet).drop("__bm")
-      .join(keys, Seq("__k"), "left_semi")
-      .drop("__k")
+    probed.filter(allSet).drop(bmCol)
+      .join(keys, Seq(kCol), "left_semi")
+      .drop(kCol)
   }
 
   /** Winsorized aggregate: clip values at the [[histogramQuantiles]]

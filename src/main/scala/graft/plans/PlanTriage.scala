@@ -30,13 +30,22 @@ object PlanTriage {
     * sort directions (` ASC`/` DESC`), a partition spec never does. A
     * zero-separator `Window [exprs]` line (no partition, no order) is
     * global too.
+    *
+    * "Renders sort directions" is matched as the full direction+null-order
+    * token pair (` ASC NULLS FIRST` etc.) Catalyst's SortOrder.toString
+    * always emits — a bare ` ASC`/` DESC` substring would misread a
+    * partition COLUMN whose name starts with those letters (`..., ASC_code#13]`
+    * contains " ASC") as an order spec and flag a partitioned-unordered
+    * window as global (ADVICE r10).
     */
+  private val sortDirToken = """ (ASC|DESC) NULLS (FIRST|LAST)""".r
+
   def isGlobalWindowLine(line: String): Boolean =
     line.contains("Window [") && {
       val seps = "\\], \\[".r.findAllIn(line).length
       seps == 0 || (seps == 1 && {
         val last = line.substring(line.lastIndexOf("], [") + 4)
-        last.contains(" ASC") || last.contains(" DESC")
+        sortDirToken.findFirstIn(last).isDefined
       })
     }
 
@@ -101,6 +110,7 @@ object PlanTriage {
       "q_dim_vendedor" -> dimDict,
       "q_surrogate_key" -> dimDict,
       "q_fato_vendas" -> embedsDims,
+      "q_fato_backfill" -> embedsDims,
       "q_fato_vendas_v2" -> embedsDims,
       "q_report_summary" -> embedsDims,
       // NOTE (r10): the co-purchase-artifact consumers (q_cooccur_lift,

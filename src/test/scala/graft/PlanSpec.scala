@@ -271,6 +271,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k must never be a global sort")
   }
 
+  test("isGlobalWindowLine: sort directions are token-matched, not substring-sniffed") {
+    import graft.plans.PlanTriage.isGlobalWindowLine
+    // one trailing list that IS an order spec → global
+    assert(isGlobalWindowLine("Window [sum(x#1)], [x#1 ASC NULLS FIRST]"))
+    assert(isGlobalWindowLine("Window [sum(x#1)], [x#1 DESC NULLS LAST]"))
+    // one trailing list that is a PARTITION spec → not global, even when a
+    // partition column's NAME contains ' ASC'/' DESC' after the ', '
+    // separator (the ADVICE r10 false positive)
+    assert(!isGlobalWindowLine("Window [min(x#1)], [k#2, ASC_code#3]"))
+    assert(!isGlobalWindowLine("Window [min(x#1)], [k#2, DESCR#3]"))
+    // zero trailing lists → global; two lists → partitioned
+    assert(isGlobalWindowLine("Window [row_number()]"))
+    assert(!isGlobalWindowLine("Window [rank()], [k#2], [x#1 ASC NULLS FIRST]"))
+  }
+
   test("q_multimodal_phash: dup grouping partitions BY HASH — no global window") {
     val p = plan("q_multimodal_phash")
     assert(graft.plans.PlanTriage.globalWindowCount(p) === 0)

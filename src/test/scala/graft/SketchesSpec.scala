@@ -239,4 +239,19 @@ class SketchesSpec extends SparkSpec {
       .orderBy($"payload").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((4L, 1L), (8L, 4L)))
   }
+
+  test("bloomReduceJoin: a probe that already carries __k/__bm columns keeps them intact") {
+    // the staging names must dodge the probe schema (ADVICE r10) — the
+    // user's own __k/__bm payload columns survive byte-identical
+    val build = Seq(4L, 8L).toDF("k")
+    val probe = Seq((4L, "keepK4", "keepBm4"), (5L, "keepK5", "keepBm5"),
+        (8L, "keepK8", "keepBm8"))
+      .toDF("fk", "__k", "__bm")
+    val got = Sketches.bloomReduceJoin(build, $"k", probe, $"fk")
+      .orderBy($"fk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq((4L, "keepK4", "keepBm4"), (8L, "keepK8", "keepBm8")))
+    assert(Sketches.bloomReduceJoin(build, $"k", probe, $"fk").columns.toSeq ===
+      Seq("fk", "__k", "__bm"))
+  }
 }
