@@ -339,6 +339,74 @@ object TextAnalysis {
       .orderBy(col("total_count").desc, col("pair")).limit(k)
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — [[bpeMergeCandidates]]'
+    * single statistic iterated to a trained merge list: per round, count
+    * every adjacent symbol pair over the word-level vocabulary, take the
+    * argmax (ties to the lexicographically-smaller pair), and apply the
+    * merge greedily left-to-right inside every word's symbol sequence; the
+    * returned (round, pair, total_count) table IS the tokenizer artifact a
+    * runtime tokenizer replays in order.
+    *
+    * Scale design (the q_bpe_merge bound): the corpus is scanned ONCE for
+    * word frequencies; every round after that runs over the VOCABULARY
+    * (distinct words), never the token stream — pair explode, one combinable
+    * sum, a 1-row argmax broadcast back, and a per-word fold to apply the
+    * merge. Round state (the re-segmented vocabulary) is checkpoint-rotated
+    * like every other fixpoint loop (O(1) lineage — the fold otherwise
+    * nests per round).
+    *
+    * Determinism: frequencies and pair counts are exact integer sums; the
+    * argmax is (count DESC, pair ASC); the greedy merge is a deterministic
+    * left-to-right fold — `[a,a,a]` under merge (a,a) becomes `[aa,a]`,
+    * and a just-merged symbol only re-merges when its concatenation
+    * literally equals the left symbol (standard BPE). The DuckDB oracle
+    * replays the same rounds with a double non-overlapping string-replace
+    * (two passes: the first takes the leftmost chain alternately — a
+    * replacement consumes the shared delimiter space — the second sweeps
+    * the isolated leftovers), which BpeTrainSpec pins equal to the fold.
+    */
+  def bpeTrain(docs: DataFrame, id: String, text: String, rounds: Int,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, "bpeTrain needs at least one merge round")
+    val ckRoot = IterState.root(checkpointDir)
+    val vocab = docs.select(explode(words(col(text))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var seg = IterState(
+      vocab.select(col("freq"), split(col("word"), "").as("sym")), ckRoot, 0)
+    var merges = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = seg.filter(size(col("sym")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("sym")) - 1), i =>
+            concat_ws(" ", element_at(col("sym"), i), element_at(col("sym"), i + 1))))
+            .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("total_count"))
+        .orderBy(col("total_count").desc, col("pair")).limit(1)
+        .select(col("pair"), col("total_count"), split(col("pair"), " ").as("ab"))
+        // 1-row argmax: materialized once, read by BOTH the merge apply and
+        // the output row (lazy, the pair aggregate would run twice)
+        .localCheckpoint()
+      merges ::= best.select(lit(r.toLong).as("round"), col("pair"), col("total_count"))
+      val applied = seg.crossJoin(broadcast(best.select(col("ab"))))
+        .select(col("freq"),
+          aggregate(col("sym"), array().cast("array<string>"), (acc, s) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === element_at(col("ab"), 1) &&
+                s === element_at(col("ab"), 2),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), s))))
+            .otherwise(concat(acc, array(s)))).as("sym"))
+      val next = IterState(applied, ckRoot, r)
+      IterState.drop(seg, ckRoot, r - 1)
+      seg = next
+    }
+    // the merge list never reads the final segmentation back — drop its
+    // (reliable-mode) files too; the 1-row `best` checkpoints carry the result
+    IterState.drop(seg, ckRoot, rounds)
+    merges.reverse.reduce(_ unionAll _)
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding-prep sibling of
     * [[Multimodal.chunkPlan]]'s byte chunking, with the SAME chunk-index
     * convention (`(n−1) div hop + 1` chunks, trailing chunk truncated):

@@ -182,6 +182,42 @@ object OracleSql {
     * before summing and rounds the new rank to 1e-10, so every round's
     * ranks are bit-identical cross-engine and the chain composes exactly.
     */
+  /** q_bpe_train mirror: K unrolled BPE merge rounds over the word-level
+    * vocabulary. Per round: adjacent-pair counts weighted by word frequency,
+    * argmax (count DESC, pair ASC), then a DOUBLE non-overlapping
+    * string-replace applies the merge to the space-delimited segmentation —
+    * pass one takes alternating matches of an adjacent chain (each
+    * replacement consumes the shared delimiter space), pass two sweeps the
+    * now-isolated leftovers, which equals the engine's greedy left-to-right
+    * symbol fold (BpeTrainSpec pins the equivalence property-style). */
+  def bpeTrainChainSql(rounds: Int): String = {
+    def merged(b: String) = s"' ' || (SELECT replace(pair, ' ', '') FROM $b) || ' '"
+    def patt(b: String) = s"' ' || (SELECT pair FROM $b) || ' '"
+    val steps = (1 to rounds).map { i =>
+      val prev = s"s${i - 1}"
+      s"""b$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS total_count FROM (
+         |        SELECT freq, unnest(list_transform(range(1, len(s)),
+         |          j -> s[j] || ' ' || s[j+1])) AS pair
+         |        FROM (SELECT freq, string_split(trim(seg), ' ') AS s FROM $prev)
+         |        WHERE len(s) >= 2)
+         |      GROUP BY pair ORDER BY total_count DESC, pair LIMIT 1),
+         |s$i AS (SELECT freq, replace(replace(seg,
+         |        ${patt(s"b$i")}, ${merged(s"b$i")}),
+         |        ${patt(s"b$i")}, ${merged(s"b$i")}) AS seg FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, pair, total_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |      WHERE length(word) >= 1 GROUP BY 1),
+       |s0 AS (SELECT freq,
+       |        ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seg
+       |      FROM v),
+       |$steps
+       |SELECT round, pair, total_count FROM ($out) ORDER BY round""".stripMargin
+  }
+
   def pagerankChainSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""c$i AS (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
