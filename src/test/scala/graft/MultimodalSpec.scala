@@ -264,4 +264,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L).getInt(1) === 13 && out(5L).getInt(2) === 14) // 8+5%9, 8+15%9
     assert(out(6L).isNullAt(1) && out(6L).isNullAt(3) && out(6L).isNullAt(4))
   }
+
+  test("frameStats: every GIF frame decodes to its formula sums; opaque payloads get one null row") {
+    val rows = Seq(
+      (7L, Multimodal.syntheticGif(7L)),   // 2 + 7%3 = 3 frames, 10x9
+      (11L, Multimodal.syntheticGif(11L)), // 2 + 11%3 = 4 frames, 9x13
+      (8L, "definitely not a container".getBytes("UTF-8")))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val out = Multimodal.frameStats(spark, df, "doc_id")
+      .orderBy($"doc_id", $"frame_idx").collect()
+    // reference sums straight from the generating formula
+    def ref(d: Long, f: Int): (Long, Long, Long) = {
+      val w = 8 + (d % 5).toInt; val h = 8 + ((d * 3) % 5).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = ((31L * x + 17L * y + 53L * f + d) % 256).toInt
+        sr += (7 * i) % 256; sg += (13 * i + 5) % 256; sb += (29 * i + 11) % 256
+      }
+      (sr, sg, sb)
+    }
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc(7L).length === 3 && byDoc(11L).length === 4)
+    for (r <- byDoc(7L) ++ byDoc(11L)) {
+      val (sr, sg, sb) = ref(r.getLong(0), r.getInt(2))
+      assert((r.getLong(5), r.getLong(6), r.getLong(7)) === ((sr, sg, sb)),
+        s"frame ${r.getInt(2)} of doc ${r.getLong(0)}")
+    }
+    assert(byDoc(8L).length === 1 && byDoc(8L)(0).isNullAt(1) && byDoc(8L)(0).isNullAt(5))
+  }
 }
