@@ -1,5 +1,9 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
 /** The single source of truth for plan-gate exemptions (VERDICT r9 #6):
   * every query allowed to plan a SortAggregate or a GLOBAL window carries
   * its justification HERE, next to the name. `tools/PlanAudit` prints the
@@ -53,6 +57,52 @@ object PlanTriage {
     * classifier shared by tools/PlanAudit and PlanSpec's gate. */
   def globalWindowCount(plan: String): Int =
     plan.split("\n").count(isGlobalWindowLine)
+
+  /** Missed-pruning detector (VERDICT r10 #8): per parquet scan, the
+    * columns the scan READS (its output / ReadSchema) that NO other plan
+    * node ever references — silent fat scans, the IO class `.explain`
+    * discipline catches by eye and this classifier catches by gate. Tree
+    * walk, not string-sniffing: every AttributeReference inside every
+    * non-scan node's expressions is "used", plus the plan's own result
+    * output (a passthrough column is used by the caller), plus — a
+    * deliberate under-approximation — everything under a positional
+    * operator (Union passes children's columns BY POSITION, with no
+    * expression naming them; treating its inputs as used trades missed
+    * detections for zero false alarms).
+    *
+    * Returns (scan description, unused column names) per offending scan.
+    */
+  def unprunedScanColumns(plan: SparkPlan): Seq[(String, Seq[String])] = {
+    val resolved = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val referenced = scala.collection.mutable.Set.empty[Long]
+    resolved.output.foreach(a => referenced += a.exprId.id)
+    resolved.foreach {
+      case _: FileSourceScanExec => ()
+      case u if u.nodeName == "Union" =>
+        u.children.foreach(_.output.foreach(a => referenced += a.exprId.id))
+      case node =>
+        node.expressions.foreach(_.foreach {
+          case a: AttributeReference => referenced += a.exprId.id
+          case _ => ()
+        })
+    }
+    resolved.collect { case s: FileSourceScanExec => s }.flatMap { s =>
+      val unused = s.output.filterNot(a => referenced.contains(a.exprId.id))
+      if (unused.isEmpty) None
+      else Some((s.relation.location.rootPaths.headOption.map(_.getName)
+        .getOrElse(s.nodeName), unused.map(_.name).toSeq))
+    }
+  }
+
+  /** Queries whose executed plan may read a parquet column no operator
+    * consumes ([[unprunedScanColumns]] hits). Same discipline as the other
+    * maps: a new entry needs a reason the extra IO is bounded or
+    * deliberate. (Empty as of r11 — the classifier found no silent fat
+    * scan on the whole surface; it exists so new ones fail by name.) */
+  val fatScan: Map[String, String] = Map.empty
 
   /** Queries whose executed plan may contain SortAggregate. Everywhere
     * else a SortAggregate is treated as a scale regression: it sorts its

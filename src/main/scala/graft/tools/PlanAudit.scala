@@ -43,7 +43,8 @@ object PlanAudit {
     var audited = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val physical = fn(spark, sfDir).queryExecution.executedPlan
+        val plan = physical.toString
         def triage(table: Map[String, String]): String =
           table.get(name).map(r => s" TRIAGED($r)").getOrElse(" UNTRIAGED")
         val hits = flags.flatMap { case (needle, label) =>
@@ -56,9 +57,13 @@ object PlanAudit {
         // shared classifier (PlanTriage.isGlobalWindowLine): partitioned-
         // but-unordered windows are NOT global, order specs carry ASC/DESC
         val globalWindows = graft.plans.PlanTriage.globalWindowCount(plan)
+        // missed-pruning classifier (r10 #8): scan columns nothing consumes
+        val fat = graft.plans.PlanTriage.unprunedScanColumns(physical)
+          .map { case (scan, cols) => s"fatScan($scan: ${cols.mkString(",")})" +
+            triage(graft.plans.PlanTriage.fatScan) }
         val all = hits ++ (if (globalWindows > 0)
           Seq(s"globalWin=$globalWindows${triage(graft.plans.PlanTriage.globalWindow)}")
-        else Nil)
+        else Nil) ++ fat
         audited += 1
         if (all.nonEmpty) println(s"[planaudit] $name: ${all.mkString(" ")}")
       } catch {

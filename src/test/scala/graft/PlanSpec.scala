@@ -30,11 +30,14 @@ class PlanSpec extends SparkSpec {
     val globalWinTriaged = graft.plans.PlanTriage.globalWindow.keySet
     def hasGlobalWindow(p: String): Boolean =
       graft.plans.PlanTriage.globalWindowCount(p) > 0
+    val fatScanTriaged = graft.plans.PlanTriage.fatScan.keySet
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     val sortAggSeen = scala.collection.mutable.Set.empty[String]
     val globalWinSeen = scala.collection.mutable.Set.empty[String]
+    val fatScanSeen = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val p = plan(name)
+      val physical = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val p = physical.toString
       if (p.contains("CartesianProduct")) offenders += s"$name: CartesianProduct"
       if (hasGlobalWindow(p)) {
         globalWinSeen += name
@@ -44,12 +47,23 @@ class PlanSpec extends SparkSpec {
         sortAggSeen += name
         if (!sortAggTriaged(name)) offenders += s"$name: untriaged SortAggregate"
       }
+      // missed column pruning: a parquet scan reading a column no operator
+      // consumes is silent IO waste that only grows with the data
+      val fat = graft.plans.PlanTriage.unprunedScanColumns(physical)
+      if (fat.nonEmpty) {
+        fatScanSeen += name
+        if (!fatScanTriaged(name))
+          offenders += s"$name: untriaged fat scan ${fat.map { case (s, c) => s"$s[${c.mkString(",")}]" }.mkString(" ")}"
+      }
     }
     (sortAggTriaged -- sortAggSeen).toSeq.sorted.foreach { name =>
       offenders += s"$name: STALE PlanTriage.sortAgg entry (plan no longer has a SortAggregate)"
     }
     (globalWinTriaged -- globalWinSeen).toSeq.sorted.foreach { name =>
       offenders += s"$name: STALE PlanTriage.globalWindow entry (plan no longer has a global Window)"
+    }
+    (fatScanTriaged -- fatScanSeen).toSeq.sorted.foreach { name =>
+      offenders += s"$name: STALE PlanTriage.fatScan entry (plan no longer has an unpruned scan)"
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
