@@ -150,6 +150,49 @@ object Fact {
         .withColumn("sk_venda", col("sk_venda") * nSlices + i)
     }.reduce(_ unionAll _)
 
+  /** RESTARTABLE slice-by-slice backfill runner (VERDICT r11 #4): the
+    * operational form of [[fatoVendasBackfill]] with a per-slice recovery
+    * contract. Each slice is written to its own hive-style partition dir
+    * `outDir/slice=<i>` with `mode(overwrite)`, so Spark's rename-based
+    * commit leaves `_SUCCESS` in the dir exactly when the slice is complete:
+    *  - a slice dir WITH `_SUCCESS` is done — a re-run skips it (its files
+    *    are never touched, pinned by FactBackfillSpec's mtime check);
+    *  - a slice dir WITHOUT `_SUCCESS` (mid-slice crash: task files or
+    *    nothing) is re-run via overwrite, which deletes the partials first.
+    * Crash-and-rerun therefore converges to exactly the clean run's sink
+    * (spec pins grain/measure checksums equal), and re-running a finished
+    * backfill is a no-op. The `slice` partition column doubles as the
+    * manifest: `spark.read.parquet(outDir)` discovers it, and per-slice
+    * provenance is queryable for free (drop it to get the batch schema).
+    *
+    * No surrogate key here (the slices are independent jobs; a per-run
+    * unique id would not be stable across crash/rerun) — downstream loads
+    * that need one apply [[Surrogate.uniqueKey]] on the read-back, or use
+    * the in-plan [[fatoVendasBackfill]] whose stretched key is job-scoped.
+    *
+    * Returns the slice ids actually executed this invocation.
+    */
+  def backfillSlices(vendas: DataFrame, itemVendas: DataFrame, dimTempo: DataFrame,
+                     dimCliente: DataFrame, dimProduto: DataFrame, dimVendedor: DataFrame,
+                     dimLoja: DataFrame, nSlices: Int, outDir: String,
+                     onSliceDone: Int => Unit = _ => ()): Seq[Int] = {
+    val spark = vendas.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    (0 until nSlices).flatMap { i =>
+      val sliceDir = s"$outDir/slice=$i"
+      val done = new org.apache.hadoop.fs.Path(sliceDir, "_SUCCESS")
+      val fs = done.getFileSystem(hconf)
+      if (fs.exists(done)) None
+      else {
+        fatoVendasSlice(vendas, itemVendas, dimTempo, dimCliente, dimProduto,
+            dimVendedor, dimLoja, nSlices, i)
+          .write.mode("overwrite").parquet(sliceDir)
+        onSliceDone(i)
+        Some(i)
+      }
+    }
+  }
+
   /** v2 — the DEAD richer variant (etl_completo.py:810-934), kept in the
     * inventory because it is the only consumer of the promo path (J7/J9,
     * SURVEY §3.3). Differences from v1: no row is ever dropped for its date

@@ -478,33 +478,39 @@ object Multimodal {
           val docId = r.getLong(0)
           val nullRow = Seq(Row(docId, null, null, null, null, null, null, null))
           try {
+            // try/finally on BOTH the stream and the reader: a throwing
+            // read(f) must still release native/heap codec resources —
+            // per-row leaks on corrupt payloads accumulate on executors
+            // (ADVICE r11).
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) nullRow
-            else {
-              val reader = readers.next()
-              reader.setInput(iis, false)
-              val n = reader.getNumImages(true)
-              val rows = (0 until n).map { f =>
-                val img = reader.read(f)
-                val w = img.getWidth; val h = img.getHeight
-                var sr = 0L; var sg = 0L; var sb = 0L
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val rgb = img.getRGB(x, y)
-                    sr += (rgb >>> 16) & 255; sg += (rgb >>> 8) & 255; sb += rgb & 255
-                    x += 1
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) nullRow
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis, false)
+                  val n = reader.getNumImages(true)
+                  (0 until n).map { f =>
+                    val img = reader.read(f)
+                    val w = img.getWidth; val h = img.getHeight
+                    var sr = 0L; var sg = 0L; var sb = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val rgb = img.getRGB(x, y)
+                        sr += (rgb >>> 16) & 255; sg += (rgb >>> 8) & 255; sb += rgb & 255
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    Row(docId, n, f, w, h, sr, sg, sb)
                   }
-                  y += 1
-                }
-                Row(docId, n, f, w, h, sr, sg, sb)
+                } finally reader.dispose()
               }
-              reader.dispose()
-              rows
-            }
+            } finally iis.close()
           } catch { case scala.util.control.NonFatal(_) => nullRow }
         }
       }

@@ -360,20 +360,34 @@ object TextAnalysis {
     * left-to-right fold — `[a,a,a]` under merge (a,a) becomes `[aa,a]`,
     * and a just-merged symbol only re-merges when its concatenation
     * literally equals the left symbol (standard BPE). The DuckDB oracle
-    * replays the same rounds with a double non-overlapping string-replace
-    * (two passes: the first takes the leftmost chain alternately — a
-    * replacement consumes the shared delimiter space — the second sweeps
-    * the isolated leftovers), which BpeTrainSpec pins equal to the fold.
+    * replays the same rounds with ONE non-overlapping string-replace over
+    * a double-space-delimited segmentation (the pattern consumes one space
+    * from each boundary, so adjacent matches — including self-pair runs —
+    * never share a delimiter), which BpeTrainSpec pins equal to the fold.
     */
   def bpeTrain(docs: DataFrame, id: String, text: String, rounds: Int,
                checkpointDir: Option[String] = None): DataFrame = {
-    require(rounds >= 1, "bpeTrain needs at least one merge round")
     val ckRoot = IterState.root(checkpointDir)
+    val (merges, seg) = bpeLoop(docs, text, rounds, ckRoot)
+    // the merge list never reads the final segmentation back — drop its
+    // (reliable-mode) files too; the 1-row `best` checkpoints carry the result
+    IterState.drop(seg, ckRoot, rounds)
+    merges.reverse.reduce(_ unionAll _)
+  }
+
+  /** The shared train loop: returns the per-round merge rows AND the final
+    * (word, freq, sym) vocabulary segmentation after all `rounds` merges —
+    * [[bpeTrain]] keeps only the former, [[bpeTokenize]] consumes the
+    * latter. The word column rides the (vocabulary-sized) round state so
+    * the final segmentation is joinable back to the corpus. */
+  private def bpeLoop(docs: DataFrame, text: String, rounds: Int,
+                      ckRoot: Option[String]): (List[DataFrame], DataFrame) = {
+    require(rounds >= 1, "bpeTrain needs at least one merge round")
     val vocab = docs.select(explode(words(col(text))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     var seg = IterState(
-      vocab.select(col("freq"), split(col("word"), "").as("sym")), ckRoot, 0)
+      vocab.select(col("word"), col("freq"), split(col("word"), "").as("sym")), ckRoot, 0)
     var merges = List.empty[DataFrame]
     for (r <- 1 to rounds) {
       val best = seg.filter(size(col("sym")) >= 2)
@@ -389,7 +403,7 @@ object TextAnalysis {
         .localCheckpoint()
       merges ::= best.select(lit(r.toLong).as("round"), col("pair"), col("total_count"))
       val applied = seg.crossJoin(broadcast(best.select(col("ab"))))
-        .select(col("freq"),
+        .select(col("word"), col("freq"),
           aggregate(col("sym"), array().cast("array<string>"), (acc, s) =>
             when(size(acc) > 0 &&
                 element_at(acc, -1) === element_at(col("ab"), 1) &&
@@ -401,10 +415,38 @@ object TextAnalysis {
       IterState.drop(seg, ckRoot, r - 1)
       seg = next
     }
-    // the merge list never reads the final segmentation back — drop its
-    // (reliable-mode) files too; the 1-row `best` checkpoints carry the result
-    IterState.drop(seg, ckRoot, rounds)
-    merges.reverse.reduce(_ unionAll _)
+    (merges, seg)
+  }
+
+  /** Tokenize with the TRAINED merge list (VERDICT r11 #3 — the q_bpe_train
+    * artifact's first consumer): replay the K learned merges over the
+    * vocabulary (the same loop that trained them, so the tokens provably
+    * come from that merge list), then map the corpus token stream through
+    * the resulting word→symbols table. Output: one row per
+    * (doc, word position, token position within word, token), the
+    * subword-tokenized corpus a training pipeline feeds to packing.
+    *
+    * Scale shape: training work is vocabulary-sized per round (bpeTrain's
+    * bound, unchanged); the application is ONE corpus explode + ONE equi
+    * join on `word` (vocabulary table — shuffle-partitioned, AQE broadcasts
+    * it when small; never all-pairs) + a per-row explode of each word's
+    * symbols. No new iteration, no driver loop.
+    */
+  def bpeTokenize(docs: DataFrame, id: String, text: String, rounds: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val ckRoot = IterState.root(checkpointDir)
+    val (_, seg) = bpeLoop(docs, text, rounds, ckRoot)
+    // word_idx counts ALL split positions (1-based, empties included) and
+    // only then drops empty words — position numbering is split-stable
+    val toks = docs
+      .select(col(id).as("doc_id"), posexplode(words(col(text))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("word_idx"),
+        col("col").as("word"))
+      .filter(length(col("word")) >= 1)
+    toks.join(seg.select(col("word"), col("sym")), Seq("word"))
+      .select(col("doc_id"), col("word_idx"), posexplode(col("sym")))
+      .select(col("doc_id"), col("word_idx"),
+        (col("pos") + 1).cast("long").as("token_idx"), col("col").as("token"))
   }
 
   /** Overlapping token-window chunking — the RAG/embedding-prep sibling of

@@ -184,39 +184,67 @@ object OracleSql {
     */
   /** q_bpe_train mirror: K unrolled BPE merge rounds over the word-level
     * vocabulary. Per round: adjacent-pair counts weighted by word frequency,
-    * argmax (count DESC, pair ASC), then a DOUBLE non-overlapping
-    * string-replace applies the merge to the space-delimited segmentation —
-    * pass one takes alternating matches of an adjacent chain (each
-    * replacement consumes the shared delimiter space), pass two sweeps the
-    * now-isolated leftovers, which equals the engine's greedy left-to-right
-    * symbol fold (BpeTrainSpec pins the equivalence property-style). */
-  def bpeTrainChainSql(rounds: Int): String = {
+    * argmax (count DESC, pair ASC), then ONE non-overlapping left-to-right
+    * string-replace applies the merge to a DOUBLE-space-delimited
+    * segmentation (`␣␣a␣␣b␣␣…`): every token boundary carries two spaces
+    * and the pattern `␣a␣␣b␣` consumes exactly one space from each side,
+    * so adjacent matches never compete for a shared delimiter and the
+    * single pass is exactly the engine's greedy left-to-right symbol fold —
+    * INCLUDING self-pair merges (a,a) over runs of any length, where the
+    * previous single-space two-pass scheme diverged (pass one's consumed
+    * shared space skipped every other pair of a run ≥ 5). BpeTrainSpec pins
+    * the equivalence property-style with explicit run cases. */
+  /** The shared v/s0/b1..bK/s1..sK CTE chain both BPE mirrors build on. */
+  private def bpeChainCtes(rounds: Int): String = {
     def merged(b: String) = s"' ' || (SELECT replace(pair, ' ', '') FROM $b) || ' '"
-    def patt(b: String) = s"' ' || (SELECT pair FROM $b) || ' '"
+    def patt(b: String) = s"' ' || (SELECT replace(pair, ' ', '  ') FROM $b) || ' '"
     val steps = (1 to rounds).map { i =>
       val prev = s"s${i - 1}"
       s"""b$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS total_count FROM (
          |        SELECT freq, unnest(list_transform(range(1, len(s)),
          |          j -> s[j] || ' ' || s[j+1])) AS pair
-         |        FROM (SELECT freq, string_split(trim(seg), ' ') AS s FROM $prev)
+         |        FROM (SELECT freq, string_split(trim(seg), '  ') AS s FROM $prev)
          |        WHERE len(s) >= 2)
          |      GROUP BY pair ORDER BY total_count DESC, pair LIMIT 1),
-         |s$i AS (SELECT freq, replace(replace(seg,
-         |        ${patt(s"b$i")}, ${merged(s"b$i")}),
+         |s$i AS (SELECT freq, replace(seg,
          |        ${patt(s"b$i")}, ${merged(s"b$i")}) AS seg FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS round, pair, total_count FROM b$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+    s"""v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
        |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |      WHERE length(word) >= 1 GROUP BY 1),
        |s0 AS (SELECT freq,
-       |        ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seg
+       |        '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seg
        |      FROM v),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  def bpeTrainChainSql(rounds: Int): String = {
+    val out = (1 to rounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, pair, total_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeChainCtes(rounds)}
        |SELECT round, pair, total_count FROM ($out) ORDER BY round""".stripMargin
   }
+
+  /** q_tokenize_bpe mirror: the final round's segmentation applied back to
+    * the corpus. The segmentation string is its own vocabulary map — the
+    * word is the seg with all delimiters removed, the symbols are the
+    * double-space-split tokens — so no extra state leaves the chain.
+    * word_idx numbers ALL single-space-split positions (1-based, empties
+    * included) before empty words are dropped, mirroring the engine's
+    * posexplode-then-filter. */
+  def bpeTokenizeChainSql(rounds: Int): String =
+    s"""WITH ${bpeChainCtes(rounds)},
+       |vm AS (SELECT replace(seg, ' ', '') AS word,
+       |              string_split(trim(seg), '  ') AS sym FROM s$rounds),
+       |toks AS (SELECT doc_id, CAST(j AS BIGINT) AS word_idx, ws[j] AS word
+       |         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |              unnest(range(1, len(ws) + 1)) u(j)
+       |         WHERE length(ws[j]) >= 1)
+       |SELECT t.doc_id, t.word_idx, CAST(j AS BIGINT) AS token_idx, sym[j] AS token
+       |FROM toks t JOIN vm ON t.word = vm.word,
+       |     unnest(range(1, len(sym) + 1)) u(j)
+       |ORDER BY doc_id, word_idx, token_idx""".stripMargin
 
   def pagerankChainSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>

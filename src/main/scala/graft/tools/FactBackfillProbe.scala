@@ -26,17 +26,22 @@ import org.apache.spark.sql.functions._
   *    header⋈lines join (a count-only, two-column join — cheap even where
   *    the full build ENOSPCs) that the sink total must equal.
   *
+  * RESTARTABLE (r11 #4): slices go through
+  * [[graft.operators.Fact.backfillSlices]] — per-slice `slice=<i>` dirs
+  * whose `_SUCCESS` marker is the completion manifest, so re-running this
+  * probe against an existing outDir completes exactly the missing/partial
+  * slices and skips finished ones (the JSON reports which ran). A re-run
+  * can therefore no longer double-count — the old must-not-exist guard is
+  * gone by design.
+  *
   * Usage: runMain graft.tools.FactBackfillProbe <sfDir> [nSlices] [outDir]
   */
 object FactBackfillProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nSlices = if (args.length > 1) args(1).toInt else 8
-    val out = if (args.length > 2) {
-      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(args(2))),
-        s"output dir ${args(2)} already exists — appended rows would double-count; remove it first")
-      args(2)
-    } else java.nio.file.Files.createTempDirectory("fact_backfill").toString
+    val out = if (args.length > 2) args(2)
+      else java.nio.file.Files.createTempDirectory("fact_backfill").toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,16 +78,18 @@ object FactBackfillProbe {
     val vendas = graft.sources.Crm.vendas(spark, sfDir)
     val itens = graft.sources.Crm.itemVendas(spark, sfDir)
 
-    val slices = (0 until nSlices).map { i =>
-      val t0 = System.nanoTime()
-      val slice = graft.operators.Fact.fatoVendasSlice(vendas, itens,
-        w.dimTempo, w.dimCliente, w.dimProduto, w.dimVendedor, w.dimLoja,
-        nSlices, i)
-      slice.write.mode("append").parquet(out)
-      val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[backfill] slice $i/$nSlices wall=$wall%.1fs free_gb=${fsRoot.getUsableSpace / 1e9}%.1f")
-      wall
-    }
+    val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var tSlice = System.nanoTime()
+    val ran = graft.operators.Fact.backfillSlices(vendas, itens,
+      w.dimTempo, w.dimCliente, w.dimProduto, w.dimVendedor, w.dimLoja,
+      nSlices, out, onSliceDone = { i =>
+        val wall = (System.nanoTime() - tSlice) / 1e9
+        walls += wall
+        tSlice = System.nanoTime()
+        println(f"[backfill] slice $i/$nSlices wall=$wall%.1fs free_gb=${fsRoot.getUsableSpace / 1e9}%.1f")
+      })
+    if (ran.length < nSlices)
+      println(s"[backfill] resumed: ${nSlices - ran.length} slices already committed, ran ${ran.mkString(",")}")
 
     // independent expected-row count: the J1 join after the F13 row filter,
     // carrying ONLY the join key — no dims, no measures, no wide shuffle
@@ -106,8 +113,9 @@ object FactBackfillProbe {
     }
     val json =
       s"""{"metric":"fact_backfill","sf_dir":"$sfDir","n_slices":$nSlices,""" +
-      s""""slice_wall_sec":[${slices.map(s => f"$s%.1f").mkString(",")}],""" +
-      s""""total_wall_sec":${f"${slices.sum}%.1f"},""" +
+      s""""slices_run":[${ran.mkString(",")}],""" +
+      s""""slice_wall_sec":[${walls.map(s => f"$s%.1f").mkString(",")}],""" +
+      s""""total_wall_sec":${f"${walls.sum}%.1f"},""" +
       s""""rows":${check.getLong(0)},"expected_rows":$expected,""" +
       s""""rows_match":${check.getLong(0) == expected},""" +
       s""""grain_hash":${check.getLong(1)},"measure_hash":${check.getLong(2)},""" +

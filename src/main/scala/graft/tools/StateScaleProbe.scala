@@ -86,6 +86,27 @@ object StateScaleProbe {
       case other => sys.error(s"unknown mode '$other' (dedup|session|join)")
     }
 
+    // Peak-state accumulation via a listener: q.recentProgress only retains
+    // the most recent ~100 progress reports (numRecentProgressUpdates), so
+    // reading it after termination under-reports runs with more batches —
+    // exactly the long runs this probe exists to measure (ADVICE r11).
+    val peakRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        nBatches.incrementAndGet()
+        e.progress.stateOperators.foreach { so =>
+          peakRows.getAndAccumulate(so.numRowsTotal, Math.max(_, _))
+          peakMem.getAndAccumulate(so.memoryUsedBytes, Math.max(_, _))
+        }
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
     val t0 = System.nanoTime()
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
@@ -96,18 +117,21 @@ object StateScaleProbe {
       .start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
-    // state-store metrics straight from the engine's progress reports: the
-    // MAX across micro-batches is the run's peak state footprint
-    val progresses = q.recentProgress.toSeq
-    val stateRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal))
-    val stateMem = progresses.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+    // Listener delivery is async — the parquet count below gives the bus
+    // ample time to drain; still union with recentProgress (bounded, but
+    // covers any straggler events) so the reported max can only be ≥ either
+    // source alone.
     val n = spark.read.parquet(out).count()
+    spark.streams.removeListener(listener)
+    val progresses = q.recentProgress.toSeq
+    val stateRows = (progresses.flatMap(_.stateOperators.map(_.numRowsTotal)) :+ peakRows.get).max
+    val stateMem = (progresses.flatMap(_.stateOperators.map(_.memoryUsedBytes)) :+ peakMem.get).max
     val json =
       s"""{"metric":"state_scale","mode":"$mode","provider":"${provider.split('.').last}",""" +
       s""""sf_dir":"$sfDir","wall_sec":${f"$wall%.1f"},"sink_rows":$n,""" +
-      s""""n_batches":${progresses.length},""" +
-      s""""max_state_rows":${if (stateRows.isEmpty) 0 else stateRows.max},""" +
-      s""""max_state_mem_mb":${f"${if (stateMem.isEmpty) 0.0 else stateMem.max / 1e6}%.1f"}}"""
+      s""""n_batches":${Math.max(nBatches.get, progresses.length)},""" +
+      s""""max_state_rows":$stateRows,""" +
+      s""""max_state_mem_mb":${f"${stateMem / 1e6}%.1f"}}"""
     println(json)
     spark.stop()
   }

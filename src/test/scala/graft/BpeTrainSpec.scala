@@ -6,11 +6,12 @@ import graft.operators.TextAnalysis
 /** Pins q_bpe_train's two load-bearing equivalences:
   *  1. the engine's greedy left-to-right merge fold equals a reference
   *     single-pass greedy merge on randomized symbol sequences;
-  *  2. the DuckDB oracle's DOUBLE non-overlapping string-replace equals
-  *     that same greedy merge (the delimiter-sharing subtlety: pass one
-  *     takes alternating matches of an adjacent chain, pass two sweeps the
-  *     isolated leftovers — two passes always suffice because pass-one
-  *     leftovers are separated by taken matches).
+  *  2. the DuckDB oracle's SINGLE non-overlapping string-replace over the
+  *     DOUBLE-space-delimited segmentation equals that same greedy merge
+  *     (every boundary carries two spaces; the pattern `␣a␣␣b␣` consumes
+  *     one from each side, so adjacent matches never compete for a shared
+  *     delimiter — which the old single-space two-pass scheme did, breaking
+  *     self-pair merges over runs ≥ 5; those runs are explicit cases here).
   * Plus an end-to-end merge-list check against a driver-side reference
   * trainer on a small corpus.
   */
@@ -29,13 +30,13 @@ class BpeTrainSpec extends SparkSpec {
     out.toList
   }
 
-  /** The oracle's merge: double non-overlapping replace on the
-    * space-wrapped delimited form. */
+  /** The oracle's merge: ONE non-overlapping left-to-right replace on the
+    * double-space-delimited form (pattern takes one space from each
+    * boundary, so no two matches share a delimiter). */
   private def replMerge(sym: List[String], a: String, b: String): List[String] = {
-    val seg = " " + sym.mkString(" ") + " "
-    val once = seg.replace(s" $a $b ", s" ${a + b} ")
-    val twice = once.replace(s" $a $b ", s" ${a + b} ")
-    twice.trim.split(" ").filter(_.nonEmpty).toList
+    val seg = "  " + sym.mkString("  ") + "  "
+    val once = seg.replace(s" $a  $b ", s" ${a + b} ")
+    once.trim.split("  ").filter(_.nonEmpty).toList
   }
 
   test("greedy fold == reference merge == oracle double-replace, randomized") {
@@ -44,7 +45,10 @@ class BpeTrainSpec extends SparkSpec {
     val cases = (1 to 200).map { _ =>
       List.fill(1 + rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.size)))
     } :+ List("a", "b", "a", "b", "a", "b") :+ List("a", "a", "a") :+
-      List("a", "a", "a", "a") :+ List("ab", "a", "b", "ab")
+      List("a", "a", "a", "a") :+ List("ab", "a", "b", "ab") :+
+      List.fill(5)("a") :+ List.fill(6)("a") :+ List.fill(7)("a") :+
+      List.fill(9)("a") :+ ("b" :: List.fill(6)("a")) :+
+      (List.fill(5)("a") :+ "b")
     val (a, b) = ("a", "b")
     // engine fold over the same sequences
     val df = cases.zipWithIndex.map { case (c, i) => (i, c) }.toDF("id", "sym")

@@ -57,6 +57,44 @@ class FactBackfillSpec extends SparkSpec {
     assert(n === batch.count())
   }
 
+  test("backfillSlices: crash-and-rerun converges to the clean run, done slices untouched") {
+    val (v, iv, t, c, p, vd, l) = inputs
+    def checksum(dir: String) =
+      spark.read.parquet(dir).agg(
+        count(lit(1)),
+        sum(xxhash64(col("id_venda"), col("id_produto"))),
+        sum(xxhash64(floor(col("valor_final") * 100 + 0.5),
+          floor(col("custo_total_item") * 10000 + 0.5)))).collect()(0)
+
+    val clean = java.nio.file.Files.createTempDirectory("bf_clean").toString
+    val ranClean = Fact.backfillSlices(v, iv, t, c, p, vd, l, 4, clean)
+    assert(ranClean === Seq(0, 1, 2, 3))
+
+    // crashed run: slices 0-1 committed; slice 2 died mid-write (task files
+    // present, no _SUCCESS); slice 3 never started
+    val crashed = java.nio.file.Files.createTempDirectory("bf_crash").toString
+    Fact.backfillSlices(v, iv, t, c, p, vd, l, 4, crashed)
+    val s2 = new java.io.File(s"$crashed/slice=2")
+    assert(new java.io.File(s2, "_SUCCESS").delete())
+    s2.listFiles().filter(_.getName.endsWith(".parquet")).take(1).foreach(f => assert(f.delete()))
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRec); f.delete()
+    }
+    rmRec(new java.io.File(s"$crashed/slice=3"))
+
+    val mtimes01 = (0 to 1).flatMap(i =>
+      new java.io.File(s"$crashed/slice=$i").listFiles().map(f => f.getPath -> f.lastModified))
+    val reran = Fact.backfillSlices(v, iv, t, c, p, vd, l, 4, crashed)
+    assert(reran === Seq(2, 3), "rerun must execute exactly the missing/partial slices")
+    mtimes01.foreach { case (path, mt) =>
+      assert(new java.io.File(path).lastModified === mt, s"$path was rewritten")
+    }
+    assert(checksum(crashed).toSeq === checksum(clean).toSeq)
+    // and a third run over the now-complete sink is a no-op
+    assert(Fact.backfillSlices(v, iv, t, c, p, vd, l, 4, crashed).isEmpty)
+    rmRec(new java.io.File(clean)); rmRec(new java.io.File(crashed))
+  }
+
   test("slice filter sits over the scan — no shuffle feeds it") {
     val (v, iv, t, c, p, vd, l) = inputs
     val plan = Fact.fatoVendasSlice(v, iv, t, c, p, vd, l, 4, 1)

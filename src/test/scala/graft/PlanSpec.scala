@@ -68,6 +68,47 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("fat-scan classifier positive control: a deliberately unpruned scan IS flagged") {
+    // The whole-surface gate above reports ZERO fat scans — this test proves
+    // that zero is evidence, not a detector that never engages (the
+    // Md5Slice60 lesson: a gate that silently can't fire guards nothing).
+    // Excluding Catalyst's ColumnPruning rule leaves no Project between the
+    // aggregate and the relation, so FileSourceStrategy's PhysicalOperation
+    // falls back to the full relation output: the scan reads all three
+    // region columns while the aggregate consumes only r_regionkey.
+    import org.apache.spark.sql.functions.{col, sum}
+    val key = "spark.sql.optimizer.excludedRules"
+    val old = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.catalyst.optimizer.ColumnPruning")
+      val fat = graft.plans.PlanTriage.unprunedScanColumns(
+        spark.read.parquet(s"$dir/region.parquet")
+          .agg(sum(col("r_regionkey"))).queryExecution.executedPlan)
+      assert(fat.nonEmpty, "classifier failed to flag a scan with unconsumed columns")
+      // at least one of the two never-consumed columns must be named (the
+      // physical plan may still partially prune; the control only needs the
+      // detector to FIRE on a genuinely unconsumed scan column)
+      assert(fat.head._2.nonEmpty &&
+        fat.head._2.toSet.subsetOf(Set("r_name", "r_comment")), fat.toString)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // sanity: the same query with the optimizer intact is clean — the flag
+    // above came from the plan shape, not from an always-firing detector
+    val clean = graft.plans.PlanTriage.unprunedScanColumns(
+      spark.read.parquet(s"$dir/region.parquet")
+        .agg(sum(col("r_regionkey"))).queryExecution.executedPlan)
+    assert(clean.isEmpty, clean.toString)
+    // and the documented Union under-approximation stays silent (positional
+    // passthrough marks child outputs used — no false alarm, by design)
+    val union = graft.plans.PlanTriage.unprunedScanColumns(
+      spark.read.parquet(s"$dir/region.parquet").select(col("r_regionkey"))
+        .union(spark.read.parquet(s"$dir/region.parquet").select(col("r_regionkey")))
+        .queryExecution.executedPlan)
+    assert(union.isEmpty, union.toString)
+  }
+
   test("q_scan_project pushes the filter into the parquet scan") {
     val p = plan("q_scan_project")
     assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,1000.0)]"), p.take(2000))
