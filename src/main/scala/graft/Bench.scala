@@ -271,10 +271,17 @@ object Bench {
       "artifact:lsh_pairs" -> "q_dedup",
       "artifact:fixedk_centroids" -> "q_ann")
     val artifactTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Heap attribution (VERDICT r11 #7: end-of-run heap doubled round-over-
+    // round, unexplained): one unforced heap sample at each family-window
+    // boundary — the per-family deltas name WHERE retention grows, at the
+    // cost of one Runtime call, no GC, no wall inflation.
+    val familyHeap = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var prevFamily = ""
     val results = ordered.map { case (name, fn) =>
       if (family(name) != prevFamily) {
         spark.catalog.clearCache()
+        familyHeap(family(name)) =
+          (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
         artifactFamily.toSeq.sortBy(_._1)
           .filter { case (_, af) => af == family(name) }
           .foreach { case (an, _) =>
@@ -308,6 +315,15 @@ object Bench {
       }.mkString("{", ",", "}")
     val heapUsedMb =
       (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+    // Forced-GC live-set sample, AFTER all timed work: heap_used_mb minus
+    // this is garbage a collection would reclaim (benign); heap_live_mb
+    // growing round-over-round is real retention worth chasing.
+    val heapLiveMb = {
+      System.gc(); Thread.sleep(200); System.gc()
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+    }
+    val famHeapJson = familyHeap.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
     val artifactSec = artifactTimes.values.sum
     val total = results.flatMap(_._2).sum + artifactSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -325,7 +341,7 @@ object Bench {
       if (stealRunStart < 0 || s1 < 0) -1L else s1 - stealRunStart
     }
     val line =
-      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"telemetry":$tele,"jvm_gc_total_ms":$jvmGcMs,"host_steal_total_ms":$stealRunTotal,"canary_baseline_us":$canaryBaselineUs,"heap_used_mb":$heapUsedMb,"sf":"$sfDir","cpus":$cpus,"full_suite":$isFullRun,"n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"telemetry":$tele,"jvm_gc_total_ms":$jvmGcMs,"host_steal_total_ms":$stealRunTotal,"canary_baseline_us":$canaryBaselineUs,"heap_used_mb":$heapUsedMb,"heap_live_mb":$heapLiveMb,"family_heap_mb":$famHeapJson,"sf":"$sfDir","cpus":$cpus,"full_suite":$isFullRun,"n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
     // Also persist the full result next to the build (harness tail keeps
     // only ~2000 chars of stdout; the file preserves every per-query time).
     // Anchored to the JVM working directory explicitly, and a write failure

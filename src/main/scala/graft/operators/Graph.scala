@@ -228,6 +228,11 @@ object Graph {
     // the recomputation is 3^(2·maxIter) over the base lineage (measured:
     // 47.6 s for 2 rounds at sf0.1 lazy vs 2.9 s checkpointed).
     def normalized(df: DataFrame, c: String, round: Int): DataFrame = {
+      // RAW half-step sums stay fp64 in reliable mode: round 1 runs on
+      // h ≡ 1, so a raw authority sum reaches the max in-degree — quantized
+      // at 1e12 that overflows the 2^53 exact-long window beyond ~9e3, a
+      // bound real graphs break (the applyQuantized negative result for
+      // this state; the NORMALIZED states below are the safe ones).
       val raw = IterState(df, ckRoot, round)
       val m = raw.agg(max(abs(col(c))).as("m"))
       val ss = raw.crossJoin(broadcast(m))
@@ -238,12 +243,21 @@ object Graph {
       // division would emit NaN that detRound propagates silently. Guard to
       // an all-zero score vector — the mathematically consistent limit, and
       // deterministic where NaN ordering is not (ADVICE r10).
-      val out = IterState(
+      // L2-normalized scores are |·| ≤ 1 and already detRound(_, 10)-
+      // quantized — exactly applyQuantized's contract (pagerank's r11
+      // recipe): reliable-mode checkpoints carry the 1e10-scaled LONG and
+      // the read-back division is bit-identical. MEASURED at sf10 (15M
+      // edges, IterIoProbe r12): wall 12–13 s and state bytes 174.7 MB on
+      // BOTH sides, checksum equal — the pagerank 2.4× file shrink does
+      // NOT transfer here, because HITS scores are degree-diverse (high-
+      // entropy longs; pagerank's win came from repeated rank values that
+      // dictionary/delta-pack). Kept for recipe consistency at zero cost.
+      val out = IterState.applyQuantized(
         raw.crossJoin(broadcast(ss))
           .select(col("node"),
             when(col("m") === 0.0, lit(0.0)).otherwise(
               detRound(col(c) / (col("m") * sqrt(col("ssq") / normQuant)), 10)).as(c)),
-        ckRoot, round + 1)
+        ckRoot, round + 1, c, 10)
       IterState.drop(raw, ckRoot, round)
       out
     }
@@ -612,7 +626,10 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     // checkpoint per round ([[IterState]]), same rationale as [[pagerank]]:
-    // O(1) lineage depth instead of O(rounds)
+    // O(1) lineage depth instead of O(rounds). applyQuantized negative
+    // result (VERDICT r11 #5): this state is (node, label) — both LONGs
+    // already, parquet delta/dictionary-packs them natively; there is no
+    // fp64 payload to quantize away.
     var cur = IterState(labels.select(col("node"), col("label")), ckRoot, 0)
     var iter = 0
     var stable = false

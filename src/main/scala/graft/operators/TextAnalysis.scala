@@ -587,7 +587,7 @@ object TextAnalysis {
     */
   def dsirSelect(docs: DataFrame, id: String, text: String,
                  targetPred: Column, n: Int = 100, dim: Int = 1024,
-                 quantScale: Double = 1e6): DataFrame = {
+                 quantScale: Double = 1e6, releaseCache: Boolean = false): DataFrame = {
     // deliberate materialization (the triangleStats argument): the hashed
     // feature table feeds three differently-shaped consumers (target
     // counts, raw counts, the per-doc weighted sum) — uncached, each
@@ -616,17 +616,25 @@ object TextAnalysis {
           (((col("ct") + 1).cast("double") * (col("rt") + dim).cast("double"))
             / ((col("cr") + 1).cast("double") * (col("tt") + dim).cast("double"))
             - lit(1.0)) * quantScale + lit(0.5)).cast("long").as("lam_q"))
-    // Lifecycle: the feats cache stays registered until the session drops
-    // it (Bench clears caches at family boundaries; a library caller doing
-    // repeated selections should unpersist via spark.catalog.clearCache or
-    // re-plan). Deliberately NOT the eager materialize-then-release recipe:
-    // that would hand back an opaque pre-computed cache and hide the
-    // TakeOrdered/broadcast plan shape the whole-surface gate inspects.
-    feats.join(broadcast(lam), Seq("bucket"))
+    // Lifecycle: by default the feats cache stays registered until the
+    // session drops it (Bench clears caches at family boundaries) — the
+    // lazy plan keeps the TakeOrdered/broadcast shape the whole-surface
+    // gate inspects. `releaseCache = true` is the long-lived-session hook
+    // (VERDICT r11 #8): the n-row result is materialized eagerly
+    // (localCheckpoint of ≤ n rows) and the corpus-sized feature cache is
+    // unpersisted before returning, so repeated selections can't
+    // accumulate session storage.
+    val out = feats.join(broadcast(lam), Seq("bucket"))
       .groupBy(col("doc_id")).agg(sum(col("f") * col("lam_q")).as("score_q"))
       .orderBy(col("score_q").desc, col("doc_id")).limit(n)
       .select(col("doc_id"),
         detRound(col("score_q").cast("double") / quantScale, 4).as("score"))
+    if (!releaseCache) out
+    else {
+      val materialized = out.localCheckpoint()
+      feats.unpersist()
+      materialized
+    }
   }
 
   /** Sparse TF-IDF cosine near-duplicate pairs via the inverted index —

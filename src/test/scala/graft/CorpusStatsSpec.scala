@@ -698,6 +698,18 @@ class CorpusStatsSpec extends SparkSpec {
       .orderBy($"score".desc, $"doc_id").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(again.toSeq === out.toSeq)
+    // releaseCache hook: identical result, and the corpus-sized feature
+    // cache does NOT survive the call (long-lived-session contract)
+    spark.catalog.clearCache()
+    val released = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        col("lang") === "en", n = 3, releaseCache = true)
+      .orderBy($"score".desc, $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(released.toSeq === out.toSeq)
+    // only the n-row localCheckpoint may remain registered — the feats
+    // cache (a plan-cached Dataset) must be gone from the cache manager
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dsirSelect(releaseCache = true) left its feature cache registered")
   }
 
   test("hits: star graph — the 3-edge hub out-scores the 1-edge hub, scores stay L2-normalized") {

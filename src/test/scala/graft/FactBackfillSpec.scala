@@ -95,6 +95,22 @@ class FactBackfillSpec extends SparkSpec {
     rmRec(new java.io.File(clean)); rmRec(new java.io.File(crashed))
   }
 
+  test("suggestSlices: K sized from on-disk input bytes vs the scratch budget") {
+    val a = spark.read.parquet(s"$dir/orders.parquet")
+    val b = spark.read.parquet(s"$dir/lineitem.parquet")
+    val bytes = Seq("orders", "lineitem")
+      .map(t => new java.io.File(s"$dir/$t.parquet").length).sum
+    // a huge budget needs no slicing; the formula is ceil(bytes·exp/budget)
+    assert(Fact.suggestSlices(Seq(a, b), Long.MaxValue) === 1)
+    assert(Fact.suggestSlices(Seq(a, b), bytes) ===
+      math.ceil(bytes * 3.5 / bytes).toInt)
+    assert(Fact.suggestSlices(Seq(a, b), math.max(1, bytes / 10), expansion = 2.0) ===
+      math.ceil(bytes * 2.0 / math.max(1, bytes / 10)).toInt)
+    // monotone: a tighter budget can only raise K
+    assert(Fact.suggestSlices(Seq(a, b), bytes / 4 + 1) >=
+      Fact.suggestSlices(Seq(a, b), bytes))
+  }
+
   test("slice filter sits over the scan — no shuffle feeds it") {
     val (v, iv, t, c, p, vd, l) = inputs
     val plan = Fact.fatoVendasSlice(v, iv, t, c, p, vd, l, 4, 1)
