@@ -262,7 +262,18 @@ object GraftFunctions {
     */
   def stableSumScaled(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
-    sum(floor(c * f + 0.5)) / f
+    // Sum the quantized integers as DECIMAL(38,0), not LONG (r12, caught by
+    // the full-surface sf1 oracle): second-moment sums (x² at scale 0) wrap
+    // int64 one decade up — sf1 daily-revenue squares are ~8.8e15 each over
+    // ~2400 groups ≈ 2.1e19 > 2^63 — and the wrapped negative reaches
+    // sqrt → NaN → floor-cast → a silent exact 0.0 where the true
+    // correlation is 0.0258. The per-row floor value is a double both
+    // engines compute identically; the DECIMAL sum is exact to 1e38 and its
+    // final double conversion is correctly rounded — bit-identical to the
+    // old path wherever the old path didn't wrap. Oracle mirror sums
+    // HUGEINT (stableSumScaledSql) for the same exactness.
+    sum(floor(c * f + 0.5).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast("double") / f
   }
 
   // ---- F15 calendar attributes (etl_completo.py:780-799) ------------------

@@ -53,8 +53,19 @@ object Sketches {
     * so every IEEE op sees identical operands in the same order.
     */
   private[graft] def estimateFromRegisters(regs: DataFrame, groupName: String): DataFrame = {
-    val est = expr(
-      "0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 36028797018963968.0 / CAST(s AS DOUBLE)")
+    // Typed DOUBLE literals, NOT a SQL string (r12, caught by the sf1
+    // oracle): in `expr(...)` the decimal-point literals parse as
+    // DecimalType, so the constant prefix used DECIMAL division/rounding —
+    // off the IEEE-double value by ~5e-4 relative at this magnitude —
+    // where DuckDB's evaluation of the same text is double end-to-end
+    // (verified: its result is bit-equal to the pure-double left-assoc
+    // fold for arbitrary S). The divergence only SHOWS when an estimate
+    // lands within that margin of a detRound(…,2) boundary — 1 row in 30
+    // at sf1, zero at sf0.1 — exactly the class the tri-scale gate exists
+    // to catch. Scala double lits make the engine the same left-assoc IEEE
+    // sequence the oracle computes.
+    val est = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) *
+      lit(4096.0) * lit(36028797018963968.0) / col("s").cast("double")
     regs.groupBy(col(groupName)).agg(
       count(lit(1)).as("npres"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).as("sp"))

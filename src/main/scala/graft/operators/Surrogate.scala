@@ -51,14 +51,27 @@ object Surrogate {
     * Unlike `rdd.zipWithIndex` (whose constructor runs an eager job to
     * compute start indices — it would execute the whole upstream pipeline at
     * plan-CONSTRUCTION time), this stays a pure logical plan until an action
-    * runs. Cost: the upstream lineage is evaluated twice (offsets + main);
-    * cache upstream first if that matters.
+    * runs (the checkpoint below is LAZY).
+    *
+    * The partitioned-and-tagged table is materialized ONCE (lazy
+    * localCheckpoint) and both passes read the same blocks. This is not an
+    * optimization but CORRECTNESS (r12, caught by the full-surface sf1
+    * oracle): left as two evaluations of one lineage, the offsets branch
+    * and the main branch each re-run the range exchange, and nothing ties
+    * their physical partitionings together — AQE re-plans them
+    * independently, so the two `spark_partition_id` spaces can disagree,
+    * which both corrupts the offsets AND drops every row whose pid has no
+    * match in the offsets table (measured at sf1 under Verify's
+    * `coalesce(1).write` plan: 826k–845k of 1.5M rows survived,
+    * nondeterministically). A physical-partition-derived tag is only
+    * meaningful relative to ONE materialization of that partitioning.
     */
   def zipWithIndexOrdered(df: DataFrame, skName: String, orderCols: Seq[Column]): DataFrame = {
     if (orderCols.isEmpty)
       return df.withColumn(skName, (monotonically_increasing_id() + 1L).cast(LongType))
     val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",
         coalesce(sum(col("__cnt")).over(
@@ -81,9 +94,12 @@ object Surrogate {
     */
   def rankedRunningTotal(df: DataFrame, valueCol: Column, rankName: String,
                          totalName: String, orderCols: Seq[Column]): DataFrame = {
+    // lazy-checkpoint for pid-space consistency across the two passes —
+    // same correctness argument as [[zipWithIndexOrdered]]
     val sorted = df.withColumn("__v", valueCol.cast(LongType))
       .repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val pw = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sorted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"), sum(col("__v")).as("__vsum"))

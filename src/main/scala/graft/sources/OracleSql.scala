@@ -113,7 +113,11 @@ object OracleSql {
   /** Mirror of GraftFunctions.stableSumScaled. */
   def stableSumScaledSql(e: String, scale: Int): String = {
     val f = math.pow(10, scale).toLong
-    s"sum(floor(($e) * $f.0 + 0.5)) / $f.0"
+    // HUGEINT sum mirrors the engine's DECIMAL(38,0) sum: per-row floor is
+    // the same IEEE double both engines produce; the 128-bit accumulation
+    // is exact where a float (or int64) running sum is not (r12 — the sf1
+    // second-moment wrap).
+    s"CAST(sum(CAST(floor(($e) * $f.0 + 0.5) AS HUGEINT)) AS DOUBLE) / $f.0"
   }
 
   /** Python-truthy FK key (0/NULL ⇒ no lookup). */
@@ -167,12 +171,12 @@ object OracleSql {
     * `und` (pk_a < pk_b, c_ab) for the graph-family oracles.
     */
   def copurchaseCtesSql(minSupport: Int = 3, maxBasketSize: Int = 1024): String =
-    s"""items AS (SELECT ok, pk FROM (
+    s"""items AS MATERIALIZED (SELECT ok, pk FROM (
        |    SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk,
        |      count(*) OVER (PARTITION BY l_orderkey) AS bsz
        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
        |  WHERE bsz <= $maxBasketSize),
-       |und AS (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS c_ab
+       |und AS MATERIALIZED (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS c_ab
        |        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
        |        GROUP BY 1, 2 HAVING count(*) >= $minSupport)""".stripMargin
 
@@ -248,20 +252,20 @@ object OracleSql {
 
   def pagerankChainSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
          |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node),
-         |s$i AS (SELECT node, sum(q) AS sq FROM c$i GROUP BY 1),
-         |r$i AS (SELECT node, ${detRoundSql(
+         |s$i AS MATERIALIZED (SELECT node, sum(q) AS sq FROM c$i GROUP BY 1),
+         |r$i AS MATERIALIZED (SELECT node, ${detRoundSql(
                "CAST(0.15 AS DOUBLE) / n_nodes + CAST(0.85 AS DOUBLE) * (sq / 1000000000000.0)", 10)} AS r
          |       FROM s$i, nn)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${copurchaseCtesSql()},
-       |e AS (SELECT pk_a AS src, pk_b AS dst FROM und
+       |e AS MATERIALIZED (SELECT pk_a AS src, pk_b AS dst FROM und
        |      UNION ALL SELECT pk_b AS src, pk_a AS dst FROM und),
-       |nodes AS (SELECT DISTINCT src AS node FROM e),
-       |nn AS (SELECT count(*) AS n_nodes FROM nodes),
-       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS r FROM nodes, nn),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM nodes),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS r FROM nodes, nn),
        |$steps
        |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
   }
@@ -291,7 +295,7 @@ object OracleSql {
     * -mass scalar `d$i` (`Graph.rankLoop`'s per-round machinery) — followed
     * by the caller's `r$i` select, which owns the teleport arithmetic. */
   private def directedRoundSql(i: Int, rankSelect: String): String =
-    s"""c$i AS (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
+    s"""c$i AS MATERIALIZED (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
        |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node),
        |s$i AS (SELECT node, CAST(sum(q) AS BIGINT) AS sq FROM c$i GROUP BY 1),
        |d$i AS (SELECT COALESCE(CAST(sum(floor(r.r * 1000000000000.0 + 0.5)) AS BIGINT), 0) AS dq
@@ -654,24 +658,24 @@ object OracleSql {
     val nq = "1000000000.0"     // norm quantScale 1e9
     def half(prev: String, outPfx: String, joinKey: String, outKey: String,
              vIn: String, vOut: String, r: Int): String =
-      s"""${outPfx}r$r AS (SELECT e.$outKey AS node,
+      s"""${outPfx}r$r AS MATERIALIZED (SELECT e.$outKey AS node,
          |        CAST(sum(CAST(floor($vIn * $q + 0.5) AS BIGINT)) AS BIGINT) AS sq
          |      FROM e JOIN $prev p ON e.$joinKey = p.node GROUP BY 1),
-         |${outPfx}v$r AS (SELECT node, sq / $q AS $vOut FROM ${outPfx}r$r),
-         |${outPfx}m$r AS (SELECT max(abs($vOut)) AS m FROM ${outPfx}v$r),
-         |${outPfx}n$r AS (SELECT CAST(sum(CAST(floor(($vOut / m) * ($vOut / m) * $nq
+         |${outPfx}v$r AS MATERIALIZED (SELECT node, sq / $q AS $vOut FROM ${outPfx}r$r),
+         |${outPfx}m$r AS MATERIALIZED (SELECT max(abs($vOut)) AS m FROM ${outPfx}v$r),
+         |${outPfx}n$r AS MATERIALIZED (SELECT CAST(sum(CAST(floor(($vOut / m) * ($vOut / m) * $nq
          |          + 0.5) AS BIGINT)) AS BIGINT) AS ssq, max(m) AS m
          |      FROM ${outPfx}v$r, ${outPfx}m$r),
-         |$outPfx$r AS (SELECT node,
+         |$outPfx$r AS MATERIALIZED (SELECT node,
          |        ${detRoundSql(s"$vOut / (m * sqrt(ssq / $nq))", 10)} AS $vOut
          |      FROM ${outPfx}v$r, ${outPfx}n$r)""".stripMargin
     val rounds = (1 to iters).map { r =>
       half(s"h${r - 1}", "a", "src", "dst", "h", "a", r) + ",\n" +
         half(s"a$r", "h", "dst", "src", "a", "h", r)
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
        |        CAST(o_orderkey AS BIGINT) + 1099511627776 AS dst FROM orders),
-       |h0 AS (SELECT DISTINCT src AS node, 1.0 AS h FROM e),
+       |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS h FROM e),
        |$rounds
        |SELECT node, 'hub' AS kind, h AS score FROM h$iters
        |UNION ALL SELECT node, 'auth' AS kind, a AS score FROM a$iters

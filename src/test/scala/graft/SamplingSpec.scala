@@ -68,8 +68,14 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(againRows.toSet === out.toSet)
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(added.size <= 1,
-      s"negativeSample left ${added.size} storage entries (expected just the result)")
+    // ≤2: the returned (cached) result, plus zipWithIndexOrdered's internal
+    // lazy localCheckpoint — the r12 pid-space-consistency fix necessarily
+    // materializes the sorted+tagged table once (two evaluations of one
+    // range exchange may disagree on spark_partition_id, which corrupted
+    // offsets and dropped rows at sf1); that checkpoint RDD is unreferenced
+    // after the result materializes and the ContextCleaner reclaims it on GC.
+    assert(added.size <= 2,
+      s"negativeSample left ${added.size} storage entries (expected the result + the offsets checkpoint)")
     again.unpersist(blocking = true)
   }
 

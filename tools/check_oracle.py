@@ -41,6 +41,15 @@ def norm_rows(cols, rows):
 
 def main(outdir, sfdir):
     con = duckdb.connect()
+    # big unrolled chains (pagerank/hits at sf1+) spill aggressively with
+    # the default 80%-of-RAM limit on hosts where /root has less free disk
+    # than RAM; cap memory high but explicit, and point spill at the
+    # roomiest tmp (r12: three sf1 oracles died ENOSPC mid-spill)
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):  # ScaleGen output: a directory of part files
