@@ -343,15 +343,27 @@ object Multimodal {
     * where a chunk matches (one equi join on (chunk, value) — never
     * all-pairs) and each survivor is verified by two popcounts (O(1) per
     * pair). Undecodable rows (null hash, the [[phashMeta]] no-feature
-    * contract) never enter the pairing. Same blocking asymptote note as
-    * the text dedup family: bucket sizes are bounded by how dispersed the
-    * hash space is — real image corpora disperse; an adversarially
-    * uniform corpus degrades any LSH-family blocker toward its bucket².
+    * contract) never enter the pairing.
+    *
+    * Banding runs over hash CLASSES (distinct 64-bit values), not docs
+    * (r12 — the sf10 probe realized the old bucket² caveat: the synthetic
+    * corpus holds ~2k distinct hashes at ANY size, so doc-level buckets
+    * made candidates quadratic in corpus — 1.0e6 pairs at sf0.1 →
+    * 1.04e10 at sf10, a 222× wall). Class-level banding caps the
+    * quadratic term at distinct-hash dispersion (constant here, ≈ corpus
+    * on a dispersed real corpus where the class table degenerates to the
+    * doc table and this equals the old plan + one cheap distinct); the
+    * doc-level result is then an OUTPUT-SIZED expansion join — intra-class
+    * pairs are Hamming 0 by definition, cross-class pairs inherit the
+    * verified class Hamming — and the true pair set is itself quadratic
+    * in identical-content groups, so expansion cost is the answer's size,
+    * not a blowup.
     */
   def phashNearDupPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = hashed.filter(col("phash_hi").isNotNull)
       .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
-    val chunked = sig.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+    val classes = sig.select(col("phash_hi"), col("phash_lo")).distinct()
+    val chunked = classes.select(col("phash_hi"), col("phash_lo"),
       posexplode(array(
         col("phash_lo").bitwiseAND(lit(0xFFFFL)),
         shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
@@ -359,17 +371,35 @@ object Multimodal {
         shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val l = chunked.select(col("chunk"), col("chunk_val"),
-      col("doc_id").as("doc_id_a"), col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"))
+      col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"))
     val r = chunked.select(col("chunk"), col("chunk_val"),
-      col("doc_id").as("doc_id_b"), col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"))
+    // verified near-dup CLASS pairs, each unordered pair once (lex order)
+    val classPairs = l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("hi_a") < col("hi_b") ||
+        (col("hi_a") === col("hi_b") && col("lo_a") < col("lo_b")))
+      .select("hi_a", "lo_a", "hi_b", "lo_b").distinct()
       .withColumn("hamming",
         (bit_count(col("hi_a").bitwiseXOR(col("hi_b")))
           + bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
+    // expansion: cross-class doc pairs (order the doc ids per row — each
+    // unordered doc pair arises from exactly one class pair, no dedup
+    // needed) + intra-class doc pairs (identical hashes, Hamming 0)
+    val cross = classPairs
+      .join(sig.select(col("doc_id").as("da"),
+        col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a")), Seq("hi_a", "lo_a"))
+      .join(sig.select(col("doc_id").as("db"),
+        col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b")), Seq("hi_b", "lo_b"))
+      .select(least(col("da"), col("db")).as("doc_id_a"),
+        greatest(col("da"), col("db")).as("doc_id_b"), col("hamming"))
+    val intra = sig.as("x").join(sig.as("y"),
+        col("x.phash_hi") === col("y.phash_hi") &&
+          col("x.phash_lo") === col("y.phash_lo") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"),
+        lit(0).as("hamming"))
+    cross.unionAll(intra)
   }
 
   /** Resize planning over decoded metadata: target dimensions fitting within
