@@ -205,6 +205,14 @@ object Fact {
     * that need one apply [[Surrogate.uniqueKey]] on the read-back, or use
     * the in-plan [[fatoVendasBackfill]] whose stretched key is job-scoped.
     *
+    * Single-runner contract: the `_SUCCESS` check-then-write is not atomic
+    * across CONCURRENT runners on one outDir — two racing backfills could
+    * both rewrite an uncommitted slice (each write is still internally
+    * consistent via rename-commit, so the survivor is whole, but work is
+    * duplicated and a torn loser could momentarily widen the dir). Run one
+    * backfill per outDir at a time — restartability, not concurrency, is
+    * the recovery model (parallelism lives INSIDE a slice's job).
+    *
     * Returns the slice ids actually executed this invocation.
     */
   def backfillSlices(vendas: DataFrame, itemVendas: DataFrame, dimTempo: DataFrame,
