@@ -639,4 +639,116 @@ object Dedup {
             col("n_dup").cast("double") / col("n_grams"), 4)))
       .withColumn("flagged", col("dup_fraction") >= flagThreshold)
   }
+
+  /** Exact duplicated-substring spans (Lee et al. 2022, arXiv:2107.06499
+    * §4.1 "ExactSubstr"): per document, the maximal token spans of length
+    * ≥ `minLen` that also occur elsewhere in the corpus (any document, any
+    * position — including elsewhere in the SAME document), merged into
+    * islands (touching/overlapping spans coalesce), with coverage stats.
+    * Unlike [[duplicateSpanStats]] (fixed n-gram HASH document frequency —
+    * collision-possible, fraction only), this is hash-free and EXACT: two
+    * positions share a class iff their `minLen`-token windows are
+    * identical sequences.
+    *
+    * Shape — bounded prefix doubling (Manber–Myers suffix ranking, stopped
+    * early): dense token ids via the two-pass offset scheme, then
+    * ⌊log2 minLen⌋ doubling rounds build rank tables r_k with
+    * r_k[p] = r_k[q] ⇔ the 2^k-token windows at p and q are equal; the
+    * exact minLen-window class is the composed pair
+    * (r_K[p], r_K[p + minLen − 2^K]) — two overlapping 2^K windows that
+    * cover [p, p + minLen) exactly (the O(1) substring-equality trick).
+    * Classes with ≥ 2 members mark duplicated positions; a per-document
+    * interval union turns positions into islands.
+    *
+    * 100 TB design: per-row state is TWO longs regardless of minLen (the
+    * naive approach carries a minLen-token window per row); rounds are
+    * ⌊log2 minLen⌋ — a CONSTANT (5 for the production minLen = 50), NOT
+    * log(corpus) as in full suffix-array construction, because the
+    * threshold semantics never needs ranks beyond the window length. Each
+    * round is one corpus-sized equi-shuffle join plus a distinct-pair
+    * dense rank through [[Surrogate.zipWithIndexOrdered]] (no global
+    * window); the duplicate-class filter is a map-side-combinable count;
+    * island windows partition BY DOCUMENT (bounded by document length).
+    * Nothing is quadratic and nothing hashes, so no collision audit is
+    * needed at any scale. End-boundary note: positions whose window would
+    * cross the document end are excluded BEFORE classing, so the rank
+    * tables' implicit end-sentinel (-1 padding on the shifted join) never
+    * reaches a compared class.
+    */
+  def exactSubstrSpans(docs: DataFrame, id: String, text: String,
+                       minLen: Int = 20): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val toks = docs
+      .select(col(id).as("doc_id"),
+        posexplode(regexp_extract_all(col(text),
+          lit(graft.operators.TextAnalysis.TokenPattern), lit(0))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+    // dense token ids: vocabulary-sized rank, deterministic (token order)
+    val vocab = Surrogate.zipWithIndexOrdered(
+      toks.select(col("tok")).distinct(), "r0", Seq(col("tok")))
+    var state = toks.join(vocab, Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("r0").as("r"))
+      .localCheckpoint(false)
+    var p = 1
+    val H = Integer.highestOneBit(minLen) // 2^⌊log2 minLen⌋
+    while (p < H) {
+      val b = state.select(col("doc_id"), (col("pos") - p).as("pos"),
+        col("r").as("rb"))
+      val pairs = state.join(b, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r").as("ra"),
+          coalesce(col("rb"), lit(-1L)).as("rb"))
+      val classes = Surrogate.zipWithIndexOrdered(
+        pairs.select(col("ra"), col("rb")).distinct(), "nr",
+        Seq(col("ra"), col("rb")))
+      state = pairs.join(classes, Seq("ra", "rb"))
+        .select(col("doc_id"), col("pos"), col("nr").as("r"))
+        .localCheckpoint(false)
+      p *= 2
+    }
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    // compose the exact minLen-window class from two overlapping H-windows
+    val d = minLen - H
+    val shifted = state.select(col("doc_id"), (col("pos") - d).as("pos"),
+      col("r").as("r2"))
+    val classed = state.join(shifted, Seq("doc_id", "pos"))
+      .join(lens, Seq("doc_id"))
+      .filter(col("pos") + (minLen - 1) <= col("n_tokens"))
+      .select(col("doc_id"), col("pos"), col("r"), col("r2"))
+    val dupClasses = classed.groupBy(col("r"), col("r2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("r"), col("r2"))
+    val dupPos = classed.join(dupClasses, Seq("r", "r2"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // per-doc union of the intervals [pos, pos + minLen): a new island
+    // starts when pos exceeds the running max end (touching spans merge)
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = dupPos
+      .withColumn("maxend", max(col("pos") + minLen).over(wPrev))
+      .withColumn("newisl",
+        when(col("maxend").isNull || col("pos") > col("maxend"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("newisl")).over(wRun))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("pos")) + minLen - min(col("pos"))).as("cov"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("cov")).as("dup_tokens"),
+        max(col("cov")).as("longest_span"))
+    docs.select(col(id).as("doc_id"))
+      .join(lens, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(graft.functions.GraftFunctions.detRound(
+            col("dup_tokens").cast("double") / col("n_tokens"), 4)))
+  }
 }

@@ -208,4 +208,108 @@ class DedupSpec extends SparkSpec {
     assert(out(1) === ((2L, 1.0, true)))
     assert(out(2) === ((3L, 0.0, false)))
   }
+
+  // ---- exactSubstrSpans (bounded prefix-doubling ExactSubstr) -------------
+
+  private def esRows(docs: Seq[(Long, String)], minLen: Int) =
+    Dedup.exactSubstrSpans(docs.toDF("doc_id", "text"), "doc_id", "text", minLen)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+
+  test("exactSubstrSpans: cross-doc shared run yields the exact merged island") {
+    // shared 4-token run "a b c d" → two overlapping dup 3-windows per doc,
+    // merged into ONE island of coverage 4 (minLen=3: the d = minLen−H ≠ 0
+    // composition path, H = 2)
+    val out = esRows(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "totally unrelated words without overlap")), minLen = 3)
+    assert(out(0) === ((1L, 6L, 1L, 4L, 4L, Some(0.6667))))
+    assert(out(1) === ((2L, 6L, 1L, 4L, 4L, Some(0.6667))))
+    assert(out(2)._3 === 0L && out(2)._4 === 0L && out(2)._6 === Some(0.0))
+  }
+
+  test("exactSubstrSpans: a WITHIN-doc repeat is duplicated text too") {
+    // "p q r" occurs twice inside one doc → two disjoint islands
+    val out = esRows(Seq((1L, "p q r s p q r t")), minLen = 3)
+    assert(out(0) === ((1L, 8L, 2L, 6L, 3L, Some(0.75))))
+  }
+
+  test("exactSubstrSpans: overlapping islands with a non-dup gap position merge") {
+    // minLen=4 (power of two: the d = 0 path): doc A has dup windows at
+    // pos 1 (abcd, shared with B) and pos 3 (cdef, shared with C) but NOT
+    // pos 2 — intervals [1,5) and [3,7) overlap, so ONE island of 6
+    val out = esRows(Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d zq zr zs"),
+      (3L, "c d e f yq yr ys")), minLen = 4)
+    assert(out(0) === ((1L, 8L, 1L, 6L, 6L, Some(0.75))))
+    assert(out(1) === ((2L, 7L, 1L, 4L, 4L, Some(0.5714))))
+    assert(out(2) === ((3L, 7L, 1L, 4L, 4L, Some(0.5714))))
+  }
+
+  test("exactSubstrSpans: doc-end boundary — shares shorter than minLen never flag") {
+    // docs share only a 3-token suffix; minLen=4 windows can't reach it
+    val out = esRows(Seq(
+      (1L, "one two alpha beta gamma"),
+      (2L, "six ten alpha beta gamma")), minLen = 4)
+    assert(out.forall(r => r._3 == 0L && r._4 == 0L))
+    // and a doc shorter than minLen hosts no window at all, even if equal
+    val short = esRows(Seq((1L, "tiny twin"), (2L, "tiny twin")), minLen = 4)
+    assert(short.forall(r => r._3 == 0L && r._6 === Some(0.0)))
+  }
+
+  test("exactSubstrSpans: zero-token doc gets NULL dup_frac") {
+    val out = esRows(Seq((1L, "   "), (2L, "real words here")), minLen = 3)
+    assert(out(0) === ((1L, 0L, 0L, 0L, 0L, None)))
+  }
+
+  /** Independent reference: plain-Scala L-gram counting + interval union
+    * (no Spark, no ranks) — the doubling machinery must agree exactly. */
+  private def refExactSubstr(docs: Seq[(Long, String)], l: Int)
+  : Map[Long, (Long, Long, Long, Long, Option[Double])] = {
+    val pat = TextAnalysis.TokenPattern.r
+    val tok = docs.map { case (id, t) => id -> pat.findAllIn(t).toVector }.toMap
+    val grams = for {
+      (id, ts) <- tok.toSeq
+      i <- 0 to ts.length - l
+    } yield (id, (i + 1).toLong, ts.slice(i, i + l))
+    val counts = grams.groupBy(_._3).map { case (g, v) => g -> v.size }
+    val dup = grams.filter(g => counts(g._3) >= 2)
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).sorted }
+    docs.map { case (id, _) =>
+      val n = tok(id).length.toLong
+      var islands = List.empty[(Long, Long)]
+      for (p <- dup.getOrElse(id, Seq.empty)) islands match {
+        case (s, e) :: rest if p <= e => islands = (s, math.max(e, p + l)) :: rest
+        case _ => islands = (p, p + l) :: islands
+      }
+      val covs = islands.map { case (s, e) => e - s }
+      val frac =
+        if (n == 0) None
+        else Some(math.floor(covs.sum.toDouble / n * 10000 + 0.5) / 10000)
+      id -> ((n, islands.size.toLong, covs.sum,
+        if (covs.isEmpty) 0L else covs.max, frac))
+    }.toMap
+  }
+
+  test("exactSubstrSpans ≡ brute-force L-gram reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("aa", "bb", "cc", "dd")
+    for (l <- Seq(3, 4, 5, 8)) {
+      val docs = (1L to 18L).map { id =>
+        val len = rnd.nextInt(31)
+        id -> Vector.fill(len)(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      val exp = refExactSubstr(docs, l)
+      val got = esRows(docs, l)
+      assert(got.length === docs.length)
+      got.foreach { case (id, n, ni, dt, ls, fr) =>
+        assert(exp(id) === ((n, ni, dt, ls, fr)), s"minLen=$l doc=$id")
+      }
+      // sanity: a 4-symbol alphabet at these lengths must produce SOME dups
+      if (l <= 4) assert(got.exists(_._3 > 0), s"degenerate corpus at minLen=$l")
+    }
+  }
 }
