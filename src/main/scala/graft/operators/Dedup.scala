@@ -651,29 +651,50 @@ object Dedup {
     * identical sequences.
     *
     * Shape — bounded prefix doubling (Manber–Myers suffix ranking, stopped
-    * early): dense token ids via the two-pass offset scheme, then
-    * ⌊log2 minLen⌋ doubling rounds build rank tables r_k with
-    * r_k[p] = r_k[q] ⇔ the 2^k-token windows at p and q are equal; the
-    * exact minLen-window class is the composed pair
-    * (r_K[p], r_K[p + minLen − 2^K]) — two overlapping 2^K windows that
-    * cover [p, p + minLen) exactly (the O(1) substring-equality trick).
-    * Classes with ≥ 2 members mark duplicated positions; a per-document
-    * interval union turns positions into islands.
+    * early): dense token ids via the two-pass offset scheme, then doubling
+    * rounds build rank tables r_k with r_k[p] = r_k[q] ⇔ the 2^k-token
+    * windows at p and q are equal — but only up to HALF the window: the
+    * exact minLen-window class is composed from FOUR overlapping
+    * (H/2)-windows at offsets (0, H/2, d, d + H/2) where
+    * H = 2^⌊log2 minLen⌋ and d = minLen − H. Their union covers
+    * [p, p + minLen) exactly and every token offset lies inside at least
+    * one of them, so 4-tuple equality ⇔ window equality (the O(1)
+    * substring-equality trick, one doubling round cheaper). Classes with
+    * ≥ 2 members mark duplicated positions; a per-document interval union
+    * turns positions into islands.
     *
     * 100 TB design: per-row state is TWO longs regardless of minLen (the
     * naive approach carries a minLen-token window per row); rounds are
-    * ⌊log2 minLen⌋ — a CONSTANT (5 for the production minLen = 50), NOT
-    * log(corpus) as in full suffix-array construction, because the
-    * threshold semantics never needs ranks beyond the window length. Each
-    * round is one corpus-sized equi-shuffle join plus a distinct-pair
-    * dense rank through [[Surrogate.zipWithIndexOrdered]] (no global
-    * window); the duplicate-class filter is a map-side-combinable count;
-    * island windows partition BY DOCUMENT (bounded by document length).
+    * ⌊log2 minLen⌋ − 1 — a CONSTANT (4 for the production minLen = 50),
+    * NOT log(corpus) as in full suffix-array construction, because the
+    * threshold semantics never needs ranks beyond half the window length.
     * Nothing is quadratic and nothing hashes, so no collision audit is
-    * needed at any scale. End-boundary note: positions whose window would
-    * cross the document end are excluded BEFORE classing, so the rank
-    * tables' implicit end-sentinel (-1 padding on the shifted join) never
-    * reaches a compared class.
+    * needed at any scale.
+    *
+    * Round shape — the neighbor rank r[pos + p] always lives in the SAME
+    * document, so it arrives by `lead(r, p)` over a doc-partitioned window
+    * instead of a corpus self-join: dropping each round's window-crossing
+    * SUFFIX keeps every document's surviving positions a contiguous
+    * prefix, which makes row-offset lead ≡ position-offset lookup for all
+    * later rounds (a first-draft self-join version sorted the full corpus
+    * 3× per round — 59 GB spill and 213 s at sf10; this shape measured
+    * 34 s there with zero spill, ~3×/decade through sf10). One
+    * repartition-by-document + sort feeds ALL rounds; each round then
+    * either
+    *  - PACKS the pair into one long, `r*(bound+1) + rb` — exact, ordered,
+    *    zero shuffles — while the square of the current rank bound fits
+    *    int64, or
+    *  - dense-ranks the distinct pairs through
+    *    [[Surrogate.zipWithIndexOrdered]] (no global window) to reset the
+    *    bound to the live class count, when packing would overflow.
+    * Single-host corpora compact once or twice on small class tables; a
+    * 100 TB corpus (rank bound > ~3e9) degrades gracefully to one dense
+    * rank per round — still equi-shuffles of (id, pos, rank) longs, never
+    * wide payloads. The final duplicate-class count partitions by the
+    * composed class pair and island merging partitions BY DOCUMENT
+    * (bounded by document length). End-boundary note: the final compose's
+    * lead(r, minLen − H) being non-null implies the full minLen window
+    * fits the document — no sentinel ranks ever reach a compared class.
     */
   def exactSubstrSpans(docs: DataFrame, id: String, text: String,
                        minLen: Int = 20): DataFrame = {
@@ -684,45 +705,78 @@ object Dedup {
           lit(graft.operators.TextAnalysis.TokenPattern), lit(0))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("tok"))
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // dense token ids: vocabulary-sized rank, deterministic (token order)
     val vocab = Surrogate.zipWithIndexOrdered(
       toks.select(col("tok")).distinct(), "r0", Seq(col("tok")))
     var state = toks.join(vocab, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("r0").as("r"))
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("pos"))
       .localCheckpoint(false)
+    def maxRank(): Long = state.agg(max(col("r"))).collect()
+      .headOption.filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+    // packing r*(bound+1)+rb is exact while (bound+1)^2 fits int64
+    val packMax = 3000000000L
+    var bound = maxRank()
     var p = 1
     val H = Integer.highestOneBit(minLen) // 2^⌊log2 minLen⌋
-    while (p < H) {
-      val b = state.select(col("doc_id"), (col("pos") - p).as("pos"),
-        col("r").as("rb"))
-      val pairs = state.join(b, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("r").as("ra"),
-          coalesce(col("rb"), lit(-1L)).as("rb"))
-      val classes = Surrogate.zipWithIndexOrdered(
-        pairs.select(col("ra"), col("rb")).distinct(), "nr",
-        Seq(col("ra"), col("rb")))
-      state = pairs.join(classes, Seq("ra", "rb"))
-        .select(col("doc_id"), col("pos"), col("nr").as("r"))
-        .localCheckpoint(false)
+    val HW = H / 2 // ranks are only ever needed for half-windows
+    while (p < HW) {
+      // row-offset lead ≡ position-offset lookup: survivors are a prefix
+      val next = state.withColumn("rb", lead(col("r"), p).over(wDoc))
+        .filter(col("rb").isNotNull)
+      if (bound < packMax) {
+        state = next.select(col("doc_id"), col("pos"),
+          (col("r") * (bound + 1) + col("rb")).as("r"))
+        bound = (bound + 1) * (bound + 1) - 1
+      } else {
+        // compact: dense-rank the live pair classes, resetting the bound
+        // (checkpointed so the rank table's lineage — and attribute ids —
+        // are severed from `next` before the join back onto it)
+        val classes = Surrogate.zipWithIndexOrdered(
+          next.select(col("r").as("ra"), col("rb").as("rb2")).distinct()
+            .localCheckpoint(false), "nr",
+          Seq(col("ra"), col("rb2")))
+        state = next.join(classes,
+          col("r") === col("ra") && col("rb") === col("rb2"))
+          .select(col("doc_id"), col("pos"), col("nr").as("r"))
+          .repartition(col("doc_id"))
+          .sortWithinPartitions(col("doc_id"), col("pos"))
+          .localCheckpoint(false)
+        bound = maxRank()
+      }
       p *= 2
     }
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
-    // compose the exact minLen-window class from two overlapping H-windows
+    // compose the exact minLen-window class from four overlapping
+    // (H/2)-windows; the LARGEST lead offset (d + H/2, the sub-window
+    // ending exactly at the minLen window's end) being non-null implies
+    // pos + minLen - 1 fits the document, and implies the smaller offsets
     val d = minLen - H
-    val shifted = state.select(col("doc_id"), (col("pos") - d).as("pos"),
-      col("r").as("r2"))
-    val classed = state.join(shifted, Seq("doc_id", "pos"))
-      .join(lens, Seq("doc_id"))
-      .filter(col("pos") + (minLen - 1) <= col("n_tokens"))
-      .select(col("doc_id"), col("pos"), col("r"), col("r2"))
-    val dupClasses = classed.groupBy(col("r"), col("r2"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      .select(col("r"), col("r2"))
-    val dupPos = classed.join(dupClasses, Seq("r", "r2"), "left_semi")
+    val classed =
+      if (H == 1) state.select(col("doc_id"), col("pos"),
+        col("r").as("k1"), col("r").as("k2"), col("r").as("k3"),
+        col("r").as("k4"))
+      else state
+        .withColumn("k2", lead(col("r"), HW).over(wDoc))
+        .withColumn("k3", if (d == 0) col("r") else
+          lead(col("r"), d).over(wDoc))
+        .withColumn("k4", if (d == 0) col("k2") else
+          lead(col("r"), d + HW).over(wDoc))
+        .filter(col("k4").isNotNull)
+        .select(col("doc_id"), col("pos"), col("r").as("k1"),
+          col("k2"), col("k3"), col("k4"))
+    // duplicated positions: class population ≥ 2, counted in one windowed
+    // pass over the class partitioning (no aggregate + join-back)
+    val dupPos = classed
+      .withColumn("c", count(lit(1)).over(
+        Window.partitionBy(col("k1"), col("k2"), col("k3"), col("k4"))))
+      .filter(col("c") >= 2)
       .select(col("doc_id"), col("pos"))
     // per-doc union of the intervals [pos, pos + minLen): a new island
     // starts when pos exceeds the running max end (touching spans merge)
-    import org.apache.spark.sql.expressions.Window
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -297,7 +297,7 @@ class DedupSpec extends SparkSpec {
   test("exactSubstrSpans ≡ brute-force L-gram reference on random corpora") {
     val rnd = new scala.util.Random(7)
     val alphabet = Vector("aa", "bb", "cc", "dd")
-    for (l <- Seq(3, 4, 5, 8)) {
+    for (l <- Seq(1, 2, 3, 4, 5, 8)) {
       val docs = (1L to 18L).map { id =>
         val len = rnd.nextInt(31)
         id -> Vector.fill(len)(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
@@ -311,5 +311,27 @@ class DedupSpec extends SparkSpec {
       // sanity: a 4-symbol alphabet at these lengths must produce SOME dups
       if (l <= 4) assert(got.exists(_._3 > 0), s"degenerate corpus at minLen=$l")
     }
+  }
+
+  test("exactSubstrSpans: the dense-rank compaction branch agrees too") {
+    // 18 symbols, minLen = 32: pack bounds square 18 → 361 → 1.3e5 → 1.7e10,
+    // overflowing the 3e9 pack limit at the w=16 round — the dense-rank
+    // fallback (the 100 TB path) must produce identical classes
+    val rnd = new scala.util.Random(13)
+    val alphabet = (1 to 18).map(i => "s" + ("abcdefghijklmnopqr" (i - 1)))
+    val shared = Vector.fill(40)(alphabet(rnd.nextInt(alphabet.size)))
+    val docs = (1L to 6L).map { id =>
+      val own = Vector.fill(20 + rnd.nextInt(20))(
+        alphabet(rnd.nextInt(alphabet.size)))
+      // half the docs embed the shared 40-token run → real ≥32 dup spans
+      val toks = if (id % 2 == 0) own ++ shared else own
+      id -> toks.mkString(" ")
+    }
+    val exp = refExactSubstr(docs, 32)
+    val got = esRows(docs, minLen = 32)
+    got.foreach { case (id, n, ni, dt, ls, fr) =>
+      assert(exp(id) === ((n, ni, dt, ls, fr)), s"doc=$id")
+    }
+    assert(got.count(_._3 > 0) === 3) // exactly the shared-run docs flag
   }
 }
