@@ -698,6 +698,83 @@ object Dedup {
     */
   def exactSubstrSpans(docs: DataFrame, id: String, text: String,
                        minLen: Int = 20): DataFrame = {
+    val (toks, dupPos) = exactSubstrDupPos(docs, id, text, minLen)
+    import org.apache.spark.sql.expressions.Window
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    // per-doc union of the intervals [pos, pos + minLen): a new island
+    // starts when pos exceeds the running max end (touching spans merge)
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = dupPos
+      .withColumn("maxend", max(col("pos") + minLen).over(wPrev))
+      .withColumn("newisl",
+        when(col("maxend").isNull || col("pos") > col("maxend"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("newisl")).over(wRun))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("pos")) + minLen - min(col("pos"))).as("cov"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("cov")).as("dup_tokens"),
+        max(col("cov")).as("longest_span"))
+    docs.select(col(id).as("doc_id"))
+      .join(lens, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(graft.functions.GraftFunctions.detRound(
+            col("dup_tokens").cast("double") / col("n_tokens"), 4)))
+  }
+
+  /** The ExactSubstr CLEANING transform (Lee et al. 2022 §4.1 apply the
+    * dedup by cutting the duplicated substrings OUT of the corpus): every
+    * token covered by some duplicated `minLen`-window is removed; the
+    * survivors re-join into `clean_text` (single-space separated — the
+    * tokenization is not inverse, so reconstruction is canonical-form).
+    * Coverage is the same running-max-end pass the island union uses,
+    * evaluated over ALL token positions this time: token t is covered iff
+    * the max dup-window end among dup starts ≤ t exceeds t. One left
+    * join of the token stream against dup starts + one doc-partitioned
+    * window + one doc-grouped collect; the collect buffers a document,
+    * bounded by document length at any corpus size.
+    */
+  def exactSubstrClean(docs: DataFrame, id: String, text: String,
+                       minLen: Int = 20): DataFrame = {
+    val (toks, dupPos) = exactSubstrDupPos(docs, id, text, minLen)
+    import org.apache.spark.sql.expressions.Window
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val marked = toks.join(
+      dupPos.withColumn("dupend", col("pos") + minLen),
+      Seq("doc_id", "pos"), "left")
+      .withColumn("covend", max(col("dupend")).over(wRun))
+      .withColumn("keep",
+        col("covend").isNull || col("pos") >= col("covend"))
+    val perDoc = marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+      array_join(transform(
+        array_sort(collect_list(
+          when(col("keep"), struct(col("pos"), col("tok"))))),
+        x => x.getField("tok")), " ").as("clean_text"))
+    docs.select(col(id).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Shared ExactSubstr core: (token stream, duplicated window starts).
+    * See [[exactSubstrSpans]] for the full design rationale. */
+  private def exactSubstrDupPos(docs: DataFrame, id: String, text: String,
+                                minLen: Int): (DataFrame, DataFrame) = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val toks = docs
       .select(col(id).as("doc_id"),
@@ -749,7 +826,6 @@ object Dedup {
       }
       p *= 2
     }
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
     // compose the exact minLen-window class from four overlapping
     // (H/2)-windows; the LARGEST lead offset (d + H/2, the sub-window
     // ending exactly at the minLen window's end) being non-null implies
@@ -775,34 +851,6 @@ object Dedup {
         Window.partitionBy(col("k1"), col("k2"), col("k3"), col("k4"))))
       .filter(col("c") >= 2)
       .select(col("doc_id"), col("pos"))
-    // per-doc union of the intervals [pos, pos + minLen): a new island
-    // starts when pos exceeds the running max end (touching spans merge)
-    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val islands = dupPos
-      .withColumn("maxend", max(col("pos") + minLen).over(wPrev))
-      .withColumn("newisl",
-        when(col("maxend").isNull || col("pos") > col("maxend"), 1L)
-          .otherwise(0L))
-      .withColumn("isl", sum(col("newisl")).over(wRun))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg((max(col("pos")) + minLen - min(col("pos"))).as("cov"))
-    val perDoc = islands.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_islands"), sum(col("cov")).as("dup_tokens"),
-        max(col("cov")).as("longest_span"))
-    docs.select(col(id).as("doc_id"))
-      .join(lens, Seq("doc_id"), "left")
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
-      .withColumn("dup_frac",
-        when(col("n_tokens") === 0, lit(null).cast("double"))
-          .otherwise(graft.functions.GraftFunctions.detRound(
-            col("dup_tokens").cast("double") / col("n_tokens"), 4)))
+    (toks, dupPos)
   }
 }

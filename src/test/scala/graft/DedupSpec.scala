@@ -313,6 +313,78 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrClean: duplicated spans are cut out, canonical rejoin") {
+    val out = Dedup.exactSubstrClean(
+      Seq((1L, "a b c d e f"),
+          (2L, "x a b c d y"),
+          (3L, "clean doc stays whole")).toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // shared run "a b c d" → both dup 3-windows' coverage [1,5)/[2,6) removed
+    assert(out(0) === ((1L, 6L, 4L, "e f")))
+    assert(out(1) === ((2L, 6L, 4L, "x y")))
+    assert(out(2) === ((3L, 4L, 0L, "clean doc stays whole")))
+  }
+
+  test("exactSubstrClean: within-doc repeat removes BOTH occurrences") {
+    // ExactSubstr semantics: every occurrence of duplicated text goes —
+    // the canonical copy is not preserved (Lee et al. §4.1 note exactly
+    // this bias; downstream reconstruction is a curation choice)
+    val out = Dedup.exactSubstrClean(
+      Seq((1L, "p q r s p q r t")).toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((8L, 6L, "s t")))
+  }
+
+  test("exactSubstrClean: zero-token and all-dup docs") {
+    val out = Dedup.exactSubstrClean(
+      Seq((1L, "   "), (2L, "wa wb wc"), (3L, "wa wb wc"))
+        .toDF("doc_id", "text"), "doc_id", "text", minLen = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 0L, 0L, "")))
+    assert(out(1) === ((2L, 3L, 3L, "")))
+    assert(out(2) === ((3L, 3L, 3L, "")))
+  }
+
+  test("exactSubstrClean ≡ reference coverage on random corpora") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee")
+    for (l <- Seq(3, 4)) {
+      val docs = (1L to 12L).map { id =>
+        id -> Vector.fill(rnd.nextInt(25))(
+          alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      // reference: brute-force dup L-gram starts → coverage → kept tokens
+      val pat = TextAnalysis.TokenPattern.r
+      val tok = docs.map { case (id, t) => id -> pat.findAllIn(t).toVector }.toMap
+      val grams = for {
+        (id, ts) <- tok.toSeq; i <- 0 to ts.length - l
+      } yield (id, i, ts.slice(i, i + l))
+      val counts = grams.groupBy(_._3).map { case (g, v) => g -> v.size }
+      val dup = grams.filter(g => counts(g._3) >= 2)
+        .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+      val exp = docs.map { case (id, _) =>
+        val ts = tok(id)
+        val covered = (0 until ts.length).filter { t =>
+          dup.getOrElse(id, Set.empty).exists(s => s <= t && t < s + l)
+        }.toSet
+        val keptToks = ts.indices.filterNot(covered).map(ts)
+        id -> ((ts.length.toLong, covered.size.toLong, keptToks.mkString(" ")))
+      }.toMap
+      val got = Dedup.exactSubstrClean(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minLen = l)
+        .orderBy($"doc_id").collect()
+      got.foreach { r =>
+        val id = r.getLong(0)
+        assert((r.getLong(1), r.getLong(2), r.getString(3)) === exp(id),
+          s"minLen=$l doc=$id")
+      }
+    }
+  }
+
   test("exactSubstrSpans: the dense-rank compaction branch agrees too") {
     // 18 symbols, minLen = 32: pack bounds square 18 → 361 → 1.3e5 → 1.7e10,
     // overflowing the 3e9 pack limit at the w=16 round — the dense-rank
