@@ -92,6 +92,17 @@ class CodegenGateSpec extends SparkSpec {
     }
   }
 
+  test("JaroWinkler generated code compiles and matches the static call") {
+    strictCodegen {
+      val df = Seq(("martha", "marhta"), ("DIXON", "DICKSONX"),
+        ("prefixab", "prefixzz")).toDF("a", "b")
+      val out = df.select(
+        graft.functions.StringSim.jaroWinklerCol($"a", $"b").as("s"))
+        .collect().map(_.getDouble(0))
+      assert(out.toSeq === Seq(0.9611111111111111, 0.8133333333333332, 0.9))
+    }
+  }
+
   test("TopKByScore aggregate runs under strict codegen (ObjectHashAggregate path)") {
     strictCodegen {
       val r = spark.range(0, 100)
