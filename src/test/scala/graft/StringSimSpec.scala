@@ -89,4 +89,63 @@ class StringSimSpec extends SparkSpec {
     assert(out.length === 2)
     assert(out.forall(_.getDouble(4) === 1.0))
   }
+
+  // ---- editNearDup (PassJoin pigeonhole) ----------------------------------
+
+  test("editNearDup finds substitution, deletion and insertion pairs") {
+    val df = Seq(
+      (1L, "golden lace"),   // base
+      (2L, "golden lace"),   // exact dup (dist 0)
+      (3L, "golden lacf"),   // substitution (1)
+      (4L, "goldn lace"),    // deletion (1) — shifted segments
+      (5L, "xgolden lace"),  // insertion at front (1) — all shifted
+      (6L, "goldex lacf"),   // two substitutions (2)
+      (7L, "totally other")) // far away
+      .toDF("id", "name")
+    val out = Linkage.editNearDup(df, "id", "name", k = 2)
+      .orderBy($"id1", $"id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((1L, 4L)) && pairs.contains((1L, 5L)) &&
+      pairs.contains((1L, 6L)))
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L))
+    assert(out.find(p => p._1 == 1L && p._2 == 2L).get._3 === 0L)
+    assert(out.find(p => p._1 == 1L && p._2 == 6L).get._3 === 2L)
+  }
+
+  test("editNearDup ≡ brute-force all-pairs on random corpora") {
+    val rnd = new scala.util.Random(31)
+    val al = "abcd"
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- Seq(1, 2, 3)) {
+      val docs = (1L to 40L).map { id =>
+        id -> Vector.fill(k + 1 + rnd.nextInt(8))(al(rnd.nextInt(4))).mkString
+      }
+      val exp = (for {
+        (i1, n1) <- docs; (i2, n2) <- docs
+        if i1 < i2 && lev(n1, n2) <= k
+      } yield (i1, i2, lev(n1, n2).toLong)).toSet
+      val got = Linkage.editNearDup(docs.toDF("id", "name"), "id", "name", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      assert(got === exp, s"k=$k")
+      assert(exp.nonEmpty, s"degenerate corpus at k=$k")
+    }
+  }
+
+  test("editNearDup: strings shorter than k+1 are excluded by contract") {
+    val df = Seq((1L, "ab"), (2L, "ab"), (3L, "abcd"), (4L, "abcd"))
+      .toDF("id", "name")
+    val out = Linkage.editNearDup(df, "id", "name", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((3L, 4L)))
+  }
 }
