@@ -561,6 +561,127 @@ object Multimodal {
         s" i -> cast(conv(hex(substring(payload, i, 1)), 16, 10) as int))")
         .as("sampled_bytes"))
 
+  /** Deterministic synthetic WAV for row `docId`: a RIFF/WAVE container
+    * with one `fmt ` chunk (PCM16) and one `data` chunk of
+    * `64 + id % 64` frames across `1 + id % 2` channels at sample rate
+    * `8000 + (id % 4) · 4000`, where frame i / channel c holds the exact
+    * integer sample `((id·31 + i·7 + c·13) mod 65536) − 32768`,
+    * little-endian. PCM is uncompressed, so the payload round-trips
+    * bit-exactly and an oracle can recompute every per-channel aggregate
+    * from the closed form — the [[syntheticGif]] construction, for audio.
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = 64 + (docId % 64).toInt
+    val ch = 1 + (docId % 2).toInt
+    val rate = 8000 + ((docId % 4) * 4000).toInt
+    val blockAlign = ch * 2
+    val dataSize = n * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) {
+        bb.putShort((((docId * 31 + i * 7 + c * 13) % 65536) - 32768).toShort)
+        c += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Attach a [[syntheticWav]] payload per row (per-partition generation,
+    * the [[withSyntheticImages]] contract). */
+  def withSyntheticWavs(spark: SparkSession, docs: DataFrame, id: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val rdd = docs.select(col(id).cast("long")).rdd.mapPartitions { it =>
+      it.map { r => val d = r.getLong(0); Row(d, syntheticWav(d)) }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private val wavStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType), StructField("bits", IntegerType),
+    StructField("n_frames", LongType), StructField("sum_ch0", LongType),
+    StructField("min_ch0", IntegerType), StructField("max_ch0", IntegerType),
+    StructField("sum_ch1", LongType)))
+
+  /** REAL audio decode: a hand-rolled RIFF/WAVE chunk walker + PCM16
+    * little-endian sample reader — WAV needs NO codec library, so unlike
+    * the opaque-video stub this path decodes genuine audio bytes end to
+    * end (validates RIFF/WAVE magic, walks chunks with odd-size padding,
+    * reads `fmt `, aggregates the `data` chunk). Exact integer aggregates
+    * per channel (sum/min/max for channel 0, sum for channel 1, null when
+    * mono) — the oracle recomputes them from [[syntheticWav]]'s closed
+    * form, so a green hash proves genuinely decoded PCM. Non-WAV,
+    * non-PCM16, or truncated payloads emit the all-null row (the
+    * [[decodeMeta]] honest no-feature contract). Per-partition map,
+    * per-row cost = payload bytes.
+    */
+  def wavStats(spark: SparkSession, withPayloads: DataFrame, id: String): DataFrame = {
+    val rdd = withPayloads.select(col(id).cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val docId = r.getLong(0)
+          val nullRow = Row(docId, null, null, null, null, null, null, null, null)
+          try {
+            val b = r.getAs[Array[Byte]](1)
+            def u16(o: Int) = (b(o) & 255) | ((b(o + 1) & 255) << 8)
+            def u32(o: Int) = (b(o) & 255).toLong | ((b(o + 1) & 255).toLong << 8) |
+              ((b(o + 2) & 255).toLong << 16) | ((b(o + 3) & 255).toLong << 24)
+            def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+            if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") nullRow
+            else {
+              var off = 12
+              var rate = -1; var ch = -1; var bits = -1
+              var dataOff = -1; var dataLen = -1L
+              while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+                val id4 = tag(off); val sz = u32(off + 4)
+                if (id4 == "fmt " && off + 8 + 16 <= b.length) {
+                  ch = u16(off + 10); rate = u32(off + 12).toInt
+                  bits = u16(off + 22)
+                } else if (id4 == "data") {
+                  dataOff = off + 8
+                  dataLen = math.min(sz, (b.length - dataOff).toLong)
+                }
+                off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+              }
+              if (rate < 0 || dataOff < 0 || bits != 16 || ch < 1) nullRow
+              else {
+                val blockAlign = ch * 2
+                val nFrames = dataLen / blockAlign
+                var s0 = 0L; var s1 = 0L
+                var mn = Int.MaxValue; var mx = Int.MinValue
+                var f = 0L
+                while (f < nFrames) {
+                  val base = dataOff + (f * blockAlign).toInt
+                  val v0 = u16(base).toShort.toInt
+                  s0 += v0
+                  if (v0 < mn) mn = v0
+                  if (v0 > mx) mx = v0
+                  if (ch > 1) s1 += u16(base + 2).toShort.toInt
+                  f += 1
+                }
+                Row(docId, rate, ch, bits, nFrames, s0,
+                  if (nFrames == 0) null else mn,
+                  if (nFrames == 0) null else mx,
+                  if (ch > 1) s1 else null)
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => nullRow }
+        }
+      }
+    spark.createDataFrame(rdd, wavStatsSchema)
+  }
+
   /** Overlapping fixed-window chunk plan — the audio/video segmentation a
     * speech or embedding pipeline feeds its encoder (chunk k covers bytes
     * `[k·hop, k·hop+len)`, 25% overlap at the defaults). PLANNING only:

@@ -292,4 +292,59 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(byDoc(8L).length === 1 && byDoc(8L)(0).isNullAt(1) && byDoc(8L)(0).isNullAt(5))
   }
+
+  test("wavStats: PCM decode equals the generator's closed form, both channel counts") {
+    import spark.implicits._
+    // 14 → mono, 7 → stereo (1 + id % 2)
+    val ids = Seq(7L, 14L, 21L, 28L)
+    val payloads = Multimodal.withSyntheticWavs(
+      spark, ids.toDF("doc_id"), "doc_id")
+    val out = Multimodal.wavStats(spark, payloads, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- ids) {
+      val n = 64 + (id % 64).toInt; val ch = 1 + (id % 2).toInt
+      val samples = (0 until n).map(i =>
+        (((id * 31 + i * 7) % 65536) - 32768).toInt)
+      val r = out(id)
+      assert(r.getInt(1) === 8000 + ((id % 4) * 4000).toInt)
+      assert(r.getInt(2) === ch && r.getInt(3) === 16)
+      assert(r.getLong(4) === n.toLong)
+      assert(r.getLong(5) === samples.map(_.toLong).sum)
+      assert(r.getInt(6) === samples.min && r.getInt(7) === samples.max)
+      if (ch == 2)
+        assert(r.getLong(8) === (0 until n).map(i =>
+          (((id * 31 + i * 7 + 13) % 65536) - 32768).toLong).sum)
+      else assert(r.isNullAt(8))
+    }
+  }
+
+  test("wavStats: chunk walking skips extra chunks and honors odd-size padding") {
+    import spark.implicits._
+    // hand-build: RIFF [LIST(3 bytes, padded)] [fmt] [data 2 frames mono]
+    val bb = java.nio.ByteBuffer.allocate(200)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+    bb.put("LIST".getBytes).putInt(3).put(Array[Byte](1, 2, 3, 0)) // pad
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(44100).putInt(88200).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(4).putShort(1000).putShort(-2000)
+    val wav = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, wav),
+        org.apache.spark.sql.Row(2L, "not audio at all".getBytes),
+        org.apache.spark.sql.Row(3L, wav.take(20)))), // truncated mid-chunk
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val out = Multimodal.wavStats(spark, df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) === 44100 && out(1L).getLong(4) === 2L)
+    assert(out(1L).getLong(5) === -1000L) // 1000 + (-2000)
+    assert(out(1L).getInt(6) === -2000 && out(1L).getInt(7) === 1000)
+    assert(out(1L).isNullAt(8))
+    assert(out(2L).isNullAt(1) && out(3L).isNullAt(1)) // honest nulls
+  }
 }
