@@ -697,8 +697,10 @@ object Dedup {
     * fits the document — no sentinel ranks ever reach a compared class.
     */
   def exactSubstrSpans(docs: DataFrame, id: String, text: String,
-                       minLen: Int = 20): DataFrame = {
-    val (toks, dupPos) = exactSubstrDupPos(docs, id, text, minLen)
+                       minLen: Int = 20,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val (toks, dupPos) = exactSubstrDupPos(docs, id, text, minLen,
+      checkpointDir)
     import org.apache.spark.sql.expressions.Window
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
     // per-doc union of the intervals [pos, pos + minLen): a new island
@@ -745,8 +747,10 @@ object Dedup {
     * bounded by document length at any corpus size.
     */
   def exactSubstrClean(docs: DataFrame, id: String, text: String,
-                       minLen: Int = 20): DataFrame = {
-    val (toks, dupPos) = exactSubstrDupPos(docs, id, text, minLen)
+                       minLen: Int = 20,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val (toks, dupPos) = exactSubstrDupPos(docs, id, text, minLen,
+      checkpointDir)
     import org.apache.spark.sql.expressions.Window
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -772,10 +776,44 @@ object Dedup {
   }
 
   /** Shared ExactSubstr core: (token stream, duplicated window starts).
-    * See [[exactSubstrSpans]] for the full design rationale. */
+    * See [[exactSubstrSpans]] for the full design rationale.
+    *
+    * `checkpointDir` switches state persistence from lazy local
+    * checkpoints (bench scale) to [[IterState]] reliable parquet rounds
+    * with previous-round rotation — at sf100 (800M positions, one dense
+    * rank) the accumulated local checkpoint blocks alone exceed this
+    * host's free disk, while rotated delta-packed parquet rounds fit.
+    * Read-back loses the (doc_id, pos) layout, so the first window after
+    * each reliable round pays one re-sort — rounds between compactions
+    * stay zero-shuffle either way. */
   private def exactSubstrDupPos(docs: DataFrame, id: String, text: String,
-                                minLen: Int): (DataFrame, DataFrame) = {
+                                minLen: Int,
+                                checkpointDir: Option[String])
+  : (DataFrame, DataFrame) = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val ckRoot = IterState.root(checkpointDir)
+    var ckRound = 0
+    var liveStateRound = -1
+    // persist a STATE round (rotates out the previous one) or a side
+    // table (caller drops it via the returned round id)
+    def persistState(df: DataFrame): DataFrame = ckRoot match {
+      case Some(_) =>
+        val out = IterState.apply(df, ckRoot, ckRound)
+        if (liveStateRound >= 0) IterState.drop(df, ckRoot, liveStateRound)
+        liveStateRound = ckRound
+        ckRound += 1
+        out
+      case None => df.localCheckpoint(false)
+    }
+    def persistSide(df: DataFrame): (DataFrame, Int) = ckRoot match {
+      case Some(_) =>
+        val out = IterState.apply(df, ckRoot, ckRound)
+        ckRound += 1
+        (out, ckRound - 1)
+      case None => (df.localCheckpoint(false), -1)
+    }
+    def dropSide(round: Int): Unit =
+      if (round >= 0) IterState.drop(docs, ckRoot, round)
     val toks = docs
       .select(col(id).as("doc_id"),
         posexplode(regexp_extract_all(col(text),
@@ -787,11 +825,10 @@ object Dedup {
     // dense token ids: vocabulary-sized rank, deterministic (token order)
     val vocab = Surrogate.zipWithIndexOrdered(
       toks.select(col("tok")).distinct(), "r0", Seq(col("tok")))
-    var state = toks.join(vocab, Seq("tok"))
+    var state = persistState(toks.join(vocab, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("r0").as("r"))
       .repartition(col("doc_id"))
-      .sortWithinPartitions(col("doc_id"), col("pos"))
-      .localCheckpoint(false)
+      .sortWithinPartitions(col("doc_id"), col("pos")))
     def maxRank(): Long = state.agg(max(col("r"))).collect()
       .headOption.filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
     // packing r*(bound+1)+rb is exact while (bound+1)^2 fits int64
@@ -810,18 +847,18 @@ object Dedup {
         bound = (bound + 1) * (bound + 1) - 1
       } else {
         // compact: dense-rank the live pair classes, resetting the bound
-        // (checkpointed so the rank table's lineage — and attribute ids —
+        // (persisted so the rank table's lineage — and attribute ids —
         // are severed from `next` before the join back onto it)
-        val classes = Surrogate.zipWithIndexOrdered(
-          next.select(col("r").as("ra"), col("rb").as("rb2")).distinct()
-            .localCheckpoint(false), "nr",
+        val (pairTable, pairRound) = persistSide(
+          next.select(col("r").as("ra"), col("rb").as("rb2")).distinct())
+        val classes = Surrogate.zipWithIndexOrdered(pairTable, "nr",
           Seq(col("ra"), col("rb2")))
-        state = next.join(classes,
+        state = persistState(next.join(classes,
           col("r") === col("ra") && col("rb") === col("rb2"))
           .select(col("doc_id"), col("pos"), col("nr").as("r"))
           .repartition(col("doc_id"))
-          .sortWithinPartitions(col("doc_id"), col("pos"))
-          .localCheckpoint(false)
+          .sortWithinPartitions(col("doc_id"), col("pos")))
+        dropSide(pairRound)
         bound = maxRank()
       }
       p *= 2
