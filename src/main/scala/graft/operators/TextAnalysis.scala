@@ -803,4 +803,121 @@ object TextAnalysis {
         detRound(col("m").cast("double") / (col("n_tokens") * 1000.0), 6)
           .as("margin"))
       .withColumn("keep", col("margin") >= 0.0)
+
+  // ---- Trained quality classifier (batch perceptron) ----------------------
+
+  /** Deterministic weak-supervision label for the trained quality
+    * classifier: +1 where the [[langId]] heuristic predicts English, −1
+    * otherwise — the standard bootstrap for corpus quality filters (CCNet,
+    * Wenzek et al. 2020; GPT-3's quality classifier, Brown et al. 2020
+    * App. A trains against a trusted-corpus signal the same way). Integer
+    * compares only, so both engines agree exactly.
+    */
+  def qualityLabel(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"),
+      when(langPredCol(col(text)) === "en", 1L).otherwise(-1L).as("y"))
+
+  /** The distributed BATCH-PERCEPTRON loop (Rosenblatt 1958, batch form):
+    * per round, margins m_d = Σ_b f_db·w_b over the cached feature table,
+    * the misclassified set {d : y_d·m_d ≤ 0}, and the full-batch update
+    * w_b += Σ_miss y_d·f_db. Everything is INTEGER arithmetic — counts,
+    * weights, margins, updates — so the loop is exactly reproducible on
+    * any engine and partition order cannot move a single weight.
+    *
+    * Scale shape: the corpus-sized artifact is the (doc, bucket, f)
+    * feature table, materialized ONCE and scanned twice per round by
+    * map-side-combinable aggregates (margins per doc, gradient per
+    * bucket); the model state is `dim`-bounded and driver-held — each
+    * round ships a ≤ dim-row gradient to the driver (the only driver
+    * traffic, [[bpeTrain]]'s 1-row-argmax contract widened to model size)
+    * and broadcasts the ≤ dim-row weight table back, so the per-round
+    * plan is FLAT (no growing lineage, no checkpoint rotation needed:
+    * the state never lives in an executor plan).
+    */
+  private def perceptronLoop(feats: DataFrame, labels: DataFrame,
+                             rounds: Int): Map[Long, Long] = {
+    require(rounds >= 1, "perceptron training needs at least one round")
+    val spark = feats.sparkSession
+    import spark.implicits._
+    var w = Map.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      val wDf = w.toSeq.toDF("bucket", "w")
+      val margins = feats.join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("f") * coalesce(col("w"), lit(0L))).as("m"))
+      // left join: a zero-token doc has no feature rows, margin 0 — it is
+      // always "misclassified" but carries no features, so it cannot move
+      // the update on either engine
+      val miss = labels.join(margins, Seq("doc_id"), "left")
+        .filter(col("y") * coalesce(col("m"), lit(0L)) <= 0)
+        .select(col("doc_id"), col("y"))
+      val delta = feats.join(miss, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("y") * col("f")).as("d"))
+        .collect() // ≤ dim rows — model-sized by construction
+      w = delta.foldLeft(w) { (acc, r) =>
+        acc.updated(r.getLong(0), acc.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+      }
+    }
+    w
+  }
+
+  /** TRAIN the hashed-feature quality classifier — the learned counterpart
+    * of [[hashLinearScore]] (whose doc notes "a real model would
+    * broadcast-join its ≤ dim-row weight table"; this produces that
+    * table). Weak labels from [[qualityLabel]], features from
+    * [[hashFeatures]], `rounds` batch-perceptron updates starting from
+    * w = 0 (round 1 therefore updates on EVERY labeled doc). Output: the
+    * full `dim`-row learned weight table (bucket, w), zeros included —
+    * the engine's second trained artifact after `q_bpe_train`'s merges.
+    */
+  def perceptronTrain(docs: DataFrame, id: String, text: String,
+                      dim: Int = 256, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = hashFeatures(docs, id, text, dim).persist()
+    val w = perceptronLoop(feats, qualityLabel(docs, id, text), rounds)
+    feats.unpersist() // the result below is a driver-side literal
+    (0L until dim.toLong).map(b => (b, w.getOrElse(b, 0L)))
+      .toDF("bucket", "w")
+  }
+
+  /** APPLY the trained classifier — the consumer that makes
+    * [[perceptronTrain]]'s artifact load-bearing (same contract as
+    * [[bpeTokenize]] for the BPE merges: it re-runs the identical training
+    * loop, so the weights provably come from that loop). Every document is
+    * scored with the learned table — margin = Σ_b f_db·w_b (exact BIGINT)
+    * — and `keep = margin > 0`; zero-token documents score 0 and drop.
+    * One broadcast join of the ≤ dim-row weight table + one
+    * map-side-combinable aggregate: the 100 TB filter pass.
+    *
+    * Lifecycle mirrors [[dsirSelect]]: the feature cache stays registered
+    * by default (Bench clears at family boundaries); `releaseCache = true`
+    * materializes the result and unpersists before returning.
+    */
+  def perceptronScore(docs: DataFrame, id: String, text: String,
+                      dim: Int = 256, rounds: Int = 5,
+                      releaseCache: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = hashFeatures(docs, id, text, dim).persist()
+    val wDf = perceptronLoop(feats, qualityLabel(docs, id, text), rounds)
+      .toSeq.toDF("bucket", "w")
+    val scored = feats.join(broadcast(wDf), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("f") * coalesce(col("w"), lit(0L))).as("m"),
+        sum(col("f")).as("nt"))
+    val out = docs.select(col(id).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("m"), lit(0L)).as("margin"))
+      .withColumn("keep", col("margin") > 0)
+    if (!releaseCache) out
+    else {
+      val materialized = out.localCheckpoint()
+      feats.unpersist()
+      materialized
+    }
+  }
 }

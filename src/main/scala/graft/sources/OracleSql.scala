@@ -250,6 +250,68 @@ object OracleSql {
        |     unnest(range(1, len(sym) + 1)) u(j)
        |ORDER BY doc_id, word_idx, token_idx""".stripMargin
 
+  /** Shared f/lab/w1..wR CTE chain for the batch-perceptron mirrors
+    * (q_quality_train / q_quality_filter): hashed unigram features over
+    * the BPE-ish token stream (the q_logreg_score feature mirror,
+    * parameterized on `dim`), ±1 weak labels from the lang-id heuristic
+    * (en → +1), then `rounds` unrolled full-batch perceptron updates from
+    * w = 0. Round 1 is special-cased — zero weights make every labeled
+    * doc misclassified, so w1 = Σ_docs y·f directly. All arithmetic is
+    * BIGINT-exact, so the chain reproduces the engine loop bit-for-bit.
+    * MATERIALIZED on the multiply-referenced CTEs (DuckDB inlines
+    * otherwise — the pagerank-chain ENOSPC lesson). */
+  private def perceptronChainCtes(dim: Int, rounds: Int): String = {
+    import graft.operators.TextAnalysis.{TokenPattern, StopwordsEn, StopwordsEs, StopwordsPt}
+    require(rounds >= 1, "perceptron chain needs at least one round")
+    def hits(set: Seq[String]) =
+      s"CAST(len(list_filter(string_split(lower(text), ' '), x -> lower(x) IN ${inListSql(set)})) AS BIGINT)"
+    val steps = (2 to rounds).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT doc_id, CAST(sum(f * COALESCE(w, 0)) AS BIGINT) AS m
+         |      FROM f LEFT JOIN w${i - 1} USING (bucket) GROUP BY doc_id),
+         |x$i AS (SELECT l.doc_id, l.y FROM lab l LEFT JOIN m$i USING (doc_id)
+         |      WHERE l.y * COALESCE(m, 0) <= 0),
+         |d$i AS (SELECT bucket, CAST(sum(y * f) AS BIGINT) AS d
+         |      FROM f JOIN x$i USING (doc_id) GROUP BY bucket),
+         |w$i AS MATERIALIZED (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+         |        COALESCE(a.w, 0) + COALESCE(b.d, 0) AS w
+         |      FROM w${i - 1} a FULL OUTER JOIN d$i b ON a.bucket = b.bucket)""".stripMargin
+    }.mkString(",\n")
+    val base =
+      s"""t AS (SELECT doc_id, regexp_extract_all(text, '$TokenPattern') AS l FROM documents),
+         |tok AS (SELECT doc_id, lower(l[i]) AS w FROM t, unnest(range(1, len(l) + 1)) u(i)),
+         |f AS MATERIALIZED (SELECT doc_id, ${hash60Sql("w")} % $dim AS bucket,
+         |      CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1, 2),
+         |lab AS MATERIALIZED (SELECT doc_id,
+         |        CASE WHEN en > 0 AND en >= pt AND en >= es
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+         |      FROM (SELECT doc_id, ${hits(StopwordsEn)} AS en,
+         |              ${hits(StopwordsPt)} AS pt, ${hits(StopwordsEs)} AS es
+         |            FROM documents)),
+         |w1 AS MATERIALIZED (SELECT bucket, CAST(sum(y * f) AS BIGINT) AS w
+         |      FROM f JOIN lab USING (doc_id) GROUP BY bucket)""".stripMargin
+    if (steps.isEmpty) base else s"$base,\n$steps"
+  }
+
+  /** q_quality_train mirror: the full dim-row learned weight table. */
+  def perceptronTrainChainSql(dim: Int, rounds: Int): String =
+    s"""WITH ${perceptronChainCtes(dim, rounds)}
+       |SELECT CAST(r.b AS BIGINT) AS bucket, CAST(COALESCE(w, 0) AS BIGINT) AS w
+       |FROM (SELECT unnest(range(0, $dim)) AS b) r
+       |LEFT JOIN w$rounds ON r.b = w$rounds.bucket
+       |ORDER BY 1""".stripMargin
+
+  /** q_quality_filter mirror: every document scored with the trained
+    * weights; zero-token docs score 0 and drop (strict `margin > 0`). */
+  def perceptronScoreChainSql(dim: Int, rounds: Int): String =
+    s"""WITH ${perceptronChainCtes(dim, rounds)},
+       |sc AS (SELECT doc_id, CAST(sum(f * COALESCE(w, 0)) AS BIGINT) AS margin,
+       |         CAST(sum(f) AS BIGINT) AS n_tokens
+       |       FROM f LEFT JOIN w$rounds USING (bucket) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  COALESCE(margin, CAST(0 AS BIGINT)) AS margin,
+       |  (COALESCE(margin, CAST(0 AS BIGINT)) > 0) AS keep
+       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   def pagerankChainSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""c$i AS MATERIALIZED (SELECT e.dst AS node, floor((r.r / d.deg) * 1000000000000.0 + 0.5) AS q
