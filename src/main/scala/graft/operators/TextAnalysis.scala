@@ -875,11 +875,21 @@ object TextAnalysis {
                       dim: Int = 256, rounds: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = hashFeatures(docs, id, text, dim).persist()
-    val w = perceptronLoop(feats, qualityLabel(docs, id, text), rounds)
-    feats.unpersist() // the result below is a driver-side literal
+    val w = perceptronTrainedWeights(docs, id, text, dim, rounds)
     (0L until dim.toLong).map(b => (b, w.getOrElse(b, 0L)))
       .toDF("bucket", "w")
+  }
+
+  /** The trained weight map itself (driver-side, ≤ dim entries) — for
+    * consumers that embed the model in an expression rather than a join
+    * (e.g. the streaming scorer [[graft.streaming.EventsStream.
+    * qualityScoreStream]]). */
+  def perceptronTrainedWeights(docs: DataFrame, id: String, text: String,
+                               dim: Int = 256, rounds: Int = 5): Map[Long, Long] = {
+    val feats = hashFeatures(docs, id, text, dim).persist()
+    val w = perceptronLoop(feats, qualityLabel(docs, id, text), rounds)
+    feats.unpersist() // the weight map is driver-side — nothing lazy reads feats
+    w
   }
 
   /** APPLY the trained classifier — the consumer that makes

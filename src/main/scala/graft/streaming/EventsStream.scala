@@ -286,6 +286,31 @@ object EventsStream {
       .select(stream.columns.map(col): _*)
   }
 
+  /** Model serving at stream time: score a document stream with the
+    * TRAINED perceptron quality classifier
+    * ([[graft.operators.TextAnalysis.perceptronTrain]]). The ≤ dim-entry
+    * weight map is embedded as a LITERAL array in the expression, and the
+    * margin Σ_tokens w_{bucket(token)} (≡ Σ_b f_b·w_b, exact BIGINT) is
+    * computed entirely PER ROW — no shuffle, no state store, no watermark:
+    * a stateless append-mode map the planner fuses into the scan, the
+    * shape online corpus filtering actually runs at 100 TB/day (the model
+    * rides the closure; only kept rows leave the stage). Identical
+    * integer arithmetic to the batch scorer, so the batch chain is the
+    * exact oracle.
+    */
+  def qualityScoreStream(stream: DataFrame, weights: Map[Long, Long],
+                         dim: Int = 256): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val wArr = array((0 until dim).map(b => lit(weights.getOrElse(b.toLong, 0L))): _*)
+    val toks = regexp_extract_all(col("text"), lit(TextAnalysis.TokenPattern), lit(0))
+    stream.select(col("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
+        aggregate(col("__t"), lit(0L), (acc, t) =>
+          acc + element_at(wArr,
+            (Dedup.hash60(lower(t)) % dim + 1).cast("int"))).as("margin"))
+      .withColumn("keep", col("margin") > 0)
+  }
+
   /** Streaming HLL register build: the 64-row max-rho state that gives a
     * running distinct-user estimate over an unbounded stream with CONSTANT
     * state — where streaming `countDistinct` would hold every identity

@@ -106,6 +106,16 @@ class PerceptronSpec extends SparkSpec {
     }
   }
 
+  test("literal-array stream scorer == join-based batch scorer") {
+    val w = TextAnalysis.perceptronTrainedWeights(corpus, "doc_id", "text", Dim, 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val viaExpr = rows(graft.streaming.EventsStream.qualityScoreStream(corpus, w, Dim))
+    val viaJoin = rows(TextAnalysis.perceptronScore(corpus, "doc_id", "text", Dim, 5))
+    assert(viaExpr == viaJoin,
+      "per-row embedded-model margin must equal the broadcast-join margin")
+  }
+
   test("separable corpus reaches the fixpoint: extra rounds change nothing") {
     val sep = Seq((1L, "the the the"), (2L, "de de de")).toDF("doc_id", "text")
     val atFix = TextAnalysis.perceptronTrain(sep, "doc_id", "text", Dim, 2)
