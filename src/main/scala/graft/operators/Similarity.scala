@@ -1006,6 +1006,50 @@ object Similarity {
         (col("ds").cast("double") / 1e4).as("approx_l2"))
   }
 
+  /** Two-stage retrieval: IVFADC shortlist + EXACT re-rank — "IVFADC+R"
+    * (Jégou et al., TPAMI 2011 §V; the FAISS refine stage every production
+    * deployment runs). Stage 1 is [[ivfPqTopKTrained]] with a `shortlist`
+    * ≥ k result list — the corpus is met only as m-byte PQ codes. Stage 2
+    * fetches FULL vectors for the |queries|·shortlist surviving candidates
+    * only and re-ranks them by exact L2², repairing the quantization error
+    * ADC introduced for the final ordering.
+    *
+    * Scale shape: the candidate set is queries×shortlist (tiny) and
+    * BROADCASTS to the corpus scan, so the full-vector fetch is one
+    * shuffle-free broadcast-hash probe of the vector store — at 100 TB the
+    * exact pass touches shortlist rows per query where brute force reads
+    * the corpus; the re-rank window partitions by query over shortlist
+    * rows. Determinism: the exact distance is the same detRound(q·q + v·v
+    * − 2·q·v, 4) → 1e-4-integer recipe as the ADC sums; ranks tie-break on
+    * vec_id.
+    */
+  def ivfPqRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+                  shortlist: Int, m: Int = 4, dim: Int = 64,
+                  kCoarse: Int = 32, coarseIters: Int = 2,
+                  kPq: Int = 32, pqIters: Int = 1, nprobe: Int = 2,
+                  coarseCents: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = ivfPqTopKTrained(corpus, queries, shortlist, m, dim,
+        kCoarse, coarseIters, kPq, pqIters, nprobe, coarseCents)
+      .select(col("query_id"), col("vec_id"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+    // corpus streams, shortlist builds: the vector fetch is a broadcast
+    // probe over the scan, never a corpus shuffle
+    val exact = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("d", detRound(
+        dotFP(col("emb_q"), col("emb_q")) + dotFP(col("embedding"), col("embedding"))
+          - lit(2.0) * dotFP(col("emb_q"), col("embedding")), 4))
+      .select(col("query_id"), col("vec_id"),
+        floor(col("d") * 1e4 + 0.5).cast("long").as("ds"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ds"), col("vec_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (col("ds").cast("double") / 1e4).as("exact_l2"))
+  }
+
   /** ANN index-quality evaluation: recall@k of the IVF index against the
     * exact top-k, per query — the monitoring number every production ANN
     * deployment tracks (recall traded against the nprobe/cells scan

@@ -888,7 +888,39 @@ object OracleSql {
     * ADC shape against the trained tables. */
   def ivfPqTrainedSql(k: Int, querySel: String, m: Int, dim: Int,
                       kCoarse: Int, coarseIters: Int,
-                      kPq: Int, pqIters: Int, nprobe: Int): String = {
+                      kPq: Int, pqIters: Int, nprobe: Int): String =
+    s"""${ivfPqTrainedChainSql(querySel, m, dim, kCoarse, coarseIters, kPq, pqIters, nprobe)}
+       |SELECT query_id, rank, vec_id, CAST(ds AS DOUBLE) / 10000.0 AS approx_l2
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** q_ann_ivfpq_rerank mirror (IVFADC+R): [[ivfPqTrainedChainSql]]'s ADC
+    * ranking truncated to the `shortlist`, full vectors re-fetched for the
+    * shortlist only, exact L2² with the engine's IEEE op order
+    * (q·q + v·v − 2·q·v, detRound 4, 1e-4-integer ordering). */
+  def ivfPqRerankSql(k: Int, shortlist: Int, querySel: String, m: Int, dim: Int,
+                     kCoarse: Int, coarseIters: Int,
+                     kPq: Int, pqIters: Int, nprobe: Int): String = {
+    val exDist =
+      s"${dotSql("q.emb_q", "q.emb_q")} + ${dotSql("e.embedding", "e.embedding")}" +
+        s" - 2.0 * ${dotSql("q.emb_q", "e.embedding")}"
+    s"""${ivfPqTrainedChainSql(querySel, m, dim, kCoarse, coarseIters, kPq, pqIters, nprobe)},
+       |short AS (SELECT query_id, vec_id FROM r WHERE rank <= $shortlist),
+       |ex AS (SELECT s.query_id, s.vec_id,
+       |        CAST(floor(${detRoundSql(exDist, 4)} * 10000.0 + 0.5) AS BIGINT) AS ds
+       |      FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+       |      JOIN q ON q.query_id = s.query_id),
+       |rr AS (SELECT query_id, vec_id, ds,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY ds, vec_id) AS rank
+       |      FROM ex)
+       |SELECT query_id, rank, vec_id, CAST(ds AS DOUBLE) / 10000.0 AS exact_l2
+       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The shared trained-IVF-PQ chain: WITH-clauses through `r` (every ADC
+    * candidate ranked per query by ascending quantized approximate L2²). */
+  private def ivfPqTrainedChainSql(querySel: String, m: Int, dim: Int,
+                                   kCoarse: Int, coarseIters: Int,
+                                   kPq: Int, pqIters: Int, nprobe: Int): String = {
     val subDim = dim / m
     val subVals = (0 until m).map(s => s"($s)").mkString(", ")
     def sl(e: String) = s"$e[(sub * $subDim + 1):(sub * $subDim + $subDim)]"
@@ -952,9 +984,7 @@ object OracleSql {
        |      GROUP BY 1, 2),
        |r AS (SELECT query_id, vec_id, ds,
        |        row_number() OVER (PARTITION BY query_id ORDER BY ds, vec_id) AS rank
-       |      FROM sc)
-       |SELECT query_id, rank, vec_id, CAST(ds AS DOUBLE) / 10000.0 AS approx_l2
-       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |      FROM sc)""".stripMargin
   }
 
   /** q_ann_ndcg mirror: graded relevance from the exact ranking, DCG over

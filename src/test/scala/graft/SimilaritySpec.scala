@@ -332,6 +332,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerank: exact re-rank repairs ADC quantization-error ordering") {
+    // Same two-cluster corpus as the trained-ADC test. With kPq=2 every
+    // same-cluster vector collapses onto ONE codebook entry, so ADC sees
+    // identical distances for all candidates (rank = vec_id tie-break),
+    // while the exact distances differ by construction: the refine stage
+    // MUST reorder — this pins it as load-bearing, not a pass-through.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f, 2.0f)), (3L, Seq(0.0f, 2.0f, 2.0f, 0.0f)),
+      (4L, Seq(3.0f, 0.0f, 0.0f, 3.0f)), (5L, Seq(0.0f, 3.0f, 3.0f, 0.0f)),
+      (6L, Seq(1.5f, 0.0f, 0.0f, 1.5f)), (7L, Seq(0.0f, 1.5f, 1.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 2)
+    val adc = Similarity.ivfPqTopKTrained(emb, queries, k = 3,
+        m = 2, dim = 4, kCoarse = 2, coarseIters = 1, kPq = 2, pqIters = 1,
+        nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rr = Similarity.ivfPqRerank(emb, queries, k = 3, shortlist = 3,
+        m = 2, dim = 4, kCoarse = 2, coarseIters = 1, kPq = 2, pqIters = 1,
+        nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // shortlist containment: the re-ranked ids are exactly the ADC ids
+    assert(rr.map(t => (t._1, t._3)).toSet === adc.map(t => (t._1, t._3)).toSet)
+    // ADC collapsed to one code per cluster => its order is the id tie-break
+    assert(adc.sortBy(t => (t._1, t._2)).map(_._3) === Seq(2L, 4L, 6L, 3L, 5L, 7L))
+    // exact re-rank restores true-distance order with the true L2²
+    assert(rr.sortBy(t => (t._1, t._2)) === Seq(
+      (0L, 1L, 6L, 0.5), (0L, 2L, 2L, 2.0), (0L, 3L, 4L, 8.0),
+      (1L, 1L, 7L, 0.5), (1L, 2L, 3L, 2.0), (1L, 3L, 5L, 8.0)))
+  }
+
   test("ivfTopKTrained over kmeansFixedK: constant-K coarse cells give cluster-pure full lists") {
     // two clean clusters, fixed K=2 (seeds are vecs 0,1 — one per cluster).
     // K stays 2 no matter how many vectors arrive: the linear production
