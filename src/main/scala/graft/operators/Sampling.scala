@@ -34,6 +34,32 @@ object Sampling {
     df.withColumn(splitCol,
       when(keep(key, trainFraction), lit("train")).otherwise(lit("eval")))
 
+  /** Leakage-safe train/eval split: the split key is the NEAR-DUPLICATE
+    * CLUSTER, not the document — every member of a connected near-dup
+    * cluster lands on the same side, so no eval example has a train-side
+    * near-duplicate (the cross-split contamination Lee et al. 2022,
+    * arXiv:2107.06499 §6.2 measure — the reason production pipelines
+    * dedup/cluster BEFORE splitting). Composes two gated operators:
+    * [[graft.operators.Dedup.connectedComponents]] over the LSH pair set
+    * yields (doc, cluster_id = min reachable doc id); the cluster id then
+    * rides the SAME md5-interval keep as [[trainEvalSplit]], so singleton
+    * documents (cluster_id = own id) split exactly as the naive per-doc
+    * split would and the train mass stays ≈ trainFraction when dup mass
+    * is small.
+    *
+    * Scale: CC is the checkpoint-rotated fixpoint loop already gated at
+    * sf100; the split adds one hash per row on its output — no additional
+    * shuffle, no window.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       trainFraction: Double): DataFrame =
+    Dedup.connectedComponents(docs.select(col(idCol)), idCol, pairs, aCol, bCol)
+      .withColumn("split",
+        when(keep(col("cluster_id"), trainFraction), lit("train"))
+          .otherwise(lit("eval")))
+      .select(col(idCol), col("cluster_id"), col("split"))
+
   /** Deterministic fixed-size "reservoir" per group: the k rows with the
     * smallest md5(key) per group — uniform-ish like a reservoir sample but
     * a pure function of the keys, so it survives reruns, engines and

@@ -29,6 +29,27 @@ class SamplingSpec extends SparkSpec {
     assert(half.subsetOf(train))
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle; singletons match the naive split") {
+    val docs = (1L to 200L).toDF("doc_id")
+    // two multi-doc clusters (1-2-3 via chain, 10-11) + 195 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs, "a", "b", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 200)
+    val side = out.map(t => t._1 -> t._3).toMap
+    // the leakage invariant: both endpoints of every pair on one side
+    Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 3L)).foreach { case (a, b) =>
+      assert(side(a) === side(b), s"pair ($a,$b) straddles the split")
+    }
+    // cluster ids are the min reachable doc
+    val cid = out.map(t => t._1 -> t._2).toMap
+    assert(cid(1L) === 1L && cid(2L) === 1L && cid(3L) === 1L && cid(11L) === 10L)
+    // singletons (cluster_id = own id) split exactly as trainEvalSplit would
+    val naive = Sampling.trainEvalSplit((12L to 200L).toDF("doc_id"), $"doc_id", 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    naive.foreach { case (id, s) => assert(side(id) === s) }
+  }
+
   test("rebalanceToTarget caps dominant strata near the target, keeps small ones whole") {
     val df = ((1L to 4000L).map(i => (i, "big")) ++ (9001L to 9050L).map(i => (i, "small")))
       .toDF("k", "s")
