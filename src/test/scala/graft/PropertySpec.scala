@@ -173,6 +173,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerank with full shortlist + all cells probed equals exact L2 top-k") {
+    // When nothing is pruned (nprobe = kCoarse, shortlist = n-1) the two-
+    // stage search degenerates to exact search: the ADC stage only selects
+    // candidates, and the refine stage orders ALL of them by true distance.
+    // Random corpus, expected ranking re-derived driver-side with the same
+    // sequential-double fold + quantization the engine uses.
+    val rnd = new Random(7)
+    val n = 24; val dim = 8
+    val vecs = (0L until n.toLong).map(i =>
+      (i, Seq.fill(dim)((rnd.nextInt(400) - 200) / 100.0f))).toVector
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 3)
+    val out = operators.Similarity.ivfPqRerank(emb, queries, k = 5,
+        shortlist = n - 1, m = 2, dim = dim, kCoarse = 4, coarseIters = 1,
+        kPq = 4, pqIters = 1, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    val expected = (0L until 3L).flatMap { q =>
+      val qv = vecs(q.toInt)._2
+      vecs.filter(_._1 != q).map { case (v, xv) =>
+        val d = math.floor((dot(qv, qv) + dot(xv, xv) - 2.0 * dot(qv, xv)) * 1e4 + 0.5) / 1e4
+        (q, math.floor(d * 1e4 + 0.5).toLong, v)
+      }.sortBy(t => (t._2, t._3)).take(5).zipWithIndex
+        .map { case ((_, _, v), i) => (q, (i + 1).toLong, v) }
+    }
+    assert(out.sortBy(t => (t._1, t._2)) === expected)
+  }
+
   test("poissonBootstrap mass: replicate row counts concentrate around n") {
     (1 to 2).foreach { _ =>
       val n = 2000 + rnd.nextInt(2000)
