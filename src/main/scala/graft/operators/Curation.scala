@@ -38,6 +38,32 @@ object Curation {
     * one projection (plus the keeper left join), and the whole funnel is
     * ONE conditional aggregate row, unpivoted to a 5-row report.
     */
+  /** Deterministic epoch-seeded shuffle-sharding — the pipeline's LAST
+    * step: assign every document a shard for each training epoch via a
+    * pure hash of (doc id, epoch), so the "global shuffle" every data
+    * loader needs is (a) reproducible across reruns/engines/partitionings,
+    * (b) different every epoch (decorrelated batch composition — the
+    * reason loaders reshuffle at all), and (c) embarrassingly parallel:
+    * no global sort, no window — ONE projection per row and one
+    * combinable aggregate for the shard manifest. At 100 TB this is the
+    * only shuffle-free way to "shuffle": a hash permutation's shard is
+    * computable row-locally, and writers just `partitionBy(shard)`.
+    *
+    * Returns the shard MANIFEST (epoch, shard, n_docs, n_chars, h_xor) —
+    * the balance/checksum table a loader validates against; h_xor is the
+    * order-free 60-bit content checksum of the member hash set.
+    */
+  def shuffleShards(docs: DataFrame, id: String, text: String,
+                    nShards: Int, epochs: Int): DataFrame =
+    docs.select(col(id).cast("string").as("__id"),
+        length(col(text)).cast("long").as("__len"))
+      .withColumn("epoch", explode(array((0 until epochs).map(e => lit(e.toLong)): _*)))
+      .withColumn("__h", Dedup.hash60(concat_ws(":", col("__id"), col("epoch"))))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__len")).as("n_chars"),
+        expr("bit_xor(__h)").as("h_xor"))
+
   def curationFunnel(docs: DataFrame, id: String, text: String, lang: String,
                      minQuality: Double, sampleFraction: Double): DataFrame = {
     val keepers = Dedup.exactDedup(docs, col(text), col(id))

@@ -24,6 +24,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2) === ((3L, 1L, 2L, "<EMAIL> and <NUM> and <NUM>")))
   }
 
+  test("shuffleShards: exhaustive per epoch, epochs reshuffle, partition-invariant") {
+    val docs = (1L to 400L).map(i => (i, "x" * (i % 7 + 1).toInt)).toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Curation.shuffleShards(df, "doc_id", "text", nShards = 8, epochs = 2)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val m = manifest(docs)
+    // exhaustive: each epoch's shard doc counts sum to the corpus
+    Seq(0L, 1L).foreach { e =>
+      assert((0L until 8L).map(s => m.get((e, s)).map(_._1).getOrElse(0L)).sum === 400L)
+    }
+    // reshuffle: the epochs' manifests differ (decorrelated batches)
+    assert((0L until 8L).exists(s => m.get((0L, s)) !== m.get((1L, s))))
+    // pure function of (id, epoch): invariant to input partitioning
+    assert(manifest(docs.repartition(13)) === m)
+  }
+
   test("contamination flags docs whose shingles overlap the benchmark") {
     val corpus = Seq(
       (1L, "a b c d e"),      // shares shingles with benchmark doc
