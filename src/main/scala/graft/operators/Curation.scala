@@ -64,6 +64,43 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("__len")).as("n_chars"),
         expr("bit_xor(__h)").as("h_xor"))
 
+  /** The WHOLE training-data pipeline, composed end-to-end as one lazy
+    * dataflow: curate (lang filter → quality gate → exact-dedup keepers →
+    * deterministic subsample) → leakage-safe split (near-dup clusters
+    * among the SURVIVORS may not straddle train/eval) → epoch-0
+    * shuffle-sharding of every surviving doc. Returns the (split, shard)
+    * manifest with order-free checksums — the table a downstream loader
+    * validates before training.
+    *
+    * Composition rules at scale: the near-dup pair set is pruned to
+    * survivors by two LEFT SEMI joins on bare ids BEFORE the CC fixpoint
+    * (clusters over dropped docs are dead work, and a dropped doc must not
+    * bridge two surviving clusters — the split contract is defined on the
+    * curated corpus); everything downstream of curation carries ids only,
+    * never text. One wide corpus scan total, inherited from [[curate]].
+    */
+  def pipelineManifest(docs: DataFrame, id: String, text: String,
+                       lang: String, minQuality: Double,
+                       sampleFraction: Double, pairs: DataFrame,
+                       aCol: String, bCol: String, trainFraction: Double,
+                       nShards: Int): DataFrame = {
+    val curated = curate(docs, id, text, lang, minQuality, sampleFraction)
+      .select(col(id))
+    val survivorPairs = pairs
+      .join(curated.select(col(id).as(aCol)), Seq(aCol), "left_semi")
+      .join(curated.select(col(id).as(bCol)), Seq(bCol), "left_semi")
+    val split = Sampling.leakageSafeSplit(
+      curated, id, survivorPairs, aCol, bCol, trainFraction)
+    split
+      .withColumn("__h", Dedup.hash60(
+        concat_ws(":", col(id).cast("string"), lit(0L))))
+      .withColumn("shard",
+        when(col("split") === "train", pmod(col("__h"), lit(nShards.toLong)))
+          .otherwise(lit(-1L)))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(__h)").as("h_xor"))
+  }
+
   def curationFunnel(docs: DataFrame, id: String, text: String, lang: String,
                      minQuality: Double, sampleFraction: Double): DataFrame = {
     val keepers = Dedup.exactDedup(docs, col(text), col(id))

@@ -42,6 +42,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(manifest(docs.repartition(13)) === m)
   }
 
+  test("pipeline contract: a curation-dropped bridge doc separates surviving clusters") {
+    // pipelineManifest prunes the near-dup pair set to SURVIVORS before CC
+    // (the split contract is defined on the curated corpus): with bridge
+    // doc 2 dropped, 1 and 3 are singletons — their clusters, and so
+    // potentially their splits, are independent.
+    val survivors = Seq(1L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val pruned = pairs
+      .join(survivors.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .join(survivors.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+    assert(pruned.count() === 0)
+    val out = Sampling.leakageSafeSplit(survivors, "doc_id", pruned, "a", "b", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 1L), (3L, 3L)), "dropped bridge must not merge 1 and 3")
+  }
+
   test("contamination flags docs whose shingles overlap the benchmark") {
     val corpus = Seq(
       (1L, "a b c d e"),      // shares shingles with benchmark doc
