@@ -86,9 +86,15 @@ object Curation {
                        nShards: Int): DataFrame = {
     val curated = curate(docs, id, text, lang, minQuality, sampleFraction)
       .select(col(id))
+    // MERGE hint: both sides are data-sized (pairs AND the survivor id
+    // set), so the spillable strategy is the only always-safe one — an
+    // AQE flip to SHUFFLE_HASH would stake correctness on an unspillable
+    // per-partition build map (the recorded hash-relation failure mode;
+    // at sf100 the SHARED LSH verify join hit exactly that under too few
+    // shuffle partitions — SCALE_PROBE_r12_pipeline_sf100.json).
     val survivorPairs = pairs
-      .join(curated.select(col(id).as(aCol)), Seq(aCol), "left_semi")
-      .join(curated.select(col(id).as(bCol)), Seq(bCol), "left_semi")
+      .join(curated.select(col(id).as(aCol)).hint("merge"), Seq(aCol), "left_semi")
+      .join(curated.select(col(id).as(bCol)).hint("merge"), Seq(bCol), "left_semi")
     val split = Sampling.leakageSafeSplit(
       curated, id, survivorPairs, aCol, bCol, trainFraction)
     split

@@ -310,6 +310,14 @@ object Dedup {
     // the LSH-pruning contract anyway; `spark.graft.lsh.verifyJoinHint=merge`
     // (or any other join hint name) restores the spilling strategy without
     // a code change. Default stays shuffle_hash — the measured sf100 winner.
+    // SECOND DATA POINT (r12, SCALE_PROBE_r12_pipeline_sf100.json): the
+    // regenerated decorrelated sf100 replica corpus is the counter-example
+    // — SHJ's build map hits the 1 GB unspillable acquire and HARD-FAILS
+    // (q_dedup_clusters / q_pipeline_manifest), while `merge` completes
+    // the 5M-doc run. The default is corpus-dependent; production runs
+    // should set the conf when bucket sizes are unknown. Self-tuning
+    // candidate: estimate Σb² from the cached band table BEFORE this join
+    // and pick merge when the per-partition build exceeds the budget.
     val verifyHint = docs.sparkSession.conf
       .get("spark.graft.lsh.verifyJoinHint", "shuffle_hash")
     val result = candidates.hint(verifyHint)
