@@ -273,6 +273,115 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
   }
 
+  /** Self-tuning strategy for the LSH verification joins (r12, closing the
+    * SCALE_PROBE_r12_pipeline_sf100 thread). Two measured data points say
+    * the right strategy is CORPUS-DEPENDENT: SHUFFLE_HASH won r10's sf100
+    * run (109 s where SortMergeJoin cliffed on sorting the corpus-sized
+    * shingle table), but its build map is UNSPILLABLE — on r12's
+    * regenerated replica corpus the verify build hit the 1 GB acquire and
+    * HARD-FAILED where merge merely spills (509 s, completes). Both
+    * decision inputs are already cached before the join runs, so the
+    * choice costs two small aggregates over cached data:
+    *
+    *   estPairs    — Σ c·(c−1)/2 over (band, band_hash) buckets (full), or
+    *                 Σ d·(c−1) with d = delta rows per bucket (incremental):
+    *                 an upper bound on the DISTINCT candidate pair count
+    *                 (distinct() only shrinks it; per-pair band multiplicity
+    *                 only inflates the bound — conservative in the safe
+    *                 direction, i.e. toward the spillable strategy).
+    *   avgShingles — mean shingle-set size, sizing join 2's build rows
+    *                 (each candidate pair carries one shingle array — the
+    *                 heavy build; join 1's bare id pairs are strictly
+    *                 smaller).
+    *
+    * Estimated worst-case build = estPairs × (avgShingles·20 + 120) bytes
+    * spread uniformly over shuffle partitions; pick merge when a
+    * partition's share exceeds the per-task build budget. The budget is
+    * NOT a constant: the probe runs showed the binding constraint is
+    * per-task execution memory under full slot concurrency (the sf10
+    * replica failed SHJ acquiring 128 MB on top of a 132 MB map — every
+    * slot was building simultaneously out of heap·fraction), so
+    * [[shjBuildBudget]] derives it from the executor heap, the unified
+    * memory fraction, and the slot count, halved for the BytesToBytesMap
+    * growth-doubling and cached-plan storage contention.
+    * `spark.graft.lsh.shjBuildBudgetBytes` overrides the derivation;
+    * `spark.graft.lsh.verifyJoinHint` forces any strategy by name;
+    * the default "auto" is this rule.
+    */
+  private[graft] def pickVerifyHint(estPairs: Double, avgShingles: Double,
+                                    shufflePartitions: Int,
+                                    budgetBytes: Long): String = {
+    // 20 B/shingle: UnsafeArrayData element = 8-byte offset/len word +
+    // 8-byte-padded 3-gram bytes; 120 B/row: pair ids + array header +
+    // BytesToBytesMap entry overhead. Order-of-magnitude is what matters —
+    // the healthy and pathological regimes are decades apart.
+    val bytesPerRow = avgShingles * 20.0 + 120.0
+    val perPartition = estPairs * bytesPerRow / math.max(1, shufflePartitions)
+    if (perPartition > budgetBytes.toDouble) "merge" else "shuffle_hash"
+  }
+
+  /** Per-task unspillable-build budget for the SHJ choice. The measured
+    * failure mode (VerifyHintProbe, sf10 AND sf100 replicas): every slot
+    * builds its hash map CONCURRENTLY out of `heap × spark.memory.fraction`
+    * execution memory, so a map bigger than its 1/slots share dies on the
+    * growth acquire regardless of how many shuffle partitions spread the
+    * data. Derivation: (heap − 300 MB reserved) × fraction / slots / 2 —
+    * the final /2 covers the BytesToBytesMap growth-doubling transient and
+    * storage contention from the operator's own cached build tables.
+    * Local mode reads the actual JVM heap (executors share it); cluster
+    * mode reads spark.executor.memory/cores. Floor 64 MB so undersized
+    * test JVMs still exercise SHJ. `spark.graft.lsh.shjBuildBudgetBytes`
+    * overrides. */
+  private[graft] def shjBuildBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.lsh.shjBuildBudgetBytes").map(_.toLong)
+      .getOrElse {
+        val isLocal = spark.sparkContext.master.startsWith("local")
+        val heap: Long =
+          if (isLocal) Runtime.getRuntime.maxMemory
+          else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.executor.memory", "4g"))
+        val slots: Int =
+          if (isLocal) math.max(1, spark.sparkContext.defaultParallelism)
+          else spark.conf.get("spark.executor.cores", "4").toInt
+        val fraction = spark.conf.get("spark.memory.fraction", "0.6").toDouble
+        math.max(64L << 20,
+          ((heap - (300L << 20)) * fraction / slots / 2).toLong)
+      }
+
+  /** Last auto decision (hint, estPairs, avgShingles) — read by the scale
+    * probe and specs to see WHY a strategy was chosen; never read by query
+    * code. Volatile is enough: one LSH build runs at a time per session. */
+  @volatile private[graft] var lastAutoVerify: Option[(String, Double, Double)] = None
+
+  /** Resolve the verification-join hint for a cached band table. `banded`
+    * must carry (band, band_hash); when it also carries `__delta`
+    * (incremental operator) the pair bound counts only delta-probe
+    * candidates. Returns the conf's value verbatim when it isn't "auto". */
+  private[graft] def verifyHintFor(banded: DataFrame,
+                                   prepared: DataFrame): String = {
+    val spark = banded.sparkSession
+    val conf = spark.conf.get("spark.graft.lsh.verifyJoinHint", "auto")
+    if (conf != "auto") return conf
+    val budget = shjBuildBudget(spark)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val deltaAware = banded.columns.contains("__delta")
+    val perBucket =
+      if (deltaAware)
+        banded.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("c"), sum(col("__delta")).as("d"))
+      else
+        banded.groupBy("band", "band_hash").agg(count(lit(1)).as("c"))
+    val pairsCol =
+      if (deltaAware) sum(col("d").cast("double") * (col("c") - lit(1)))
+      else sum(col("c").cast("double") * (col("c") - lit(1)) / lit(2))
+    val estPairs = perBucket.agg(coalesce(pairsCol, lit(0.0))).head().getDouble(0)
+    val avgSh = prepared.agg(coalesce(avg(size(col("sh"))), lit(0.0)))
+      .head().getDouble(0)
+    val hint = pickVerifyHint(estPairs, avgSh, parts, budget)
+    lastAutoVerify = Some((hint, estPairs, avgSh))
+    hint
+  }
+
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       k: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
     // Cached: the shingle sets feed the hash pipeline AND both sides of the
@@ -305,21 +414,14 @@ object Dedup {
     // degrades on the same input by sorting strictly more bytes.
     // Empirical: SHJ survives sf100 (109 s) where SMJ cliffs.
     //
-    // Escape hatch (ADVICE r10): SHJ trades SMJ's spill-based degradation
-    // for a hard unspillable-build failure if an adversarial corpus breaks
-    // the LSH-pruning contract anyway; `spark.graft.lsh.verifyJoinHint=merge`
-    // (or any other join hint name) restores the spilling strategy without
-    // a code change. Default stays shuffle_hash — the measured sf100 winner.
-    // SECOND DATA POINT (r12, SCALE_PROBE_r12_pipeline_sf100.json): the
-    // regenerated decorrelated sf100 replica corpus is the counter-example
-    // — SHJ's build map hits the 1 GB unspillable acquire and HARD-FAILS
-    // (q_dedup_clusters / q_pipeline_manifest), while `merge` completes
-    // the 5M-doc run. The default is corpus-dependent; production runs
-    // should set the conf when bucket sizes are unknown. Self-tuning
-    // candidate: estimate Σb² from the cached band table BEFORE this join
-    // and pick merge when the per-partition build exceeds the budget.
-    val verifyHint = docs.sparkSession.conf
-      .get("spark.graft.lsh.verifyJoinHint", "shuffle_hash")
+    // Strategy is SELF-TUNING (r12): the two sf100 data points — SHJ wins
+    // on LSH-contract-respecting corpora (r10: 109 s vs SMJ cliff) but
+    // HARD-FAILS the 1 GB unspillable acquire on the r12 replica corpus
+    // where merge completes — make the default corpus-dependent, so
+    // [[verifyHintFor]] derives it from the cached band-bucket histogram
+    // and shingle-set sizes BEFORE any candidate pair materializes.
+    // `spark.graft.lsh.verifyJoinHint` still forces any strategy by name.
+    val verifyHint = verifyHintFor(banded, prepared)
     val result = candidates.hint(verifyHint)
       .join(prepared.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
       .hint(verifyHint)
@@ -376,12 +478,15 @@ object Dedup {
       .filter(col("delta_o") === 0 || col("id_d") < col("id_o"))
       .select(least(col("id_d"), col("id_o")).as("doc_id_a"),
         greatest(col("id_d"), col("id_o")).as("doc_id_b")).distinct()
-    // same SHUFFLE_HASH discipline as minhashLshPairs' verification: a
+    // same self-tuning discipline as minhashLshPairs' verification: a
     // large delta's candidate set outgrows the broadcast threshold and
-    // would otherwise sort the corpus-sized shingle table
-    val result = candidates.hint("shuffle_hash")
+    // would otherwise sort the corpus-sized shingle table; the delta-aware
+    // pair bound (Σ d·(c−1)) keeps a small nightly delta on SHJ even when
+    // the base corpus is huge.
+    val verifyHint = verifyHintFor(banded, prepared)
+    val result = candidates.hint(verifyHint)
       .join(prepared.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
-      .hint("shuffle_hash")
+      .hint(verifyHint)
       .join(prepared.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)

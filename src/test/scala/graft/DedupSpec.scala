@@ -406,4 +406,76 @@ class DedupSpec extends SparkSpec {
     }
     assert(got.count(_._3 > 0) === 3) // exactly the shared-run docs flag
   }
+
+  test("pickVerifyHint: healthy builds stay SHJ, pathological flip to merge") {
+    val budget = 512L << 20
+    // healthy LSH-pruned regime: ~2M pairs, 40-shingle docs, 32 parts →
+    // 920 B/row × 2M / 32 ≈ 58 MB/partition — comfortably SHJ
+    assert(Dedup.pickVerifyHint(2e6, 40, 32, budget) === "shuffle_hash")
+    // ~20M pairs on only 32 partitions is already ~575 MB of unspillable
+    // build per task — the rule correctly prefers the spillable strategy
+    assert(Dedup.pickVerifyHint(2e7, 40, 32, budget) === "merge")
+    // the r12 failure regime: pair bound in the hundreds of millions with
+    // ~100-shingle docs → multi-GB per partition → spillable merge
+    assert(Dedup.pickVerifyHint(5e8, 100, 32, budget) === "merge")
+    // monotone in every knob: more partitions or budget restores SHJ
+    assert(Dedup.pickVerifyHint(5e8, 100, 4096, budget) === "shuffle_hash")
+    assert(Dedup.pickVerifyHint(5e8, 100, 32, 1L << 40) === "shuffle_hash")
+    // degenerate inputs never divide by zero / flip on empties
+    assert(Dedup.pickVerifyHint(0.0, 0.0, 0, 1L) === "shuffle_hash")
+  }
+
+  test("shjBuildBudget: conf override wins; local derivation is sane") {
+    try {
+      spark.conf.set("spark.graft.lsh.shjBuildBudgetBytes", "12345")
+      assert(Dedup.shjBuildBudget(spark) === 12345L)
+    } finally spark.conf.unset("spark.graft.lsh.shjBuildBudgetBytes")
+    val b = Dedup.shjBuildBudget(spark)
+    assert(b >= (64L << 20)) // floor keeps undersized JVMs on SHJ for tests
+    // never anywhere near the whole heap: the derivation divides by slots
+    // and the growth-doubling factor
+    assert(b < Runtime.getRuntime.maxMemory / 2)
+  }
+
+  test("verifyHintFor: conf forces verbatim; auto reads the bucket histogram") {
+    val banded = Seq((0, 7L), (0, 7L), (0, 7L), (1, 9L))
+      .toDF("band", "band_hash") // one 3-bucket → 3 candidate pairs
+    val prepared = Seq((1L, Seq("abc", "bcd", "cde")))
+      .toDF("doc_id", "sh")
+    try {
+      spark.conf.set("spark.graft.lsh.verifyJoinHint", "merge")
+      assert(Dedup.verifyHintFor(banded, prepared) === "merge")
+      spark.conf.set("spark.graft.lsh.verifyJoinHint", "auto")
+      assert(Dedup.verifyHintFor(banded, prepared) === "shuffle_hash")
+      // a 1-byte budget makes ANY nonzero pair bound exceed it
+      spark.conf.set("spark.graft.lsh.shjBuildBudgetBytes", "1")
+      assert(Dedup.verifyHintFor(banded, prepared) === "merge")
+      // delta-aware bound: zero delta rows → zero probe-side candidates →
+      // SHJ even under the 1-byte budget (the nightly-delta guarantee)
+      val noDelta = banded.withColumn("__delta", lit(0))
+      assert(Dedup.verifyHintFor(noDelta, prepared) === "shuffle_hash")
+      val oneDelta = Seq((0, 7L, 1), (0, 7L, 0), (0, 7L, 0), (1, 9L, 0))
+        .toDF("band", "band_hash", "__delta") // Σ d·(c−1) = 2 > 0 → merge
+      assert(Dedup.verifyHintFor(oneDelta, prepared) === "merge")
+    } finally {
+      spark.conf.unset("spark.graft.lsh.verifyJoinHint")
+      spark.conf.unset("spark.graft.lsh.shjBuildBudgetBytes")
+    }
+  }
+
+  test("minhashLshPairs results are strategy-invariant (auto-merge == SHJ)") {
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.minhashLshPairs(docs, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val forced = try {
+      spark.conf.set("spark.graft.lsh.verifyJoinHint", "shuffle_hash")
+      run()
+    } finally spark.conf.unset("spark.graft.lsh.verifyJoinHint")
+    val autoMerge = try {
+      // auto + 1-byte budget → merge path end-to-end
+      spark.conf.set("spark.graft.lsh.shjBuildBudgetBytes", "1")
+      run()
+    } finally spark.conf.unset("spark.graft.lsh.shjBuildBudgetBytes")
+    assert(autoMerge === forced && forced.nonEmpty)
+  }
 }
