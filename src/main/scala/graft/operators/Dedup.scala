@@ -498,6 +498,91 @@ object Dedup {
     result
   }
 
+  /** PERSISTED LSH signature artifact — the build-once lifecycle the
+    * operators above describe, made concrete. Writes two consistent tables
+    * under `dir`:
+    *   - `shingles.parquet` (doc_id, sh): the sorted distinct shingle sets
+    *     (verification side),
+    *   - `bands.parquet` (doc_id, band, band_hash): the banded minhash
+    *     signatures (candidate side).
+    * The band pass reads the persisted shingles back, so the corpus text is
+    * hashed exactly ONCE and the two tables cannot drift. At 100 TB this is
+    * the expensive pass a deployment runs once and then amortizes across
+    * every nightly delta ([[minhashLshPairsDelta]]) — which never touches
+    * base text again. Ids must stay unique across the base and all later
+    * deltas (the same contract as [[minhashLshPairsIncremental]]).
+    */
+  def writeSignatureArtifact(docs: DataFrame, id: String, text: String,
+                             dir: String, k: Int = 32, bands: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    withShingles(docs, id, text)
+      .write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+    bandHashes(spark.read.parquet(s"$dir/shingles.parquet"), k, bands)
+      .write.mode("overwrite").parquet(s"$dir/bands.parquet")
+  }
+
+  /** Fold a consumed delta into the artifact (run AFTER
+    * [[minhashLshPairsDelta]] so tonight's delta is tomorrow's base).
+    * Plain parquet appends — same single-runner contract as the backfill
+    * sink: two concurrent appenders of the same delta would double it. */
+  def appendToSignatureArtifact(delta: DataFrame, id: String, text: String,
+                                dir: String, k: Int = 32, bands: Int = 8): Unit = {
+    val prep = withShingles(delta, id, text).cache()
+    prep.write.mode("append").parquet(s"$dir/shingles.parquet")
+    bandHashes(prep, k, bands).write.mode("append").parquet(s"$dir/bands.parquet")
+    prep.unpersist()
+  }
+
+  /** Nightly delta dedup against the PERSISTED artifact: hashes ONLY the
+    * delta, equi-joins its bands into the artifact's existing buckets, and
+    * emits exactly the [[minhashLshPairsIncremental]] pairs of (base ∪
+    * delta) that involve ≥1 delta doc — DedupSpec pins that equivalence —
+    * without re-reading a byte of base text. The artifact's two tables are
+    * the only base inputs: `bands.parquet` feeds candidate generation (a
+    * narrow 3-column columnar scan) and `shingles.parquet` feeds only the
+    * verification join's build rows for candidate ids. This is the shape
+    * whose cost stays delta-sized as the base grows toward 100 TB.
+    *
+    * The verify-join tuner sees the delta-flagged union band table (so its
+    * pair bound is the delta-aware Σ d·(c−1)) but reads the shingle-size
+    * stat from the cached DELTA only — a delta-sized proxy for the corpus
+    * distribution, avoiding a base-wide scan for one scalar.
+    */
+  def minhashLshPairsDelta(delta: DataFrame, id: String, text: String,
+                           dir: String, k: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.6): DataFrame = {
+    val spark = delta.sparkSession
+    val deltaPrep = withShingles(delta, id, text).cache()
+    val deltaBands = bandHashes(deltaPrep, k, bands).cache()
+    val banded = spark.read.parquet(s"$dir/bands.parquet")
+      .withColumn("__delta", lit(0))
+      .unionByName(deltaBands.withColumn("__delta", lit(1)))
+    val probe = deltaBands
+      .select(col("band"), col("band_hash"), col("doc_id").as("id_d"))
+    val build = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_o"), col("__delta").as("delta_o"))
+    val candidates = probe.join(build, Seq("band", "band_hash"))
+      .filter(col("id_d") =!= col("id_o"))
+      .filter(col("delta_o") === 0 || col("id_d") < col("id_o"))
+      .select(least(col("id_d"), col("id_o")).as("doc_id_a"),
+        greatest(col("id_d"), col("id_o")).as("doc_id_b")).distinct()
+    val allSh = spark.read.parquet(s"$dir/shingles.parquet")
+      .unionByName(deltaPrep)
+    val verifyHint = verifyHintFor(banded, deltaPrep)
+    val result = candidates.hint(verifyHint)
+      .join(allSh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+      .hint(verifyHint)
+      .join(allSh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+      .cache()
+    result.count()
+    deltaPrep.unpersist()
+    deltaBands.unpersist()
+    result
+  }
+
   /** Containment (asymmetric) near-dup pairs: emit (a, b) when
     * |sh(a) ∩ sh(b)| / |sh(a)| ≥ t — "a is (near-)subsumed in b", the
     * quote/boilerplate/excerpt relation MinHash cannot see (a short doc

@@ -972,6 +972,19 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
     val cb = trainedPqCodebook(corpus, m, dim, kPq, pqIters)
     val codes = argminSubAssign(subVectors(corpus, m, dim), cb)
+    adcSearch(coarse, cells, cb, codes, queries, k, m, dim, nprobe)
+  }
+
+  /** The ADC search core shared by [[ivfPqTopKTrained]] (in-memory index)
+    * and [[ivfPqSearchIndex]] (persisted index): probes, per-query ADC
+    * tables, candidate scoring, top-k. ONE implementation, so the
+    * index-search path is output-equal to the in-memory path by
+    * construction — not by parallel maintenance. */
+  private def adcSearch(coarse: DataFrame, cells: DataFrame, cb: DataFrame,
+                        codes: DataFrame, queries: DataFrame, k: Int,
+                        m: Int, dim: Int, nprobe: Int): DataFrame = {
+    val cents = coarse.select(col("cell").as("cent_id"), col("emb_cent"),
+      sqrt(dotFP(col("emb_cent"), col("emb_cent"))).as("norm_cent"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val probes = queries
@@ -1004,6 +1017,58 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         (col("ds").cast("double") / 1e4).as("approx_l2"))
+  }
+
+  /** PERSISTED IVF-PQ index — the FAISS-style build/search split
+    * ([[ivfPqTopKTrained]]'s `coarseCents` hook, completed): train and
+    * assign ONCE, then every query batch searches the artifact without
+    * touching a corpus vector. Four tables under `dir`:
+    *   - `cents.parquet`    (kCoarse rows): the trained coarse quantizer,
+    *   - `codebook.parquet` (kPq × m rows): the trained PQ codebook,
+    *   - `cells.parquet`    (N rows, 2 narrow cols): vector → coarse cell,
+    *   - `codes.parquet`    (N × m rows of small ints): the PQ compression —
+    *     the search-time footprint of a 64-float vector is m codes.
+    * Assignments are computed from the READ-BACK trained tables, so the
+    * artifact is self-consistent even if the in-memory training frames
+    * were nondeterministically re-evaluated after the write. */
+  def writeIvfPqIndex(corpus: DataFrame, dir: String, m: Int = 4,
+                      dim: Int = 64, kCoarse: Int = 32, coarseIters: Int = 2,
+                      kPq: Int = 32, pqIters: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    kmeansFixedK(corpus, kCoarse, coarseIters)
+      .write.mode("overwrite").parquet(s"$dir/cents.parquet")
+    val cbT = trainedPqCodebook(corpus, m, dim, kPq, pqIters)
+    cbT.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    cbT.unpersist() // the persisted table replaces the caller-owned cache
+    val coarse = spark.read.parquet(s"$dir/cents.parquet")
+    val cents = coarse.select(col("cell"), col("emb_cent"),
+      sqrt(dotFP(col("emb_cent"), col("emb_cent"))).as("norm_cent"))
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
+    argmaxAssign(withNorm, cents)
+      .select(col("vec_id"), col("cell"))
+      .write.mode("overwrite").parquet(s"$dir/cells.parquet")
+    val cb = spark.read.parquet(s"$dir/codebook.parquet")
+    argminSubAssign(subVectors(corpus, m, dim), cb)
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  /** Search a [[writeIvfPqIndex]] artifact: the same [[adcSearch]] core as
+    * the in-memory path (output-equal by construction — SimilaritySpec and
+    * the q_ann_index oracle pin it), reading ONLY the four index tables.
+    * The scans are the production shape: kCoarse+kPq·m broadcast-small
+    * trained rows plus two narrow columnar corpus-sized tables; the
+    * 64-float vectors never load. `m`/`dim`/`nprobe` must match the build
+    * (as in any ANN library, the index is parameterized by its build). */
+  def ivfPqSearchIndex(dir: String, queries: DataFrame, k: Int,
+                       m: Int = 4, dim: Int = 64, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    adcSearch(
+      spark.read.parquet(s"$dir/cents.parquet"),
+      spark.read.parquet(s"$dir/cells.parquet"),
+      spark.read.parquet(s"$dir/codebook.parquet"),
+      spark.read.parquet(s"$dir/codes.parquet"),
+      queries, k, m, dim, nprobe)
   }
 
   /** Two-stage retrieval: IVFADC shortlist + EXACT re-rank — "IVFADC+R"

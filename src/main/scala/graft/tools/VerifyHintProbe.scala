@@ -63,6 +63,36 @@ object VerifyHintProbe {
     val nDocs = docs.count()
     val budgetMb = graft.operators.Dedup.shjBuildBudget(spark) >> 20
 
+    if (mode == "artifact") {
+      // the persisted-signature nightly shape: copies 1..N-1 are the base
+      // (signatures built ONCE, timed separately), copy 0 is the delta.
+      // Headline = the delta run's wall vs `incr` mode's, which re-hashes
+      // the whole base every night.
+      val artDir = s"$out/signatures"
+      val base = docs.filter(col("doc_id") >= ScaleGen.Offset)
+      val t0 = System.nanoTime()
+      val built = if (!new java.io.File(s"$artDir/bands.parquet").exists()) {
+        graft.operators.Dedup.writeSignatureArtifact(base, "doc_id", "text", artDir)
+        true
+      } else false
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pairs = graft.operators.Dedup.minhashLshPairsDelta(
+        docs.filter(col("doc_id") < ScaleGen.Offset), "doc_id", "text", artDir)
+      val nPairs = pairs.count()
+      val tDelta = (System.nanoTime() - t1) / 1e9
+      val d = graft.operators.Dedup.lastAutoVerify
+      pairs.unpersist()
+      println(s"""{"probe":"verify_hint_artifact","copies":$copies,"docs":$nDocs,""" +
+        s""""budget_mb":$budgetMb,"built_now":$built,""" +
+        s""""wall_build_s":${math.round(tBuild * 10) / 10.0},""" +
+        s""""hint":"${d.map(_._1).getOrElse("?")}",""" +
+        s""""est_pairs":${d.map(_._2).getOrElse(-1.0)},""" +
+        s""""n_pairs":$nPairs,"wall_delta_s":${math.round(tDelta * 10) / 10.0}}""")
+      spark.stop()
+      return
+    }
+
     if (mode == "incr") {
       // nightly-delta shape: copy 0 is the delta, everything else the base
       val t0 = System.nanoTime()

@@ -407,6 +407,35 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_._3 > 0) === 3) // exactly the shared-run docs flag
   }
 
+  test("signature artifact: delta-vs-artifact == incremental on the union, two nights") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = {
+      val s = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      df.unpersist(); s
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lsh_artifact").toString
+    val base = docs.filter($"doc_id" % 4 =!= 0) // 1,2,3,5
+    val night1 = docs.filter($"doc_id" % 4 === 0) // 4 (exact dup of 1)
+    Dedup.writeSignatureArtifact(base, "doc_id", "text", dir)
+    val art1 = pairSet(Dedup.minhashLshPairsDelta(night1, "doc_id", "text", dir))
+    val incr1 = pairSet(Dedup.minhashLshPairsIncremental(
+      docs, "doc_id", "text", $"doc_id" % 4 === 0))
+    assert(art1 === incr1 && art1.nonEmpty)
+    // night 2: fold night 1 into the artifact, dedupe a fresh delta that
+    // near-dups BOTH a base doc and a night-1 doc
+    Dedup.appendToSignatureArtifact(night1, "doc_id", "text", dir)
+    val night2 = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog", "en"), // dup of 1 AND 4
+      (7L, "totally novel content never seen anywhere", "en"))
+      .toDF("doc_id", "text", "lang")
+    val art2 = pairSet(Dedup.minhashLshPairsDelta(night2, "doc_id", "text", dir))
+    val incr2 = pairSet(Dedup.minhashLshPairsIncremental(
+      docs.unionByName(night2), "doc_id", "text", $"doc_id" >= 6))
+    assert(art2 === incr2)
+    assert(art2.contains((1L, 6L, 1.0)) && art2.contains((4L, 6L, 1.0)))
+    assert(!art2.exists { case (a, b, _) => a == 7L || b == 7L })
+  }
+
   test("pickVerifyHint: healthy builds stay SHJ, pathological flip to merge") {
     val budget = 512L << 20
     // healthy LSH-pruned regime: ~2M pairs, 40-shingle docs, 32 parts →

@@ -332,6 +332,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqSearchIndex: searching the persisted index == the in-memory path") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f, 2.0f)), (3L, Seq(0.0f, 2.0f, 2.0f, 0.0f)),
+      (4L, Seq(3.0f, 0.0f, 0.0f, 3.0f)), (5L, Seq(0.0f, 3.0f, 3.0f, 0.0f)),
+      (6L, Seq(1.5f, 0.0f, 0.0f, 1.5f)), (7L, Seq(0.0f, 1.5f, 1.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = rows(Similarity.ivfPqTopKTrained(emb, queries, k = 3,
+      m = 2, dim = 4, kCoarse = 2, coarseIters = 1, kPq = 2, pqIters = 1,
+      nprobe = 1))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    Similarity.writeIvfPqIndex(emb, dir, m = 2, dim = 4,
+      kCoarse = 2, coarseIters = 1, kPq = 2, pqIters = 1)
+    val fromIndex = rows(Similarity.ivfPqSearchIndex(dir, queries, k = 3,
+      m = 2, dim = 4, nprobe = 1))
+    assert(fromIndex === direct && direct.nonEmpty)
+    // the index really is the four expected tables, and the heavy two are
+    // narrow: codes carry (vec_id, sub, code) ints — never embeddings
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    assert(codes.columns.toSet === Set("vec_id", "sub", "code"))
+    assert(spark.read.parquet(s"$dir/cells.parquet").columns.toSet ===
+      Set("vec_id", "cell"))
+  }
+
   test("ivfPqRerank: exact re-rank repairs ADC quantization-error ordering") {
     // Same two-cluster corpus as the trained-ADC test. With kPq=2 every
     // same-cluster vector collapses onto ONE codebook entry, so ADC sees
