@@ -375,6 +375,17 @@ object TextAnalysis {
     merges.reverse.reduce(_ unionAll _)
   }
 
+  /** ONE greedy left-to-right application of merge (a, b) over a symbol
+    * array — the fold shared by the training loop and the OOV replay in
+    * [[bpeTokenizeWithVocab]], so the two cannot drift (BpeTrainSpec pins
+    * the fold's semantics against the reference merge). */
+  private def applyMergeFold(sym: Column, a: Column, b: Column): Column =
+    aggregate(sym, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === a && s === b,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(element_at(acc, -1), s))))
+        .otherwise(concat(acc, array(s))))
+
   /** The shared train loop: returns the per-round merge rows AND the final
     * (word, freq, sym) vocabulary segmentation after all `rounds` merges —
     * [[bpeTrain]] keeps only the former, [[bpeTokenize]] consumes the
@@ -404,13 +415,8 @@ object TextAnalysis {
       merges ::= best.select(lit(r.toLong).as("round"), col("pair"), col("total_count"))
       val applied = seg.crossJoin(broadcast(best.select(col("ab"))))
         .select(col("word"), col("freq"),
-          aggregate(col("sym"), array().cast("array<string>"), (acc, s) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === element_at(col("ab"), 1) &&
-                s === element_at(col("ab"), 2),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(element_at(acc, -1), s))))
-            .otherwise(concat(acc, array(s)))).as("sym"))
+          applyMergeFold(col("sym"),
+            element_at(col("ab"), 1), element_at(col("ab"), 2)).as("sym"))
       val next = IterState(applied, ckRoot, r)
       IterState.drop(seg, ckRoot, r - 1)
       seg = next
@@ -444,6 +450,60 @@ object TextAnalysis {
         col("col").as("word"))
       .filter(length(col("word")) >= 1)
     toks.join(seg.select(col("word"), col("sym")), Seq("word"))
+      .select(col("doc_id"), col("word_idx"), posexplode(col("sym")))
+      .select(col("doc_id"), col("word_idx"),
+        (col("pos") + 1).cast("long").as("token_idx"), col("col").as("token"))
+  }
+
+  /** PERSIST the trained tokenizer — merge list AND final vocabulary
+    * segmentation to parquet (`merges.parquet`: round/pair/total_count;
+    * `vocab.parquet`: word/sym). Train once over the base corpus; every
+    * later corpus tokenizes via [[bpeTokenizeWithVocab]] without
+    * re-running a single training round. */
+  def writeBpeVocab(docs: DataFrame, id: String, text: String, rounds: Int,
+                    dir: String, checkpointDir: Option[String] = None): Unit = {
+    val ckRoot = IterState.root(checkpointDir)
+    val (merges, seg) = bpeLoop(docs, text, rounds, ckRoot)
+    merges.reverse.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/merges.parquet")
+    seg.select(col("word"), col("sym"))
+      .write.mode("overwrite").parquet(s"$dir/vocab.parquet")
+    IterState.drop(seg, ckRoot, rounds) // both outputs persisted — state can go
+  }
+
+  /** Tokenize with a PERSISTED [[writeBpeVocab]] artifact — the inference
+    * path real tokenizers run: in-vocabulary words map through the stored
+    * segmentation (one equi join), and OUT-OF-VOCABULARY words replay the
+    * K stored merges in training order over their character split — K
+    * nested [[applyMergeFold]] expressions over the (small) OOV vocabulary
+    * in ONE pass, no joins, no iteration state, because the merges are
+    * model-sized literals (the same bounded-driver-traffic contract as the
+    * perceptron's weight table). Same output schema as [[bpeTokenize]],
+    * and equal output on the training corpus itself (OOV empty) —
+    * q_tokenize_artifact gates that on q_tokenize_bpe's oracle; the OOV
+    * replay is spec-pinned against hand-computed merges. */
+  def bpeTokenizeWithVocab(docs: DataFrame, id: String, text: String,
+                           dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab = spark.read.parquet(s"$dir/vocab.parquet")
+    val mergePairs = spark.read.parquet(s"$dir/merges.parquet")
+      .orderBy(col("round")).select(col("pair")).collect()
+      .map(_.getString(0)) // K rows — model-sized by construction
+    val toks = docs
+      .select(col(id).as("doc_id"), posexplode(words(col(text))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("word_idx"),
+        col("col").as("word"))
+      .filter(length(col("word")) >= 1)
+    val oovSeg = mergePairs.foldLeft(
+      toks.select(col("word")).distinct()
+        .join(vocab.select(col("word")), Seq("word"), "left_anti")
+        .select(col("word"), split(col("word"), "").as("sym"))) { (seg, p) =>
+      val ab = p.split(" ", 2)
+      seg.select(col("word"),
+        applyMergeFold(col("sym"), lit(ab(0)), lit(ab(1))).as("sym"))
+    }
+    val fullSeg = vocab.select(col("word"), col("sym")).unionByName(oovSeg)
+    toks.join(fullSeg, Seq("word"))
       .select(col("doc_id"), col("word_idx"), posexplode(col("sym")))
       .select(col("doc_id"), col("word_idx"),
         (col("pos") + 1).cast("long").as("token_idx"), col("col").as("token"))
@@ -929,5 +989,41 @@ object TextAnalysis {
       feats.unpersist()
       materialized
     }
+  }
+
+  /** PERSIST the trained quality classifier — the model-registry shape
+    * completing the artifact set (LSH signatures, IVF-PQ index, BPE vocab,
+    * and now model weights): the full dim-row integer weight table to
+    * parquet. Train once; every batch scorer loads the table
+    * ([[perceptronScoreWithModel]]) and the streaming scorer can embed the
+    * same rows as literals. */
+  def writeQualityModel(docs: DataFrame, id: String, text: String,
+                        dir: String, dim: Int = 256, rounds: Int = 5): Unit =
+    perceptronTrain(docs, id, text, dim, rounds)
+      .write.mode("overwrite").parquet(s"$dir/weights.parquet")
+
+  /** Score a corpus with a PERSISTED [[writeQualityModel]] artifact — the
+    * inference-only pass: no labels, no training loop, no feature cache;
+    * one broadcast join of the dim-row weight table against the hashed
+    * features + one map-side-combinable aggregate, i.e. the 100 TB filter
+    * pass with the training cost amortized away. Output-equal to
+    * [[perceptronScore]] for a model trained on the same (docs, dim,
+    * rounds) — q_quality_artifact gates it on the SAME oracle SQL, and
+    * TextAnalysisSpec pins the equality. `dim` must match the build. */
+  def perceptronScoreWithModel(docs: DataFrame, id: String, text: String,
+                               dir: String, dim: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    val wDf = spark.read.parquet(s"$dir/weights.parquet")
+    val scored = hashFeatures(docs, id, text, dim)
+      .join(broadcast(wDf), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("f") * coalesce(col("w"), lit(0L))).as("m"),
+        sum(col("f")).as("nt"))
+    docs.select(col(id).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("m"), lit(0L)).as("margin"))
+      .withColumn("keep", col("margin") > 0)
   }
 }

@@ -97,4 +97,30 @@ class BpeTrainSpec extends SparkSpec {
     }
     assert(got.toSeq === expect)
   }
+
+  test("persisted vocab artifact: tokenize == train+tokenize; OOV replays stored merges") {
+    val docs = Seq((1L, "ab ab ab cd"), (2L, "ab cd cd")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_vocab").toString
+    TextAnalysis.writeBpeVocab(docs, "doc_id", "text", rounds = 2, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id", $"word_idx", $"token_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val direct = rows(TextAnalysis.bpeTokenize(docs, "doc_id", "text", rounds = 2))
+    val fromArt = rows(TextAnalysis.bpeTokenizeWithVocab(docs, "doc_id", "text", dir))
+    assert(fromArt === direct && direct.nonEmpty)
+    // the stored merge list is exactly the expected training order:
+    // round 1 "a b" (freq 4 beats "c d"'s 3), round 2 "c d"
+    val merges = spark.read.parquet(s"$dir/merges.parquet")
+      .orderBy($"round").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(merges === Seq((1L, "a b"), (2L, "c d")))
+    // OOV inference: "abcd" is in NO training word, so it replays the two
+    // stored merges over its character split → [ab, cd]; "zz" has no
+    // applicable merge → [z, z]; "ab" resolves through the stored vocab
+    val novel = Seq((9L, "abcd ab zz")).toDF("doc_id", "text")
+    val oov = rows(TextAnalysis.bpeTokenizeWithVocab(novel, "doc_id", "text", dir))
+    assert(oov === Seq(
+      (9L, 1L, 1L, "ab"), (9L, 1L, 2L, "cd"),
+      (9L, 2L, 1L, "ab"),
+      (9L, 3L, 1L, "z"), (9L, 3L, 2L, "z")))
+  }
 }

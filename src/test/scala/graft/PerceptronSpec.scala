@@ -126,4 +126,23 @@ class PerceptronSpec extends SparkSpec {
     assert(atFix.exists(_._2 > 0L) && atFix.exists(_._2 < 0L),
       "the separator has a positive (en) and a negative (pt) weight")
   }
+
+  test("persisted model artifact: inference-only scoring == train+score") {
+    val dir = java.nio.file.Files.createTempDirectory("quality_model").toString
+    TextAnalysis.writeQualityModel(corpus, "doc_id", "text", dir,
+      dim = Dim, rounds = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSeq
+    val direct = rows(TextAnalysis.perceptronScore(
+      corpus, "doc_id", "text", dim = Dim, rounds = 3))
+    val fromArt = rows(TextAnalysis.perceptronScoreWithModel(
+      corpus, "doc_id", "text", dir, dim = Dim))
+    assert(fromArt === direct && direct.nonEmpty)
+    // the artifact is exactly the dim-row integer weight table
+    val w = spark.read.parquet(s"$dir/weights.parquet")
+    assert(w.count() === Dim.toLong)
+    assert(w.columns.toSet === Set("bucket", "w"))
+  }
 }
