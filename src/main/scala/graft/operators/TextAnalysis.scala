@@ -1002,6 +1002,18 @@ object TextAnalysis {
     perceptronTrain(docs, id, text, dim, rounds)
       .write.mode("overwrite").parquet(s"$dir/weights.parquet")
 
+  /** Load a [[writeQualityModel]] artifact into the driver-side weight map
+    * the STREAMING scorer embeds as literals
+    * ([[graft.streaming.EventsStream.qualityScoreStream]]) — so the
+    * streaming job serves a model trained offline, with no training code
+    * on its path. Collects dim rows — model-sized by construction.
+    * PerceptronSpec pins loaded ≡ trained (modulo explicit zeros, which
+    * both scorers treat as absent). */
+  def loadQualityModel(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Map[Long, Long] =
+    spark.read.parquet(s"$dir/weights.parquet").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   /** Score a corpus with a PERSISTED [[writeQualityModel]] artifact — the
     * inference-only pass: no labels, no training loop, no feature cache;
     * one broadcast join of the dim-row weight table against the hashed

@@ -144,5 +144,13 @@ class PerceptronSpec extends SparkSpec {
     val w = spark.read.parquet(s"$dir/weights.parquet")
     assert(w.count() === Dim.toLong)
     assert(w.columns.toSet === Set("bucket", "w"))
+    // the streaming loader round-trips the trained map (modulo explicit
+    // zeros — both scorers read absent buckets as 0), so a streaming job
+    // can serve the offline-trained model with no training on its path
+    val loaded = TextAnalysis.loadQualityModel(spark, dir)
+    val trained = TextAnalysis.perceptronTrainedWeights(
+      corpus, "doc_id", "text", dim = Dim, rounds = 3)
+    assert(loaded.filter(_._2 != 0L) === trained.filter(_._2 != 0L))
+    assert(loaded.size === Dim)
   }
 }
