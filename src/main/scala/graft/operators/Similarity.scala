@@ -1053,6 +1053,31 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
   }
 
+  /** Add vectors to a [[writeIvfPqIndex]] artifact WITHOUT retraining —
+    * the FAISS `add` shape, and the ANN twin of
+    * [[Dedup.appendToSignatureArtifact]]: the delta is assigned to cells
+    * and PQ codes by the STORED quantizers (read back from the artifact,
+    * never recomputed) and appended to the two corpus-sized tables. The
+    * trained tables are untouched, so every past and future search runs
+    * against the same quantization geometry; retrain by rebuilding when
+    * drift warrants it, as any ANN deployment does. Ids must be new.
+    * Same single-runner append contract as the backfill sink. */
+  def appendToIvfPqIndex(delta: DataFrame, dir: String,
+                         m: Int = 4, dim: Int = 64): Unit = {
+    val spark = delta.sparkSession
+    val coarse = spark.read.parquet(s"$dir/cents.parquet")
+    val cents = coarse.select(col("cell"), col("emb_cent"),
+      sqrt(dotFP(col("emb_cent"), col("emb_cent"))).as("norm_cent"))
+    val withNorm = delta.select(col("vec_id"), col("embedding"),
+      sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
+    argmaxAssign(withNorm, cents)
+      .select(col("vec_id"), col("cell"))
+      .write.mode("append").parquet(s"$dir/cells.parquet")
+    val cb = spark.read.parquet(s"$dir/codebook.parquet")
+    argminSubAssign(subVectors(delta, m, dim), cb)
+      .write.mode("append").parquet(s"$dir/codes.parquet")
+  }
+
   /** Search a [[writeIvfPqIndex]] artifact: the same [[adcSearch]] core as
     * the in-memory path (output-equal by construction — SimilaritySpec and
     * the q_ann_index oracle pin it), reading ONLY the four index tables.

@@ -18,13 +18,21 @@ import org.apache.spark.sql.functions._
   * corpus scales — exactly how a production query load meets a growing
   * index.
   *
-  * Usage: runMain graft.tools.AnnIndexProbe [copies] [srcDir] [outDir]
+  * With `incr` as the 4th arg it instead measures the nightly ADD
+  * (appendToIvfPqIndex) against a fresh index over the replica: the
+  * delta is the sf0.1 vectors cloned under new ids (exact twins of the
+  * query batch), so every query must surface its appended twin —
+  * functional proof the added vectors serve — and the append wall is the
+  * nightly cost vs the full rebuild.
+  *
+  * Usage: runMain graft.tools.AnnIndexProbe [copies] [srcDir] [outDir] [full|incr]
   */
 object AnnIndexProbe {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val out = if (args.length > 2) args(2) else s"/tmp/graft_ann_$copies"
+    val mode = if (args.length > 3) args(3) else "full"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,6 +63,39 @@ object AnnIndexProbe {
     val emb = spark.read.parquet(embPath)
     val nVecs = emb.count()
     val queries = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+
+    if (mode == "incr") {
+      // fresh index per run so append cost is measured against a known base
+      val idxDir = s"$out/ivfpq_index_incr"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.writeIvfPqIndex(emb, idxDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      // delta ids sit BELOW every corpus id: ADC distances tie in whole
+      // code-sharing classes and rank breaks ties by ascending vec_id, so
+      // lowest-id twins make the serving check tie-immune (the first run
+      // used ids above the corpus and found 0 twins — all buried by ties)
+      val delta = spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("vec_id", -(col("vec_id") + lit(1L)))
+      val t1 = System.nanoTime()
+      graft.operators.Similarity.appendToIvfPqIndex(delta, idxDir)
+      val tAppend = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val res = graft.operators.Similarity.ivfPqSearchIndex(idxDir, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val tSearch = (System.nanoTime() - t2) / 1e9
+      // every query's appended exact twin (same vector, new lowest id) must
+      // surface — added vectors are first-class results
+      val nq = queries.count()
+      val twins = res.count { case (q, v) => v == -(q + 1L) }
+      println(s"""{"probe":"ann_index_incr","copies":$copies,"vectors":$nVecs,""" +
+        s""""wall_build_s":${math.round(tBuild * 10) / 10.0},""" +
+        s""""wall_append_s":${math.round(tAppend * 10) / 10.0},""" +
+        s""""wall_search_s":${math.round(tSearch * 10) / 10.0},""" +
+        s""""queries":$nq,"twins_found":$twins}""")
+      spark.stop()
+      return
+    }
 
     val idxDir = s"$out/ivfpq_index"
     val t0 = System.nanoTime()

@@ -360,6 +360,44 @@ class SimilaritySpec extends SparkSpec {
       Set("vec_id", "cell"))
   }
 
+  test("appendToIvfPqIndex: added vectors are searchable, trained tables untouched") {
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f, 2.0f)), (3L, Seq(0.0f, 2.0f, 2.0f, 0.0f)),
+      (4L, Seq(3.0f, 0.0f, 0.0f, 3.0f)), (5L, Seq(0.0f, 3.0f, 3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_add").toString
+    Similarity.writeIvfPqIndex(base, dir, m = 2, dim = 4,
+      kCoarse = 2, coarseIters = 1, kPq = 2, pqIters = 1)
+    val centsBefore = spark.read.parquet(s"$dir/cents.parquet").collect().toSet
+    val cbBefore = spark.read.parquet(s"$dir/codebook.parquet").collect().toSet
+    // nightly delta: an exact copy of vec 2 under a new id, plus a fresh
+    // odd-cluster vector — assigned by the STORED quantizers only
+    val delta = Seq(
+      (10L, Seq(2.0f, 0.0f, 0.0f, 2.0f)),
+      (11L, Seq(0.0f, 2.5f, 2.5f, 0.0f))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(delta, dir, m = 2, dim = 4)
+    // corpus tables grew by exactly the delta; trained tables untouched
+    assert(spark.read.parquet(s"$dir/cells.parquet").count() === 8L)
+    assert(spark.read.parquet(s"$dir/codes.parquet").count() === 16L) // 8 × m
+    assert(spark.read.parquet(s"$dir/cents.parquet").collect().toSet === centsBefore)
+    assert(spark.read.parquet(s"$dir/codebook.parquet").collect().toSet === cbBefore)
+    // the appended exact duplicate of vec 2 is found by a query AT vec 2's
+    // position with the same quantized distance as the original's other
+    // cluster-mates — i.e. added vectors are first-class search results
+    val res = Similarity.ivfPqSearchIndex(
+        dir, base.filter($"vec_id" === 2), k = 5, m = 2, dim = 4, nprobe = 1)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(res.contains(10L), s"appended duplicate must be searchable: $res")
+    assert(res(10L) === 0.0, "exact duplicate scores ADC distance 0 to its twin's codes")
+    // the appended odd-cluster vector was assigned (by the stored coarse
+    // quantizer) to the cell an even-cluster query never probes at
+    // nprobe=1 — cell pruning applies to appended vectors exactly as to
+    // originals
+    assert(!res.contains(11L),
+      s"unprobed-cell vector must stay pruned: $res")
+  }
+
   test("ivfPqRerank: exact re-rank repairs ADC quantization-error ordering") {
     // Same two-cluster corpus as the trained-ADC test. With kPq=2 every
     // same-cluster vector collapses onto ONE codebook entry, so ADC sees
