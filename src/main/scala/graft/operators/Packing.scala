@@ -21,16 +21,25 @@ object Packing {
     * funnel through one task. Everything after the offset is stateless
     * per-row integer arithmetic (`div` — no floats anywhere).
     */
-  def packPlan(docs: DataFrame, id: String, text: String, budget: Int): DataFrame = {
-    val toks = docs.select(col(id).as("doc_id"),
-      size(TextAnalysis.words(col(text))).cast("long").as("n_tokens"))
-    Surrogate.rankedRunningTotal(toks, col("n_tokens"), "rank", "cum_tokens",
+  def packPlan(docs: DataFrame, id: String, text: String, budget: Int): DataFrame =
+    packFromCounts(docs.select(col(id).as("doc_id"),
+      size(TextAnalysis.words(col(text))).cast("long").as("n_tokens")), budget)
+
+  /** The packing math over an ALREADY-COUNTED (doc_id, n_tokens) table —
+    * the entry any real tokenizer feeds (q_pack_bpe counts with the
+    * trained BPE vocabulary; [[packPlan]] is the whitespace-count form).
+    * A zero-token document occupies no positions: crosses_boundary is
+    * explicitly false for it (also sidesteps `(cum−1) div b` at cum = 0,
+    * where Spark's truncating `div` and DuckDB's flooring `//` disagree
+    * on negatives — the guard keeps both engines on defined ground). */
+  def packFromCounts(counts: DataFrame, budget: Int): DataFrame =
+    Surrogate.rankedRunningTotal(counts, col("n_tokens"), "rank", "cum_tokens",
       Seq(col("doc_id")))
       .withColumn("offset", col("cum_tokens") - col("n_tokens"))
       .withColumn("seq_id", expr(s"offset div $budget"))
       .withColumn("crosses_boundary",
-        expr(s"offset div $budget") =!= expr(s"(cum_tokens - 1) div $budget"))
+        col("n_tokens") > 0 &&
+          expr(s"offset div $budget") =!= expr(s"(cum_tokens - 1) div $budget"))
       .select(col("doc_id"), col("n_tokens"), col("rank"), col("offset"),
         col("seq_id"), col("crosses_boundary"))
-  }
 }

@@ -52,6 +52,27 @@ class CorpusStatsSpec extends SparkSpec {
       (3L, 4L, 3L, 8L, 1L, false)))  // tokens 8..11
   }
 
+  test("packFromCounts: zero-token docs hold no positions and never straddle") {
+    // doc 2 contributes nothing: doc 3's offset is unchanged by it, and the
+    // zero-token row is pinned crosses_boundary = false even when it sits
+    // exactly ON a boundary (cum == offset there — the (cum−1) div case the
+    // guard exists for: Spark's truncating div and DuckDB's flooring //
+    // disagree at cum = 0)
+    val counts = Seq((1L, 6L), (2L, 0L), (3L, 4L)).toDF("doc_id", "n_tokens")
+    val out = graft.operators.Packing.packFromCounts(counts, 6).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 0L, 0L, false),  // exactly fills sequence 0
+      (2L, 0L, 6L, 1L, false),  // ON the boundary, zero-width: no straddle
+      (3L, 4L, 6L, 1L, false)))
+    // the all-zero corpus is defined too (cum = 0 everywhere)
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "n_tokens")
+    val z = graft.operators.Packing.packFromCounts(zeros, 6)
+      .collect().map(_.getBoolean(5))
+    assert(z.forall(_ == false))
+  }
+
   // ---- Semantic dedup -----------------------------------------------------
 
   test("semanticDedup: identical vector with higher id is dropped, orthogonal kept") {
