@@ -175,6 +175,7 @@ object PlanTriage {
       "q_interleave" -> twoPass,
       "q_negative_sampling" -> twoPass,
       "q_pack" -> twoPass,
+      "q_pack_bpe" -> twoPass, // same packFromCounts prefix-sum machinery
       "q_surrogate_scalable" -> twoPass,
       "q_vocab_coverage" -> twoPass,
       "q_column_profile" ->
