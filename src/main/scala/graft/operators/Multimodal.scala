@@ -703,4 +703,148 @@ object Multimodal {
         expr("cast(conv(hex(substring(payload, cast(offset + 1 AS INT), 1)), 16, 10) as int)"))
       .select(col("doc_id"), col("chunk_idx"), col("offset"),
         col("chunk_bytes"), col("first_byte"))
+
+  /** Deterministic synthetic VIDEO for row `docId`: a well-formed RIFF/AVI
+    * container (`LIST hdrl` with avih + strl/strh/strf headers, `LIST movi`
+    * with one `00dc` chunk per frame) whose video stream is PNG-coded
+    * ("MPNG" fourcc — PNG-in-AVI, a real lossless codec arrangement).
+    * Frame f holds the [[syntheticGif]] pixel formula — index
+    * `(31x + 17y + 53f + id) % 256` through the closed-form palette
+    * `r=(7i)%256, g=(13i+5)%256, b=(29i+11)%256` — on an
+    * `(8 + id%5)×(8 + 3·id%5)` canvas, `4 + id%5` frames. PNG is lossless,
+    * so every pixel round-trips bit-exactly and an oracle can recompute
+    * per-frame channel sums from the formula, same as the GIF construction.
+    */
+  def syntheticAvi(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 5).toInt; val h = 8 + ((docId * 3) % 5).toInt
+    val n = 4 + (docId % 5).toInt
+    def le32(v: Int): Array[Byte] =
+      Array((v & 255).toByte, ((v >> 8) & 255).toByte,
+        ((v >> 16) & 255).toByte, ((v >> 24) & 255).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 255).toByte, ((v >> 8) & 255).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // RIFF chunk: fourcc + size + body, padded to even length
+    def ck(id: String, body: Array[Byte]): Array[Byte] =
+      fcc(id) ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] = ck("LIST", fcc(typ) ++ body)
+    val frames: IndexedSeq[Array[Byte]] = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val idx = ((31L * x + 17L * y + 53L * f + docId) % 256).toInt
+          img.setRGB(x, y,
+            (((7 * idx) % 256) << 16) | (((13 * idx + 5) % 256) << 8) | ((29 * idx + 11) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // avih: usPerFrame, maxBytesPerSec, padding, flags, totalFrames,
+    // initialFrames, streams, sugBufSize, width, height, reserved[4]
+    val avih = ck("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(n) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    // strh: 'vids'/'MPNG', flags, prio+lang, initFrames, scale, rate,
+    // start, length, sugBufSize, quality, sampleSize, rcFrame
+    val strh = ck("strh", fcc("vids") ++ fcc("MPNG") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(n) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    // strf: BITMAPINFOHEADER with biCompression = 'MPNG'
+    val strf = ck("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(24) ++ fcc("MPNG") ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(p => ck("00dc", p)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Attach a [[syntheticAvi]] payload per row (per-partition generation,
+    * the [[withSyntheticImages]] contract). */
+  def withSyntheticAvis(spark: SparkSession, docs: DataFrame, id: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val rdd = docs.select(col(id).cast("long")).rdd.mapPartitions { it =>
+      it.map { r => val d = r.getLong(0); Row(d, syntheticAvi(d)) }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL video frame-sampling (retires [[sampleFrames]]'s byte-stride stub
+    * for containers we can demux): a hand-rolled RIFF/AVI chunk walker
+    * finds `LIST movi`, collects the `##dc` video chunks (the real AVI
+    * demux step — same walker discipline as [[wavStats]], with nested-LIST
+    * handling), samples every `stride`-th frame, and decodes each sampled
+    * frame's PNG payload with the JRE's own codec to exact integer channel
+    * sums. `n_frames` is the TRUE demuxed frame count; `frame_idx` is the
+    * original stream index of each sampled frame — exactly what a training
+    * pipeline's frame-subsampling stage emits. Malformed/undecodable
+    * payloads produce the all-null row (the [[decodeMeta]] honest
+    * no-feature contract). Per-partition map; per-row cost = container
+    * bytes + decoded sampled frames only (skipped frames are never
+    * decoded — the stride pays off inside the row).
+    */
+  def aviFrameSample(spark: SparkSession, withPayloads: DataFrame, id: String,
+                     stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val rdd = withPayloads.select(col(id).cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val docId = r.getLong(0)
+          val nullRow = Seq(Row(docId, null, null, null, null, null, null, null))
+          try {
+            val b = r.getAs[Array[Byte]](1)
+            def u32(o: Int) = (b(o) & 255).toLong | ((b(o + 1) & 255).toLong << 8) |
+              ((b(o + 2) & 255).toLong << 16) | ((b(o + 3) & 255).toLong << 24)
+            def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+            if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") nullRow
+            else {
+              val riffEnd = math.min(b.length.toLong, 8L + u32(4)).toInt
+              val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+              var off = 12
+              while (off + 8 <= riffEnd) {
+                val id4 = tag(off); val sz = u32(off + 4).toInt
+                if (id4 == "LIST" && off + 12 <= riffEnd && tag(off + 8) == "movi") {
+                  var o2 = off + 12; val end = math.min(riffEnd.toLong, off + 8L + sz).toInt
+                  while (o2 + 8 <= end) {
+                    val cid = tag(o2); val csz = u32(o2 + 4).toInt
+                    if (cid.length == 4 && cid.endsWith("dc") && o2 + 8 + csz <= end)
+                      frames += ((o2 + 8, csz))
+                    o2 += 8 + csz + (csz & 1)
+                  }
+                }
+                off += 8 + sz + (sz & 1)
+              }
+              val n = frames.length
+              if (n == 0) nullRow
+              else (0 until n by stride).map { f =>
+                val (fo, fl) = frames(f)
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(b, fo, fl))
+                val w = img.getWidth; val h = img.getHeight
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sr += (rgb >>> 16) & 255; sg += (rgb >>> 8) & 255; sb += rgb & 255
+                    x += 1
+                  }
+                  y += 1
+                }
+                Row(docId, n, f, w, h, sr, sg, sb)
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => nullRow }
+        }
+      }
+    spark.createDataFrame(rdd, frameStatsSchema)
+  }
 }

@@ -347,4 +347,65 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).isNullAt(8))
     assert(out(2L).isNullAt(1) && out(3L).isNullAt(1)) // honest nulls
   }
+
+  test("aviFrameSample: demux counts ALL frames, decodes only the strided ones, exact sums") {
+    val rows = Seq(
+      (13L, Multimodal.syntheticAvi(13L)), // 4 + 13%5 = 7 frames, 11x12
+      (15L, Multimodal.syntheticAvi(15L)), // 4 + 15%5 = 4 frames, 8x13
+      (9L, "not a riff container".getBytes("UTF-8")))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val out = Multimodal.aviFrameSample(spark, df, "doc_id", stride = 2)
+      .orderBy($"doc_id", $"frame_idx").collect()
+    def ref(d: Long, f: Int): (Long, Long, Long) = {
+      val w = 8 + (d % 5).toInt; val h = 8 + ((d * 3) % 5).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = ((31L * x + 17L * y + 53L * f + d) % 256).toInt
+        sr += (7 * i) % 256; sg += (13 * i + 5) % 256; sb += (29 * i + 11) % 256
+      }
+      (sr, sg, sb)
+    }
+    val byDoc = out.groupBy(_.getLong(0))
+    // stride-2 over 7 frames -> idx 0,2,4,6; over 4 frames -> idx 0,2
+    assert(byDoc(13L).map(_.getInt(2)).toSeq === Seq(0, 2, 4, 6))
+    assert(byDoc(15L).map(_.getInt(2)).toSeq === Seq(0, 2))
+    assert(byDoc(13L).forall(_.getInt(1) === 7)) // n_frames = TRUE demux count
+    assert(byDoc(15L).forall(_.getInt(1) === 4))
+    for (r <- byDoc(13L) ++ byDoc(15L)) {
+      val (sr, sg, sb) = ref(r.getLong(0), r.getInt(2))
+      assert((r.getLong(5), r.getLong(6), r.getLong(7)) === ((sr, sg, sb)),
+        s"frame ${r.getInt(2)} of doc ${r.getLong(0)}")
+      assert(r.getInt(3) === 8 + (r.getLong(0) % 5).toInt)
+      assert(r.getInt(4) === 8 + ((r.getLong(0) * 3) % 5).toInt)
+    }
+    assert(byDoc(9L).length === 1 && byDoc(9L)(0).isNullAt(1) && byDoc(9L)(0).isNullAt(5))
+    // stride 1 degenerates to the full frameStats contract: every frame
+    val all = Multimodal.aviFrameSample(spark, df.filter($"doc_id" === 13L),
+      "doc_id", stride = 1).collect()
+    assert(all.map(_.getInt(2)).sorted.toSeq === (0 until 7).toSeq)
+  }
+
+  test("aviFrameSample: walker survives a foreign LIST, odd-size chunks, and a truncated movi") {
+    // graft a junk odd-size chunk + foreign LIST ahead of the real AVI body
+    val real = Multimodal.syntheticAvi(26L) // 4 + 26%5 = 5 frames
+    def le32(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte,
+      ((v >> 16) & 255).toByte, ((v >> 24) & 255).toByte)
+    val junk = "JUNK".getBytes ++ le32(3) ++ Array[Byte](9, 9, 9, 0) // padded
+    val foreign = "LIST".getBytes ++ le32(7) ++ "INFOxyz".getBytes ++ Array[Byte](0)
+    val innerOld = java.util.Arrays.copyOfRange(real, 12, real.length)
+    val inner = junk ++ foreign ++ innerOld
+    val grafted = "RIFF".getBytes ++ le32(inner.length + 4) ++ "AVI ".getBytes ++ inner
+    val truncated = java.util.Arrays.copyOf(real, real.length / 2)
+    val df = spark.createDataFrame(Seq(
+      (26L, grafted), (27L, truncated))).toDF("doc_id", "payload")
+    val out = Multimodal.aviFrameSample(spark, df, "doc_id", stride = 2)
+      .orderBy($"doc_id", $"frame_idx").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // grafted junk must not disturb the demux: 5 frames, sampled 0,2,4
+    assert(byDoc(26L).map(_.getInt(2)).toSeq === Seq(0, 2, 4))
+    assert(byDoc(26L).forall(_.getInt(1) === 5))
+    // truncation mid-movi: fewer complete frames or the honest null row,
+    // never a crash or a fabricated full count
+    assert(byDoc(27L).forall(r => r.isNullAt(1) || r.getInt(1) < 5))
+  }
 }
