@@ -626,6 +626,36 @@ object Multimodal {
     * [[decodeMeta]] honest no-feature contract). Per-partition map,
     * per-row cost = payload bytes.
     */
+  /** RIFF/WAVE chunk walk shared by [[wavStats]] and [[wavWindows]]:
+    * validates the container magic, walks chunks with odd-size padding,
+    * returns `(rate, channels, bits, dataOff, dataLen)` or None when the
+    * payload is not a complete PCM WAV header. */
+  private def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+    def u16(o: Int) = (b(o) & 255) | ((b(o + 1) & 255) << 8)
+    def u32(o: Int) = (b(o) & 255).toLong | ((b(o + 1) & 255).toLong << 8) |
+      ((b(o + 2) & 255).toLong << 16) | ((b(o + 3) & 255).toLong << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var off = 12
+      var rate = -1; var ch = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1L
+      while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+        val id4 = tag(off); val sz = u32(off + 4)
+        if (id4 == "fmt " && off + 8 + 16 <= b.length) {
+          ch = u16(off + 10); rate = u32(off + 12).toInt
+          bits = u16(off + 22)
+        } else if (id4 == "data") {
+          dataOff = off + 8
+          dataLen = math.min(sz, (b.length - dataOff).toLong)
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+      }
+      if (rate < 0 || dataOff < 0 || bits != 16 || ch < 1) None
+      else Some((rate, ch, bits, dataOff, dataLen))
+    }
+  }
+
   def wavStats(spark: SparkSession, withPayloads: DataFrame, id: String): DataFrame = {
     val rdd = withPayloads.select(col(id).cast("long"), col("payload")).rdd
       .mapPartitions { it =>
@@ -635,27 +665,10 @@ object Multimodal {
           try {
             val b = r.getAs[Array[Byte]](1)
             def u16(o: Int) = (b(o) & 255) | ((b(o + 1) & 255) << 8)
-            def u32(o: Int) = (b(o) & 255).toLong | ((b(o + 1) & 255).toLong << 8) |
-              ((b(o + 2) & 255).toLong << 16) | ((b(o + 3) & 255).toLong << 24)
-            def tag(o: Int) = new String(b, o, 4, "US-ASCII")
-            if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") nullRow
-            else {
-              var off = 12
-              var rate = -1; var ch = -1; var bits = -1
-              var dataOff = -1; var dataLen = -1L
-              while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
-                val id4 = tag(off); val sz = u32(off + 4)
-                if (id4 == "fmt " && off + 8 + 16 <= b.length) {
-                  ch = u16(off + 10); rate = u32(off + 12).toInt
-                  bits = u16(off + 22)
-                } else if (id4 == "data") {
-                  dataOff = off + 8
-                  dataLen = math.min(sz, (b.length - dataOff).toLong)
-                }
-                off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
-              }
-              if (rate < 0 || dataOff < 0 || bits != 16 || ch < 1) nullRow
-              else {
+            parseWavHeader(b) match {
+              case None => nullRow
+              case Some((rate, ch, bits, dataOff, dataLen)) =>
+                locally {
                 val blockAlign = ch * 2
                 val nFrames = dataLen / blockAlign
                 var s0 = 0L; var s1 = 0L
@@ -680,6 +693,62 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, wavStatsSchema)
+  }
+
+  private val wavWindowsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("win_idx", IntegerType),
+    StructField("n_samples", IntegerType), StructField("sum_sq", LongType),
+    StructField("n_zero_cross", IntegerType), StructField("peak", IntegerType)))
+
+  /** Windowed audio analysis over genuinely decoded PCM — the VAD-style
+    * segmentation a speech pipeline runs before transcription: channel 0
+    * is split into fixed `winLen`-sample windows (last window partial,
+    * with its true `n_samples`) and each window emits exact integer
+    * features — energy (`sum_sq = Σv²`), zero-crossing count (sign flips
+    * between in-window neighbors; 0 counts as non-negative) and `peak`
+    * (max |v|). All-integer so the oracle recomputing them from
+    * [[syntheticWav]]'s closed-form sample formula compares exactly.
+    * Same RIFF walk + honest null-row contract as [[wavStats]]; per-row
+    * cost = payload bytes, window rows scale with payload length, never
+    * corpus size.
+    */
+  def wavWindows(spark: SparkSession, withPayloads: DataFrame, id: String,
+                 winLen: Int = 32): DataFrame = {
+    require(winLen >= 1, s"winLen must be >= 1, got $winLen")
+    val rdd = withPayloads.select(col(id).cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val docId = r.getLong(0)
+          val nullRow = Seq(Row(docId, null, null, null, null, null))
+          try {
+            val b = r.getAs[Array[Byte]](1)
+            def u16(o: Int) = (b(o) & 255) | ((b(o + 1) & 255) << 8)
+            parseWavHeader(b) match {
+              case None => nullRow
+              case Some((_, ch, _, dataOff, dataLen)) =>
+                val blockAlign = ch * 2
+                val nFrames = (dataLen / blockAlign).toInt
+                if (nFrames == 0) nullRow
+                else (0 until nFrames by winLen).map { w0 =>
+                  val n = math.min(winLen, nFrames - w0)
+                  var ss = 0L; var zc = 0; var pk = 0
+                  var i = 0; var prev = 0
+                  while (i < n) {
+                    val v = u16(dataOff + (w0 + i) * blockAlign).toShort.toInt
+                    ss += v.toLong * v
+                    val a = if (v < 0) -v else v
+                    if (a > pk) pk = a
+                    if (i > 0 && ((v < 0) != (prev < 0))) zc += 1
+                    prev = v
+                    i += 1
+                  }
+                  Row(docId, w0 / winLen, n, ss, zc, pk)
+                }
+            }
+          } catch { case scala.util.control.NonFatal(_) => nullRow }
+        }
+      }
+    spark.createDataFrame(rdd, wavWindowsSchema)
   }
 
   /** Overlapping fixed-window chunk plan — the audio/video segmentation a

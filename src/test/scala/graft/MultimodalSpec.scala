@@ -348,6 +348,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).isNullAt(1) && out(3L).isNullAt(1)) // honest nulls
   }
 
+  test("wavWindows: windowed energy/zero-cross/peak equal the closed form; partial last window") {
+    import spark.implicits._
+    val ids = Seq(3L, 10L, 17L, 31L) // 64+id%64 frames: 67, 74, 81, 95
+    val payloads = Multimodal.withSyntheticWavs(spark, ids.toDF("doc_id"), "doc_id")
+    val out = Multimodal.wavWindows(spark, payloads, "doc_id", winLen = 32)
+      .orderBy($"doc_id", $"win_idx").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    for (id <- ids) {
+      val n = 64 + (id % 64).toInt
+      val v = (0 until n).map(i => (((id * 31 + i * 7) % 65536) - 32768).toInt)
+      val wins = v.grouped(32).toSeq
+      val rows = byDoc(id)
+      assert(rows.length === wins.length)
+      for ((w, k) <- wins.zipWithIndex) {
+        val r = rows(k)
+        assert(r.getInt(1) === k && r.getInt(2) === w.length)
+        assert(r.getLong(3) === w.map(x => x.toLong * x).sum)
+        assert(r.getInt(4) === w.sliding(2).count(p =>
+          p.length == 2 && ((p(0) < 0) != (p(1) < 0))))
+        assert(r.getInt(5) === w.map(math.abs).max)
+      }
+    }
+    // honest null row on a non-WAV payload
+    val junk = spark.createDataFrame(Seq((5L, "nope".getBytes))).toDF("doc_id", "payload")
+    val nr = Multimodal.wavWindows(spark, junk, "doc_id").collect()
+    assert(nr.length === 1 && nr(0).isNullAt(1) && nr(0).isNullAt(3))
+  }
+
   test("aviFrameSample: demux counts ALL frames, decodes only the strided ones, exact sums") {
     val rows = Seq(
       (13L, Multimodal.syntheticAvi(13L)), // 4 + 13%5 = 7 frames, 11x12
