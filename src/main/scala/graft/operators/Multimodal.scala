@@ -712,6 +712,35 @@ object Multimodal {
     * cost = payload bytes, window rows scale with payload length, never
     * corpus size.
     */
+  /** Per-payload core of [[wavWindows]], shared with the streaming twin
+    * ([[graft.streaming.EventsStream]]'s audio stream): decode channel-0
+    * PCM and emit `(win_idx, n_samples, sum_sq, n_zero_cross, peak)` per
+    * window, or None when the payload is not a decodable PCM WAV. */
+  def wavWindowFeatures(b: Array[Byte], winLen: Int): Option[Seq[(Int, Int, Long, Int, Int)]] =
+    try {
+      def u16(o: Int) = (b(o) & 255) | ((b(o + 1) & 255) << 8)
+      parseWavHeader(b).flatMap { case (_, ch, _, dataOff, dataLen) =>
+        val blockAlign = ch * 2
+        val nFrames = (dataLen / blockAlign).toInt
+        if (nFrames == 0) None
+        else Some((0 until nFrames by winLen).map { w0 =>
+          val n = math.min(winLen, nFrames - w0)
+          var ss = 0L; var zc = 0; var pk = 0
+          var i = 0; var prev = 0
+          while (i < n) {
+            val v = u16(dataOff + (w0 + i) * blockAlign).toShort.toInt
+            ss += v.toLong * v
+            val a = if (v < 0) -v else v
+            if (a > pk) pk = a
+            if (i > 0 && ((v < 0) != (prev < 0))) zc += 1
+            prev = v
+            i += 1
+          }
+          (w0 / winLen, n, ss, zc, pk)
+        })
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def wavWindows(spark: SparkSession, withPayloads: DataFrame, id: String,
                  winLen: Int = 32): DataFrame = {
     require(winLen >= 1, s"winLen must be >= 1, got $winLen")
@@ -719,33 +748,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { r =>
           val docId = r.getLong(0)
-          val nullRow = Seq(Row(docId, null, null, null, null, null))
-          try {
-            val b = r.getAs[Array[Byte]](1)
-            def u16(o: Int) = (b(o) & 255) | ((b(o + 1) & 255) << 8)
-            parseWavHeader(b) match {
-              case None => nullRow
-              case Some((_, ch, _, dataOff, dataLen)) =>
-                val blockAlign = ch * 2
-                val nFrames = (dataLen / blockAlign).toInt
-                if (nFrames == 0) nullRow
-                else (0 until nFrames by winLen).map { w0 =>
-                  val n = math.min(winLen, nFrames - w0)
-                  var ss = 0L; var zc = 0; var pk = 0
-                  var i = 0; var prev = 0
-                  while (i < n) {
-                    val v = u16(dataOff + (w0 + i) * blockAlign).toShort.toInt
-                    ss += v.toLong * v
-                    val a = if (v < 0) -v else v
-                    if (a > pk) pk = a
-                    if (i > 0 && ((v < 0) != (prev < 0))) zc += 1
-                    prev = v
-                    i += 1
-                  }
-                  Row(docId, w0 / winLen, n, ss, zc, pk)
-                }
-            }
-          } catch { case scala.util.control.NonFatal(_) => nullRow }
+          wavWindowFeatures(r.getAs[Array[Byte]](1), winLen) match {
+            case None => Seq(Row(docId, null, null, null, null, null))
+            case Some(wins) => wins.map { case (w, n, ss, zc, pk) =>
+              Row(docId, w, n, ss, zc, pk) }
+          }
         }
       }
     spark.createDataFrame(rdd, wavWindowsSchema)

@@ -5,6 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
+/** Row type of [[EventsStream.audioWindowsStream]] — field names/order
+  * match Multimodal.wavWindowsSchema so the stream is gated on the batch
+  * twin's oracle unchanged. */
+private[streaming] case class AudioWindowRow(
+  doc_id: Long, win_idx: Int, n_samples: Int, sum_sq: Long,
+  n_zero_cross: Int, peak: Int)
+
 /** Structured Streaming twins of graft.operators.Events (SURVEY.md §2.7 —
   * additive capability; the reference is batch-only).
   *
@@ -309,6 +316,29 @@ object EventsStream {
           acc + element_at(wArr,
             (Dedup.hash60(lower(t)) % dim + 1).cast("int"))).as("margin"))
       .withColumn("keep", col("margin") > 0)
+  }
+
+  /** Decode IN the stream: the streaming twin of
+    * [[graft.operators.Multimodal.wavWindows]] — per arriving document the
+    * payload is synthesized ([[graft.operators.Multimodal.syntheticWav]])
+    * and its channel-0 PCM decoded to windowed energy/zero-cross/peak
+    * features through the SAME shared core ([[graft.operators.Multimodal
+    * .wavWindowFeatures]]), as a stateless typed flatMap — Append mode, no
+    * state store, no watermark. This is the streaming-ingest transcoder
+    * shape (media arrives, features leave): per-row codec work that
+    * executor count divides, gated on the identical closed-form oracle as
+    * the batch twin. Undecodable payloads emit no rows (a stream has no
+    * null-row contract — rows ARE the features).
+    */
+  def audioWindowsStream(docs: DataFrame, winLen: Int = 32): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .flatMap { d =>
+        graft.operators.Multimodal.wavWindowFeatures(
+          graft.operators.Multimodal.syntheticWav(d), winLen)
+          .getOrElse(Seq.empty)
+          .map { case (w, n, ss, zc, pk) => AudioWindowRow(d, w, n, ss, zc, pk) }
+      }.toDF()
   }
 
   /** Streaming HLL register build: the 64-row max-rho state that gives a

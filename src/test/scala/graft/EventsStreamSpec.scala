@@ -329,4 +329,32 @@ class EventsStreamSpec extends SparkSpec {
     assert(!kept.contains(3L), "historical content re-admitted")
     assert(kept.toSeq === Seq(4L, 5L))
   }
+
+  test("streaming audio decode equals the batch wavWindows twin over a bounded run") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = Files.createTempDirectory("docs_audio")
+    val ids = Seq(3L, 10L, 17L) // mono + stereo, varying frame counts
+    val docs = ids.map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/d")
+
+    val streamed = EventsStream.runToCompletion(spark, "saudio_test",
+      OutputMode.Append()) { ss =>
+      EventsStream.audioWindowsStream(
+        ss.readStream.schema(EventsStream.documentsSchema)
+          .parquet(dir.toString + "/d"))
+    }.orderBy(col("doc_id"), col("win_idx")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+
+    val batch = graft.operators.Multimodal.wavWindows(spark,
+      graft.operators.Multimodal.withSyntheticWavs(
+        spark, ids.toDF("doc_id"), "doc_id"), "doc_id")
+      .orderBy(col("doc_id"), col("win_idx")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
 }
