@@ -340,8 +340,19 @@ object Bench {
       val s1 = hostStealMs
       if (stealRunStart < 0 || s1 < 0) -1L else s1 - stealRunStart
     }
+    // Field ORDER is part of the contract (VERDICT r12 #3): the driver's
+    // harness records only the last ~2000 chars of stdout, so the big maps
+    // (telemetry, queries, family_heap_mb) go FIRST and a compact
+    // self-adjudication block — steal total, canary baseline, top-15
+    // slowest per-query walls — goes LAST, right before the headline, so a
+    // truncated tail still carries everything a driver-vs-local
+    // adjudication needs (BENCH_r12's tail was all family_heap_mb; the r12
+    // round had to estimate the host factor from the local artifact).
+    val slowest = results.collect { case (n, Some(sec)) => n -> sec }
+      .sortBy(-_._2).take(15)
+      .map { case (n, sec) => s"\"$n\":${r3(sec)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"queries":$qs,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"telemetry":$tele,"jvm_gc_total_ms":$jvmGcMs,"host_steal_total_ms":$stealRunTotal,"canary_baseline_us":$canaryBaselineUs,"heap_used_mb":$heapUsedMb,"heap_live_mb":$heapLiveMb,"family_heap_mb":$famHeapJson,"sf":"$sfDir","cpus":$cpus,"full_suite":$isFullRun,"n_queries":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"telemetry":$tele,"queries":$qs,"family_heap_mb":$famHeapJson,"artifacts":$arts,"artifact_sec":${r3(artifactSec)},"jvm_gc_total_ms":$jvmGcMs,"heap_used_mb":$heapUsedMb,"heap_live_mb":$heapLiveMb,"sf":"$sfDir","cpus":$cpus,"full_suite":$isFullRun,"n_queries":${results.size},"failed":$failedJson,"host_steal_total_ms":$stealRunTotal,"canary_baseline_us":$canaryBaselineUs,"slowest":$slowest,"metric":"total","unit":"sec","value":${r3(total)}}"""
     // Also persist the full result next to the build (harness tail keeps
     // only ~2000 chars of stdout; the file preserves every per-query time).
     // Anchored to the JVM working directory explicitly, and a write failure

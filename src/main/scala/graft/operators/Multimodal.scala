@@ -649,7 +649,12 @@ object Multimodal {
           dataOff = off + 8
           dataLen = math.min(sz, (b.length - dataOff).toLong)
         }
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        // chunks pad to even; a corrupt size whose next offset does not
+        // advance (negative-as-Int or Int-overflow) would loop forever —
+        // treat it as malformed and abort the walk (falls through to None
+        // unless fmt+data were already found).
+        val next = off + 8 + sz.toInt + (sz.toInt & 1)
+        off = if (next <= off) b.length else next
       }
       if (rate < 0 || dataOff < 0 || bits != 16 || ch < 1) None
       else Some((rate, ch, bits, dataOff, dataLen))
@@ -668,7 +673,6 @@ object Multimodal {
             parseWavHeader(b) match {
               case None => nullRow
               case Some((rate, ch, bits, dataOff, dataLen)) =>
-                locally {
                 val blockAlign = ch * 2
                 val nFrames = dataLen / blockAlign
                 var s0 = 0L; var s1 = 0L
@@ -687,7 +691,6 @@ object Multimodal {
                   if (nFrames == 0) null else mn,
                   if (nFrames == 0) null else mx,
                   if (ch > 1) s1 else null)
-              }
             }
           } catch { case scala.util.control.NonFatal(_) => nullRow }
         }
@@ -890,12 +893,17 @@ object Multimodal {
                   var o2 = off + 12; val end = math.min(riffEnd.toLong, off + 8L + sz).toInt
                   while (o2 + 8 <= end) {
                     val cid = tag(o2); val csz = u32(o2 + 4).toInt
-                    if (cid.length == 4 && cid.endsWith("dc") && o2 + 8 + csz <= end)
+                    if (cid.length == 4 && cid.endsWith("dc") && csz >= 0 &&
+                        o2 + 8 + csz <= end)
                       frames += ((o2 + 8, csz))
-                    o2 += 8 + csz + (csz & 1)
+                    // corrupt chunk size (negative-as-Int or Int-overflow)
+                    // would stall the walk forever — abort to the null row.
+                    val next2 = o2 + 8 + csz + (csz & 1)
+                    o2 = if (next2 <= o2) end else next2
                   }
                 }
-                off += 8 + sz + (sz & 1)
+                val next = off + 8 + sz + (sz & 1)
+                off = if (next <= off) riffEnd else next
               }
               val n = frames.length
               if (n == 0) nullRow

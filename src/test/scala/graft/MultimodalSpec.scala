@@ -436,4 +436,41 @@ class MultimodalSpec extends SparkSpec {
     // never a crash or a fabricated full count
     assert(byDoc(27L).forall(r => r.isNullAt(1) || r.getInt(1) < 5))
   }
+
+  test("corrupt chunk sizes terminate the RIFF walks (no infinite loop) and yield the honest null row") {
+    // a size like 0xFFFFFFF8 reads as -8 via u32(...).toInt, so the naive
+    // `off += 8 + sz + (sz & 1)` step is ZERO — the try/catch honest-null
+    // contract cannot catch a non-terminating loop, so the walkers must
+    // detect a non-advancing next offset and abort. These payloads hang
+    // forever without that guard.
+    def le32(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte,
+      ((v >> 16) & 255).toByte, ((v >> 24) & 255).toByte)
+    // WAV: corrupt-size chunk ahead of fmt/data -> walk aborts -> null row
+    val badWav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(0xFFFFFFF8) ++ Array.fill[Byte](40)(7)
+    val wavDf = spark.createDataFrame(Seq((1L, badWav))).toDF("doc_id", "payload")
+    val ws = Multimodal.wavStats(spark, wavDf, "doc_id").collect()
+    assert(ws.length === 1 && ws(0).isNullAt(1))
+    val ww = Multimodal.wavWindows(spark, wavDf, "doc_id").collect()
+    assert(ww.length === 1 && ww(0).isNullAt(1))
+    // AVI outer walk: corrupt top-level chunk size -> abort -> null row
+    val badAviOuter = "RIFF".getBytes ++ le32(100) ++ "AVI ".getBytes ++
+      "JUNK".getBytes ++ le32(0xFFFFFFF0) ++ Array.fill[Byte](40)(7)
+    // AVI inner walk: corrupt ##dc size INSIDE a real movi list — the walk
+    // must abort the movi scan, keeping any frames demuxed before it
+    val real = Multimodal.syntheticAvi(28L)
+    val corruptInner = real.clone()
+    val moviAt = (12 until real.length - 12).find(o =>
+      new String(real, o, 4, "US-ASCII") == "LIST" &&
+        new String(real, o + 8, 4, "US-ASCII") == "movi").get
+    // first chunk header sits at moviAt+12; poison its size field
+    System.arraycopy(le32(0xFFFFFFF8), 0, corruptInner, moviAt + 16, 4)
+    val df = spark.createDataFrame(Seq(
+      (2L, badAviOuter), (3L, corruptInner))).toDF("doc_id", "payload")
+    val out = Multimodal.aviFrameSample(spark, df, "doc_id", stride = 1)
+      .collect().groupBy(_.getLong(0))
+    assert(out(2L).length === 1 && out(2L)(0).isNullAt(1))
+    // inner corruption at the FIRST chunk leaves zero demuxed frames
+    assert(out(3L).forall(r => r.isNullAt(1) || r.getInt(1) < 4))
+  }
 }
