@@ -4,6 +4,14 @@ written by graft.Verify, run the oracle SQL in DuckDB over the same testdata
 parquet tables and compare (column-name-sorted, row-sorted) values.
 
 Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
+
+GRAFT_BIGHASH=1 switches to an in-DuckDB compare (count + order-free
+row-hash sum + sorted schema, both sides computed by DuckDB with the same
+cell normalization the pandas path applies) so multi-million-row outputs
+at sf10+ can be differentially checked without materializing them in
+Python — the boundary that capped the r12 sf10 sweep at the 108
+small-output queries. Validated against the pandas path at sf0.01 (both
+modes must agree OK on the full surface).
 """
 import sys, json, glob, os
 import duckdb
@@ -39,6 +47,31 @@ def norm_rows(cols, rows):
     return list(df.columns), out
 
 
+def norm_sql(col, typ):
+    """DuckDB expression mirroring norm_cell for one output column."""
+    t = typ.upper()
+    q = '"' + col.replace('"', '""') + '"'
+    if "DOUBLE" in t or "FLOAT" in t or t == "REAL":
+        e = f"printf('%.10g', {q})"
+    elif t == "BOOLEAN":
+        e = f"CASE WHEN {q} THEN 'true' ELSE 'false' END"
+    else:
+        e = f"CAST({q} AS VARCHAR)"
+    return f"COALESCE({e}, 'NULL')"
+
+
+def bighash(con, sql):
+    """(sorted cols, row count, order-free multiset hash) for a query,
+    computed entirely inside DuckDB."""
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) q LIMIT 0").fetchall()
+    cols = sorted((d[0], d[1]) for d in desc)
+    exprs = ", ".join(norm_sql(c, t) for c, t in cols)
+    n, h = con.execute(
+        f"SELECT count(*), sum(hash(concat_ws(chr(31), {exprs})))"
+        f" FROM ({sql}) q").fetchall()[0]
+    return [c for c, _ in cols], n, h
+
+
 def main(outdir, sfdir):
     con = duckdb.connect()
     # big unrolled chains (pagerank/hits at sf1+) spill aggressively with
@@ -58,12 +91,31 @@ def main(outdir, sfdir):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    use_bighash = os.environ.get("GRAFT_BIGHASH") == "1"
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"MISSING  {name} (no spark output)")
             n_bad += 1
+            continue
+        if use_bighash:
+            try:
+                dc, dn, dh = bighash(con, sql)
+            except Exception as e:
+                print(f"ORAERR   {name}: {e}")
+                n_bad += 1
+                continue
+            sc, sn, sh = bighash(con, f"SELECT * FROM read_parquet({files!r})")
+            if dc != sc:
+                print(f"SCHEMA   {name}: spark={sc} duck={dc}")
+                n_bad += 1
+            elif (dn, dh) != (sn, sh):
+                print(f"ROWS     {name}: spark=({sn},{sh}) duck=({dn},{dh})")
+                n_bad += 1
+            else:
+                n_ok += 1
+                print(f"OK       {name} ({sn} rows, bighash)")
             continue
         try:
             duck = con.execute(sql)
