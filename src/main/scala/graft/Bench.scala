@@ -268,7 +268,13 @@ object Bench {
     val artifactFamily = Map(
       "artifact:copurchase_pairs" -> "q_cooccur",
       "artifact:lsh_pairs" -> "q_dedup",
-      "artifact:fixedk_centroids" -> "q_ann")
+      "artifact:fixedk_centroids" -> "q_ann",
+      // on-disk trained artifacts (VERDICT r12 #5): built once at the FIRST
+      // consuming family's window (the path memo survives cache clears, so
+      // q_tokenize_artifact later reuses the q_pack-window build); the
+      // consuming queries pay only manifest-check + serve
+      "artifact:ivfpq_index" -> "q_ann",
+      "artifact:bpe_vocab" -> "q_pack")
     val artifactTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Heap attribution (VERDICT r11 #7: end-of-run heap doubled round-over-
     // round, unexplained): one unforced heap sample at each family-window
