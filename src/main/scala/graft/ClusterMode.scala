@@ -30,6 +30,42 @@ object ClusterMode {
   def master(defaultMaster: String): String =
     sys.env.getOrElse("SPARK_GRAFT_MASTER", defaultMaster)
 
+  /** Stale-jar guard (VERDICT r13 "what's wrong" #3 / ADVICE): executors
+    * in local-cluster mode see ONLY `spark.jars` — if `sbt package` was
+    * not re-run after a code change, they silently execute OLD code and
+    * the multi-JVM gate certifies the wrong build. Fail fast when the
+    * jar is missing or older than the newest compiled class file.
+    * `SPARK_GRAFT_ALLOW_STALE_JAR=1` downgrades to a loud warning (for
+    * deliberate old-jar A/B probes). Returns the jar mtime lag in ms
+    * (<=0 means fresh) so specs can pin the comparison itself. */
+  def jarStalenessMs(jarPath: String, classesDir: String): Option[Long] = {
+    val jar = new java.io.File(jarPath)
+    if (!jar.isFile) return None
+    def newestClassMtime(f: java.io.File): Long =
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles).getOrElse(Array.empty)
+        if (kids.isEmpty) 0L else kids.map(newestClassMtime).max
+      } else if (f.getName.endsWith(".class")) f.lastModified else 0L
+    val newest = newestClassMtime(new java.io.File(classesDir))
+    Some(newest - jar.lastModified)
+  }
+
+  private def guardJar(jar: String): Unit = {
+    val classesDir = java.nio.file.Paths
+      .get(sys.props("user.dir"), "target/scala-2.13/classes").toString
+    jarStalenessMs(jar, classesDir) match {
+      case None =>
+        sys.error(s"[ClusterMode] spark.jars '$jar' does not exist — run `sbt package` " +
+          "before a local-cluster gate (executors load classes from this jar ONLY)")
+      case Some(lag) if lag > 0 =>
+        val msg = s"[ClusterMode] spark.jars '$jar' is ${lag / 1000.0}s OLDER than the newest " +
+          "compiled class — executors would run STALE code. Run `sbt package` first."
+        if (sys.env.contains("SPARK_GRAFT_ALLOW_STALE_JAR")) System.err.println(s"WARN $msg")
+        else sys.error(msg)
+      case _ => ()
+    }
+  }
+
   /** Apply the master (+ executor-JVM confs when it is a local-cluster):
     * the application classes reach executors via `spark.jars` — the sbt
     * classpath directory the driver runs from is NOT on their classpath,
@@ -42,6 +78,7 @@ object ClusterMode {
       val jar = sys.env.getOrElse("SPARK_GRAFT_JARS",
         java.nio.file.Paths.get(sys.props("user.dir"),
           "target/scala-2.13/etlglobalretailspark_2.13-0.1.0.jar").toString)
+      guardJar(jar)
       withMaster
         .config("spark.jars", jar)
         // the worker's executor-launch command builder resolves the jars

@@ -34,15 +34,28 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ExecutorLossProbe <sfDir> <pagerank|backfill>
   */
 object ExecutorLossProbe {
-  private def executorPids(): Seq[Long] = {
+  /** Executor JVMs belonging to THIS application only: a bare
+    * `pgrep -f CoarseGrainedExecutorBackend` matches every executor on
+    * the host, so a concurrent Spark job (parallel bench, another drill)
+    * could have ITS executor SIGKILLed by this probe. The backend's
+    * launch command carries `--app-id <applicationId>`, so filtering the
+    * candidate pids by /proc/<pid>/cmdline scopes the kill to us. */
+  private def executorPids(appId: String): Seq[Long] = {
     val p = new ProcessBuilder("pgrep", "-f", "CoarseGrainedExecutorBackend").start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     p.waitFor()
-    out.split("\\s+").filter(_.nonEmpty).map(_.toLong).toSeq
+    out.split("\\s+").filter(_.nonEmpty).map(_.toLong).toSeq.filter { pid =>
+      try {
+        // /proc cmdline is NUL-separated; appId appears as the --app-id value
+        val cmd = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/proc/$pid/cmdline")), "UTF-8").replace('\u0000', ' ')
+        cmd.contains(appId)
+      } catch { case _: Exception => false } // raced exit — not a candidate
+    }
   }
 
-  /** SIGKILL one executor JVM; returns the pid, or -1 when none found. */
-  private def killOneExecutor(): Long = executorPids() match {
+  /** SIGKILL one of this app's executor JVMs; returns the pid, or -1. */
+  private def killOneExecutor(appId: String): Long = executorPids(appId) match {
     case pid +: _ =>
       new ProcessBuilder("kill", "-9", pid.toString).start().waitFor()
       println(s"[drill] SIGKILLed executor pid=$pid")
@@ -65,6 +78,7 @@ object ExecutorLossProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val appId = spark.sparkContext.applicationId
     require(spark.sparkContext.master.startsWith("local-cluster"),
       s"needs a local-cluster master, got ${spark.sparkContext.master}")
 
@@ -89,7 +103,7 @@ object ExecutorLossProbe {
         @volatile var killedPid = -2L
         val killer = new Thread(() => {
           Thread.sleep(math.max(2000L, (ctlWall * 0.4 * 1000).toLong))
-          killedPid = killOneExecutor()
+          killedPid = killOneExecutor(appId)
         })
         killer.setDaemon(true)
         killer.start()
@@ -140,7 +154,7 @@ object ExecutorLossProbe {
             nSlices, drillDir, onSliceDone = { i =>
               if (i == 0) {
                 val killer = new Thread(() => {
-                  Thread.sleep(1000); killedPid = killOneExecutor()
+                  Thread.sleep(1000); killedPid = killOneExecutor(appId)
                 })
                 killer.setDaemon(true)
                 killer.start()

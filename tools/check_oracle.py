@@ -57,7 +57,11 @@ def norm_sql(col, typ):
         e = f"CASE WHEN {q} THEN 'true' ELSE 'false' END"
     else:
         e = f"CAST({q} AS VARCHAR)"
-    return f"COALESCE({e}, 'NULL')"
+    # no COALESCE: bighash hashes a LIST of cells, where a real NULL hashes
+    # differently from the string 'NULL' (and list boundaries are type-safe,
+    # so a cell containing the 0x1F byte cannot alias a cell boundary the
+    # way the old concat_ws(chr(31), ...) scheme could)
+    return e
 
 
 def bighash(con, sql):
@@ -67,7 +71,7 @@ def bighash(con, sql):
     cols = sorted((d[0], d[1]) for d in desc)
     exprs = ", ".join(norm_sql(c, t) for c, t in cols)
     n, h = con.execute(
-        f"SELECT count(*), sum(hash(concat_ws(chr(31), {exprs})))"
+        f"SELECT count(*), sum(hash([{exprs}]))"
         f" FROM ({sql}) q").fetchall()[0]
     return [c for c, _ in cols], n, h
 
