@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Surrogate
+import graft.sources.{Crm, OracleSql => O}
+import QueryShared._
+
+/** Events-family query registry (split out of SparkEntry in r14 — VERDICT r13
+  * "what's wrong" #4: one 4.6k-line file was the single edit point for every
+  * round). Entries and their DuckDB oracle mirrors are verbatim moves; the
+  * public surface is still [[SparkEntry.queries]]/[[SparkEntry.oracleSql]],
+  * which concatenates the registries in the original file order.
+  */
+private[graft] object EventsQueries {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §7.5 extensions: event-time analytics ----------------------------
+    "q_events_hourly" -> ((s, dir) => {
+      prep(s)
+      operators.Events.hourly(events(s, dir))
+        .orderBy(col("hora"), col("event_type"))
+    }),
+    "q_events_sessions" -> ((s, dir) => {
+      prep(s)
+      operators.Events.userSessionStats(events(s, dir))
+        .orderBy(col("user_id"))
+    }),
+    "q_events_top_types" -> ((s, dir) => {
+      prep(s)
+      operators.Events.topTypesPerHour(events(s, dir))
+        .orderBy(col("hora"), col("rank"))
+    }),
+    "q_events_funnel" -> ((s, dir) => {
+      prep(s)
+      operators.Events.funnel(events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+    "q_stream_hourly" -> ((s, dir) => {
+      prep(s)
+      // glob (not the bare file path): FileStreamSource requires its base
+      // path to be a directory, which glob resolution infers as $dir.
+      streaming.EventsStream.runToCompletion(s, "q_stream_hourly_sink") { ss =>
+        streaming.EventsStream.hourlyCounts(
+          streaming.EventsStream.readEventsStreamNanos(ss, s"$dir/events*"))
+      }.orderBy(col("hora"), col("event_type"))
+    }),
+    // Stateful streaming sessionization over ONE AvailableNow batch: every
+    // gap-closed session is emitted in-batch; each user's final session
+    // stays open in the state store (no end-of-stream marker) — so the
+    // deterministic oracle is batch sessionization MINUS the last session
+    // per user.
+    "q_stream_sessions" -> ((s, dir) => {
+      prep(s)
+      streaming.EventsStream.runToCompletion(s, "q_stream_sessions_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append()) { ss =>
+        import ss.implicits._
+        streaming.EventsStream.sessionize(
+          streaming.EventsStream.readEventsStreamNanos(ss, s"$dir/events*")
+            .as[streaming.EventsStream.Ev]).toDF()
+      }
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    // Stream-stream interval join over one AvailableNow batch: every
+    // in-range (purchase, prior view) pair emits, so the batch interval
+    // join IS the exact oracle.
+    "q_stream_join" -> ((s, dir) => {
+      prep(s)
+      streaming.EventsStream.runToCompletion(s, "q_stream_join_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append()) { ss =>
+        streaming.EventsStream.purchaseViewJoin(
+          streaming.EventsStream.readEventsStreamNanos(ss, s"$dir/events*"))
+      }.orderBy(col("event_id"), col("vts"))
+    }),
+    // LEFT OUTER stream-stream join: unmatched purchases emit a null view
+    // side once the watermark proves no match can arrive; the oracle is the
+    // batch left join gated on the final watermark.
+    "q_stream_join_outer" -> ((s, dir) => {
+      prep(s)
+      streaming.EventsStream.runToCompletion(s, "q_stream_join_outer_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append()) { ss =>
+        streaming.EventsStream.purchaseViewJoinOuter(
+          streaming.EventsStream.readEventsStreamNanos(ss, s"$dir/events*"))
+      }.orderBy(col("event_id"), col("vts"))
+    }),
+    // Streaming twin of q_dedup_exact: complete-mode running dedup state.
+    "q_stream_dedup" -> ((s, dir) => {
+      prep(s)
+      streaming.EventsStream.runToCompletion(s, "q_stream_dedup_sink") { ss =>
+        streaming.EventsStream.streamingExactDedup(
+          ss.readStream.schema(streaming.EventsStream.documentsSchema)
+            .parquet(s"$dir/documents.parquet*"))
+      }.orderBy(col("doc_id"))
+    }),
+    // Streaming delta-vs-history dedup through the history's Bloom filter:
+    // doc_id%3==0 streams in as the delta, the rest is the ingested base.
+    "q_stream_bloom_dedup" -> ((s, dir) => {
+      prep(s)
+      streaming.EventsStream.runToCompletion(s, "q_stream_bloom_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append()) { ss =>
+        streaming.EventsStream.bloomDedupStream(
+          ss.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 3 =!= 0),
+          ss.readStream.schema(streaming.EventsStream.documentsSchema)
+            .parquet(s"$dir/documents.parquet*").filter(col("doc_id") % 3 === 0),
+          "text")
+      }.select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+    // Model serving at stream time: the TRAINED perceptron weights embedded
+    // as a literal array in a stateless per-row scoring expression — the
+    // streaming twin of q_quality_filter (same batch-chain oracle).
+    "q_stream_quality" -> ((s, dir) => {
+      prep(s)
+      val w = operators.TextAnalysis.perceptronTrainedWeights(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      streaming.EventsStream.runToCompletion(s, "q_stream_quality_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append()) { ss =>
+        streaming.EventsStream.qualityScoreStream(
+          ss.readStream.schema(streaming.EventsStream.documentsSchema)
+            .parquet(s"$dir/documents.parquet*"), w)
+      }.orderBy(col("doc_id"))
+    }),
+    // Decode IN the stream: the streaming twin of q_audio_energy — per
+    // arriving document, synthesize + decode the WAV payload to windowed
+    // features via the shared core, as a stateless typed flatMap (Append
+    // mode, zero state). Same closed-form oracle as the batch twin.
+    "q_stream_audio" -> ((s, dir) => {
+      prep(s)
+      streaming.EventsStream.runToCompletion(s, "q_stream_audio_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append()) { ss =>
+        // same glob as the batch twin q_audio_energy: both are gated on the
+        // same audioEnergyOracle, so the source contract must be
+        // structurally identical (the stream side cannot take a concrete
+        // file — FileStreamSource requires a directory basePath — so the
+        // BATCH side adopts this glob too).
+        streaming.EventsStream.audioWindowsStream(
+          ss.readStream.schema(streaming.EventsStream.documentsSchema)
+            .parquet(s"$dir/documents.parquet*").filter(col("doc_id") % 7 === 3))
+      }.orderBy(col("doc_id"), col("win_idx"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    // A session is emitted if (a) it closed in-batch (a later event of the
+    // same user opened the next session), or (b) it timed out in the final
+    // watermark-advance batch AvailableNow runs after the data batch.
+    // All arithmetic is MICROsecond-exact (engine state holds micros, r2
+    // advice); only the timeout deadline is ms-grained because the
+    // GroupState API is — the engine rounds it UP (ceil), and Spark's
+    // watermark is floor(max_event_us/1000) - delay_ms, so the emission
+    // condition mirrors ceil(last+gap) < floor(max)-7200000 strictly.
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_session FROM e),
+        |g AS (SELECT user_id, ts,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS UNBOUNDED PRECEDING) AS session_seq FROM f),
+        |s AS (SELECT user_id, session_seq,
+        |        min(ts) AS session_start,
+        |        max(ts) AS session_last, count(*) AS n_events FROM g GROUP BY 1, 2)
+        |SELECT user_id, session_start, n_events FROM s
+        |WHERE session_seq < (SELECT max(session_seq) FROM s s2 WHERE s2.user_id = s.user_id)
+        |   OR CAST(ceil((epoch_us(session_last) + 1800000000) / 1000.0) AS BIGINT) <
+        |      CAST(floor(epoch_us((SELECT max(ts) FROM events)) / 1000.0) AS BIGINT) - 7200000
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hora, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hora, event_type""".stripMargin,
+    "q_stream_join" ->
+      """WITH p AS (SELECT event_id, user_id AS u, ts AS pts FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.u AS user_id, p.pts, v.vts
+        |FROM p JOIN v
+        |  ON p.u = v.user_id AND v.vts <= p.pts
+        |     AND v.vts >= p.pts - INTERVAL 10 MINUTE
+        |ORDER BY event_id, vts""".stripMargin,
+    "q_stream_join_outer" ->
+      """WITH p AS (SELECT event_id, user_id AS u, ts AS pts FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+        |w AS (SELECT least((SELECT max(pts) FROM p), (SELECT max(vts) FROM v))
+        |             - INTERVAL 2 HOUR AS wm),
+        |j AS (SELECT p.event_id, p.u AS user_id, p.pts, v.vts
+        |      FROM p LEFT JOIN v
+        |        ON p.u = v.user_id AND v.vts <= p.pts
+        |           AND v.vts >= p.pts - INTERVAL 10 MINUTE)
+        |SELECT event_id, user_id, pts, vts FROM j, w
+        |WHERE vts IS NOT NULL OR pts < wm
+        |ORDER BY event_id, vts""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_stream_bloom_dedup" ->
+      s"""WITH bits AS (SELECT DISTINCT
+        |        (${O.hash60Sql("text")} + i * ${O.hash60bSql("text")}) % 4096 AS pos
+        |      FROM documents, range(0, 4) t(i) WHERE doc_id % 3 <> 0),
+        |delta AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+        |pp AS (SELECT doc_id,
+        |        (${O.hash60Sql("text")} + i * ${O.hash60bSql("text")}) % 4096 AS pos
+        |      FROM delta, range(0, 4) t(i)),
+        |hits AS (SELECT doc_id FROM pp
+        |      WHERE pos IN (SELECT pos FROM bits) GROUP BY doc_id HAVING count(*) = 4)
+        |SELECT doc_id, lang FROM delta WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hora, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hora, event_type""".stripMargin,
+    "q_events_sessions" ->
+      s"""WITH e AS (SELECT user_id, ts, value,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |             THEN 1 ELSE 0 END AS new_session FROM e),
+        |g AS (SELECT user_id,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS UNBOUNDED PRECEDING) AS session_seq FROM f),
+        |s AS (SELECT user_id, session_seq, count(*) AS n_events FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+        | ${O.detRoundSql("CAST(sum(n_events) AS DOUBLE) / count(*)", 4)} AS avg_session_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+        |       (SELECT count(*) FROM v) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "q_events_top_types" ->
+      """SELECT hora, event_type, n_events, rank FROM (
+        | SELECT hora, event_type, n_events,
+        |   row_number() OVER (PARTITION BY hora ORDER BY n_events DESC, event_type) AS rank
+        | FROM (SELECT date_trunc('hour', ts) AS hora, event_type, count(*) AS n_events
+        |       FROM events GROUP BY 1, 2))
+        |WHERE rank <= 2 ORDER BY hora, rank""".stripMargin,
+    // the streaming twin runs the identical dataflow through a stateless
+    // typed flatMap — same subset, same features, same closed-form oracle
+    "q_stream_audio" -> audioEnergyOracle,
+    // the stream scorer computes the identical integer margins per row, so
+    // the batch chain is its exact oracle too
+    "q_stream_quality" -> O.perceptronScoreChainSql(256, 5))
+}

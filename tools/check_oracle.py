@@ -51,7 +51,12 @@ def norm_sql(col, typ):
     """DuckDB expression mirroring norm_cell for one output column."""
     t = typ.upper()
     q = '"' + col.replace('"', '""') + '"'
-    if "DOUBLE" in t or "FLOAT" in t or t == "REAL":
+    if "[]" in t or "STRUCT" in t or "MAP" in t or "LIST" in t:
+        # nested cells (never in driver-compared outputs — the driver's
+        # pandas comparator crashes on arrays by design — but staged_oracle
+        # bighashes INTERMEDIATE stage files that do carry vector columns)
+        e = f"CAST({q} AS VARCHAR)"
+    elif "DOUBLE" in t or "FLOAT" in t or t == "REAL":
         e = f"printf('%.10g', {q})"
     elif t == "BOOLEAN":
         e = f"CASE WHEN {q} THEN 'true' ELSE 'false' END"
