@@ -58,6 +58,16 @@ private[graft] object DedupQueries {
         docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", art)
         .orderBy(col("doc_id_a"), col("doc_id_b"))
     }),
+    // Streaming artifact REFRESH (r14): the same base artifact, but the
+    // delta arrives as a 3-micro-batch stream — each batch delta-dedups
+    // against the artifact, folds itself in, and atomically updates + checks
+    // the provenance manifest. The accumulated pair set is invariant to the
+    // batch split, so the bounded run shares q_dedup_artifact's oracle.
+    "q_stream_artifact_refresh" -> ((s, dir) => {
+      prep(s)
+      streaming.ArtifactRefresh.gatedRefresh(s, dir)
+        .orderBy(col("doc_id_a"), col("doc_id_b"))
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       prep(s)
       operators.Dedup.simhashPairs(
@@ -146,5 +156,8 @@ private[graft] object DedupQueries {
     // construction (DedupSpec pins it) — gated against the SAME oracle
     "q_dedup_artifact" -> O.minhashLshIncrSql(k = 32, bands = 8, threshold = 0.6,
       deltaSel = c => s"$c % 4 = 0"),
+    // the streamed refresh is output-equivalent to the one-shot delta path
+    "q_stream_artifact_refresh" -> O.minhashLshIncrSql(k = 32, bands = 8,
+      threshold = 0.6, deltaSel = c => s"$c % 4 = 0"),
     "q_dedup_simhash" -> O.simhashSql(maxHamming = 3))
 }

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{ArtifactManifest, Dedup}
+
+/** Streaming refresh of the persisted MinHash-LSH signature artifact
+  * (VERDICT r13 next #7): the batch lifecycle is build-once /
+  * delta-append-nightly ([[graft.operators.Dedup.writeSignatureArtifact]] →
+  * [[graft.operators.Dedup.minhashLshPairsDelta]] →
+  * [[graft.operators.Dedup.appendToSignatureArtifact]]); a live 100 TB/day
+  * feed refreshes the SAME artifact from a stream instead. Each micro-batch
+  *
+  *   1. delta-dedups the arriving docs against the artifact (bands equi-join
+  *      — never touches base text; cost stays batch-sized),
+  *   2. appends the new pairs to a results sink,
+  *   3. folds the batch into the artifact (tonight's delta is tomorrow's
+  *      base),
+  *   4. atomically updates the input-fingerprint manifest to cover
+  *      base ∪ everything-consumed and re-checks it — provenance holds
+  *      after EVERY micro-batch, not just at build time.
+  *
+  * The emitted pair SET is invariant to how the delta splits into
+  * micro-batches: a pair (a, b) with both sides in the delta surfaces
+  * exactly when the LATER of the two arrives (the earlier is already in
+  * the artifact), and a delta×base pair when its delta side arrives — so a
+  * bounded run equals the one-shot batch delta path and shares its oracle.
+  *
+  * foreachBatch (not a table sink) because the work is the side effect;
+  * batches arrive sequentially, preserving the artifact's single-runner
+  * append contract. The per-batch manifest recompute scans base∪consumed —
+  * the honest content hash at gate scale; a 100 TB deployment fingerprints
+  * the immutable input snapshots' manifests instead (same contract, see
+  * ArtifactManifest scaladoc).
+  */
+object ArtifactRefresh {
+
+  /** Run the bounded refresh: stream `deltaDir`'s parquet files one per
+    * micro-batch into the artifact at `artifactDir` (already built over
+    * `baseDocs` with a manifest), appending discovered pairs to
+    * `pairsDir`. Returns the number of micro-batches processed. */
+  def refreshFromStream(spark: SparkSession, deltaDir: String,
+                        baseDocs: DataFrame, id: String, text: String,
+                        artifactDir: String, pairsDir: String,
+                        checkpointDir: String): Long = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v) catch { case _: Exception => () }
+    }
+    // state-free stream, but the delta joins repartition; keep them small
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = EventsStream.documentsSchema
+    val consumedDocs = s"$artifactDir/consumed_docs.parquet"
+    val fingerCols = Seq(col(id), col(text))
+    var batches = 0L
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        if (!b.isEmpty) {
+          Dedup.minhashLshPairsDelta(b, id, text, artifactDir)
+            .write.mode("append").parquet(pairsDir)
+          Dedup.appendToSignatureArtifact(b, id, text, artifactDir)
+          b.select(col(id), col(text))
+            .write.mode("append").parquet(consumedDocs)
+          val ingested = baseDocs.select(fingerCols: _*)
+            .unionByName(b.sparkSession.read.parquet(consumedDocs))
+          ArtifactManifest.write(artifactDir, ingested, fingerCols)
+          // provenance must hold after EVERY fold, not only at build time
+          ArtifactManifest.check(artifactDir, ingested, fingerCols)
+          batches += 1
+        }
+        b.unpersist(): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
+  /** The gated end-to-end form: build the base artifact over
+    * `doc_id % 4 != 0`, stream the `% 4 == 0` delta through
+    * [[refreshFromStream]] in ≥3 micro-batches (range-split files), and
+    * return the accumulated pairs — output-equivalent to the one-shot
+    * batch delta path (q_dedup_artifact's oracle). */
+  def gatedRefresh(s: SparkSession, dir: String): DataFrame = {
+    def tmp(tag: String) = graft.QueryShared.deleteAtExit(
+      java.nio.file.Files.createTempDirectory(tag).toString)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val art = tmp("stream_refresh_art")
+    Dedup.writeSignatureArtifact(base, "doc_id", "text", art)
+    ArtifactManifest.write(art, base.select(col("doc_id"), col("text")),
+      Seq(col("doc_id"), col("text")))
+    // deterministic 3-file split of the delta = 3 micro-batches
+    val deltaDir = tmp("stream_refresh_delta")
+    delta.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(deltaDir)
+    val pairsDir = tmp("stream_refresh_pairs")
+    refreshFromStream(s, deltaDir, base, "doc_id", "text",
+      art, pairsDir, tmp("stream_refresh_ck"))
+    s.read.parquet(pairsDir)
+  }
+}
