@@ -141,6 +141,17 @@ private[graft] object SimilarityQueries {
           idx, emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // Streaming index REFRESH (r14): the same persisted IVF-PQ index, but
+    // built over vec_id % 4 != 0 and fed the % 4 == 0 delta as a 3-micro-
+    // batch stream — each batch is assigned by the STORED quantizers
+    // (FAISS `add`; never retrained), appended, and the provenance manifest
+    // re-proven. The refreshed index is invariant to the batch split, so
+    // the search gates against the train-on-base / assign-all SQL chain.
+    "q_stream_ann_refresh" -> ((s, dir) => {
+      prep(s)
+      streaming.AnnIndexRefresh.gatedRefresh(s, dir)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // Two-stage retrieval (IVFADC+R, the FAISS refine shape): the trained
     // IVF-PQ search keeps a 20-candidate shortlist per query by ADC over
     // codes only; full vectors are fetched for the shortlist alone (a
@@ -276,6 +287,12 @@ private[graft] object SimilarityQueries {
     "q_ann_index" -> O.ivfPqTrainedSql(5,
       "vec_id % 50 = 0 AND vec_id < 2000", m = 4, dim = 64,
       kCoarse = 32, coarseIters = 2, kPq = 32, pqIters = 1, nprobe = 2),
+    // quantizers train on the % 4 != 0 base; cells/codes/search cover all —
+    // the append-by-stored-quantizers lifecycle the streamed refresh folds
+    "q_stream_ann_refresh" -> O.ivfPqRefreshSql(5,
+      "vec_id % 50 = 0 AND vec_id < 2000", trainSel = "vec_id % 4 <> 0",
+      m = 4, dim = 64, kCoarse = 32, coarseIters = 2, kPq = 32, pqIters = 1,
+      nprobe = 2),
     "q_ann_ivfpq_rerank" -> O.ivfPqRerankSql(5, shortlist = 20,
       "vec_id % 50 = 0 AND vec_id < 2000", m = 4, dim = 64,
       kCoarse = 32, coarseIters = 2, kPq = 32, pqIters = 1, nprobe = 2),

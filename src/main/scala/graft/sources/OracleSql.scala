@@ -636,7 +636,8 @@ object OracleSql {
     * [[annIvfTrainedSql]] and [[ivfPqTrainedSql]]: `c0` is the seed sample
     * (rows matching `seedWhere`), round `i` produces `a_i` (assignment),
     * `p_i` (per-(cell,pos) quantized sums), `c_i` (centroid lists). */
-  private def kmeansRoundsCtesSeeded(seedWhere: String, iters: Int): String = {
+  private def kmeansRoundsCtesSeeded(seedWhere: String, iters: Int,
+                                     src: String = "embeddings"): String = {
     val mean6 = detRoundSql("s / 1000000.0 / n", 6)
     val rounds = (1 to iters).map { i =>
       val cents = s"c${i - 1}"
@@ -645,7 +646,7 @@ object OracleSql {
          |        row_number() OVER (PARTITION BY e.vec_id
          |          ORDER BY ${detRoundSql(cosineSql("e.embedding", "c.emb_cent"), 4)} DESC,
          |                   c.cell) AS rn
-         |      FROM embeddings e, $cents c) WHERE rn = 1),
+         |      FROM $src e, $cents c) WHERE rn = 1),
          |x$i AS (SELECT cell, i AS pos,
          |        CAST(floor(emb_v[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS q
          |      FROM a$i, range(1, 65) t(i)),
@@ -655,7 +656,7 @@ object OracleSql {
          |      FROM p$i GROUP BY cell)""".stripMargin
     }.mkString(",\n")
     s"""c0 AS (SELECT vec_id AS cell, embedding AS emb_cent
-       |      FROM embeddings WHERE $seedWhere),
+       |      FROM $src WHERE $seedWhere),
        |$rounds""".stripMargin
   }
 
@@ -893,6 +894,19 @@ object OracleSql {
        |SELECT query_id, rank, vec_id, CAST(ds AS DOUBLE) / 10000.0 AS approx_l2
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** q_stream_ann_refresh mirror: the [[ivfPqTrainedSql]] chain with the
+    * quantizers trained on the `trainSel` base only, while cells, codes
+    * and search cover EVERY vector — exactly what
+    * `writeIvfPqIndex(base) + appendToIvfPqIndex(delta)` materializes
+    * (delta vectors are assigned by the STORED quantizers, which is the
+    * same function the one-shot assign applies). */
+  def ivfPqRefreshSql(k: Int, querySel: String, trainSel: String,
+                      m: Int, dim: Int, kCoarse: Int, coarseIters: Int,
+                      kPq: Int, pqIters: Int, nprobe: Int): String =
+    s"""${ivfPqTrainedChainSql(querySel, m, dim, kCoarse, coarseIters, kPq, pqIters, nprobe, trainSel)}
+       |SELECT query_id, rank, vec_id, CAST(ds AS DOUBLE) / 10000.0 AS approx_l2
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** q_ann_ivfpq_rerank mirror (IVFADC+R): [[ivfPqTrainedChainSql]]'s ADC
     * ranking truncated to the `shortlist`, full vectors re-fetched for the
     * shortlist only, exact L2² with the engine's IEEE op order
@@ -917,10 +931,17 @@ object OracleSql {
   }
 
   /** The shared trained-IVF-PQ chain: WITH-clauses through `r` (every ADC
-    * candidate ranked per query by ascending quantized approximate L2²). */
+    * candidate ranked per query by ascending quantized approximate L2²).
+    * `trainSel` (default: whole table) restricts the TRAINING corpus —
+    * coarse Lloyd rounds, PQ Lloyd rounds and both seed samples — while
+    * cell assignment, code assignment and search still cover every vector:
+    * the build-on-base / add-deltas-by-stored-quantizers lifecycle of
+    * [[graft.operators.Similarity.appendToIvfPqIndex]]. With the default
+    * the emitted SQL is byte-identical to the pre-`trainSel` form. */
   private def ivfPqTrainedChainSql(querySel: String, m: Int, dim: Int,
                                    kCoarse: Int, coarseIters: Int,
-                                   kPq: Int, pqIters: Int, nprobe: Int): String = {
+                                   kPq: Int, pqIters: Int, nprobe: Int,
+                                   trainSel: String = ""): String = {
     val subDim = dim / m
     val subVals = (0 until m).map(s => s"($s)").mkString(", ")
     def sl(e: String) = s"$e[(sub * $subDim + 1):(sub * $subDim + $subDim)]"
@@ -928,13 +949,16 @@ object OracleSql {
     val dist = s"${dotSql("x.xs", "x.xs")} + ${dotSql("c.cs", "c.cs")} - 2.0 * ${dotSql("x.xs", "c.cs")}"
     val adcDist =
       s"${dotSql("qs2.qs", "qs2.qs")} + ${dotSql("c.cs", "c.cs")} - 2.0 * ${dotSql("qs2.qs", "c.cs")}"
+    val split = trainSel.nonEmpty
+    val trainTbl = if (split) "etrain" else "embeddings"
+    val xsTrain = if (split) "xst" else "xs"
     val pqRounds = (1 to pqIters).map { i =>
       val prev = s"cb${i - 1}"
       s"""pa$i AS (SELECT vec_id, sub, xs, cell FROM (
          |      SELECT x.vec_id, x.sub, x.xs, c.cent_id AS cell,
          |        row_number() OVER (PARTITION BY x.vec_id, x.sub
          |          ORDER BY ${detRoundSql(dist, 4)}, c.cent_id) AS rn
-         |      FROM xs x JOIN $prev c ON x.sub = c.sub) WHERE rn = 1),
+         |      FROM $xsTrain x JOIN $prev c ON x.sub = c.sub) WHERE rn = 1),
          |px$i AS (SELECT cell, sub, i AS pos,
          |        CAST(floor(xs[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS q
          |      FROM pa$i, range(1, ${subDim + 1}) t(i)),
@@ -944,7 +968,12 @@ object OracleSql {
          |      FROM pp$i GROUP BY cell, sub)""".stripMargin
     }.mkString(",\n")
     val cbFinal = s"cb$pqIters"
-    s"""WITH ${kmeansRoundsCtesSeeded(s"vec_id < $kCoarse", coarseIters)},
+    val etrainCte =
+      if (split) s"etrain AS (SELECT * FROM embeddings WHERE $trainSel),\n" else ""
+    val xstCte =
+      if (split) s",\nxst AS (SELECT vec_id, sub, ${sl("embedding")} AS xs FROM etrain, subs)"
+      else ""
+    s"""WITH $etrainCte${kmeansRoundsCtesSeeded(s"vec_id < $kCoarse", coarseIters, trainTbl)},
        |cents AS (SELECT cell AS cent_id, emb_cent FROM c$coarseIters),
        |assign AS (SELECT vec_id, cell FROM (
        |      SELECT e.vec_id, c.cent_id AS cell,
@@ -953,9 +982,9 @@ object OracleSql {
        |                   c.cent_id) AS rn
        |      FROM embeddings e, cents c) WHERE rn = 1),
        |subs AS (SELECT CAST(sub AS BIGINT) AS sub FROM (VALUES $subVals) t(sub)),
-       |xs AS (SELECT vec_id, sub, ${sl("embedding")} AS xs FROM embeddings, subs),
+       |xs AS (SELECT vec_id, sub, ${sl("embedding")} AS xs FROM embeddings, subs)$xstCte,
        |cb0 AS (SELECT vec_id AS cent_id, sub, ${sl("embedding")} AS cs
-       |       FROM embeddings, subs WHERE vec_id < $kPq),
+       |       FROM $trainTbl, subs WHERE vec_id < $kPq),
        |$pqRounds,
        |codes AS (SELECT vec_id, sub, cent_id AS code FROM (
        |      SELECT x.vec_id, x.sub, c.cent_id,

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+
+import graft.operators.{ArtifactManifest, Similarity}
+
+/** Streaming refresh of the persisted IVF-PQ index — the ANN twin of
+  * [[ArtifactRefresh]]: the batch lifecycle is build-once /
+  * add-deltas-by-stored-quantizers ([[Similarity.writeIvfPqIndex]] →
+  * [[Similarity.appendToIvfPqIndex]]); a live embedding feed folds each
+  * micro-batch into the SAME index instead. Each micro-batch
+  *
+  *   1. assigns the arriving vectors to coarse cells and PQ codes by the
+  *      STORED quantizers (read from the artifact, never retrained — the
+  *      FAISS `add` shape; cost is batch × kCoarse, never corpus-sized),
+  *   2. appends them to the two corpus-sized index tables,
+  *   3. atomically updates the input-fingerprint manifest to cover
+  *      base ∪ everything-consumed and re-checks it — provenance holds
+  *      after EVERY micro-batch.
+  *
+  * The refreshed index is invariant to how the delta splits into
+  * micro-batches: appends are per-row functions of the stored quantizers,
+  * so any split yields the same (cells, codes) multiset — a bounded run
+  * equals the one-shot batch append, and a search over it equals the
+  * train-on-base / assign-all SQL chain
+  * ([[graft.sources.OracleSql.ivfPqRefreshSql]]).
+  *
+  * foreachBatch (not a table sink) because the work is the side effect;
+  * batches arrive sequentially, preserving the artifact's single-runner
+  * append contract (same as the signature-artifact refresh).
+  */
+object AnnIndexRefresh {
+
+  /** The embeddings table's stream schema (readStream needs it declared). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Run the bounded refresh: stream `deltaDir`'s parquet files one per
+    * micro-batch into the IVF-PQ index at `indexDir` (already built over
+    * `baseVecs` with a manifest). Returns micro-batches processed. */
+  def refreshFromStream(spark: SparkSession, deltaDir: String,
+                        baseVecs: DataFrame, indexDir: String,
+                        checkpointDir: String,
+                        m: Int = 4, dim: Int = 64): Long = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v) catch { case _: Exception => () }
+    }
+    // batch-sized appends; keep the tiny assignment joins narrow
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val consumed = s"$indexDir/consumed_vecs.parquet"
+    val fingerCols = Seq(col("vec_id"), col("embedding"))
+    var batches = 0L
+    val q = s.readStream.schema(embeddingsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        if (!b.isEmpty) {
+          Similarity.appendToIvfPqIndex(b, indexDir, m, dim)
+          b.select(fingerCols: _*).write.mode("append").parquet(consumed)
+          val ingested = baseVecs.select(fingerCols: _*)
+            .unionByName(b.sparkSession.read.parquet(consumed))
+          ArtifactManifest.write(indexDir, ingested, fingerCols)
+          // provenance must hold after EVERY fold, not only at build time
+          ArtifactManifest.check(indexDir, ingested, fingerCols)
+          batches += 1
+        }
+        b.unpersist(): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
+  /** The gated end-to-end form: build the index over `vec_id % 4 != 0`,
+    * stream the `% 4 == 0` delta through [[refreshFromStream]] in ≥3
+    * micro-batches (range-split files), then search the refreshed index
+    * from the artifact alone — output-equal to the train-on-base /
+    * assign-all oracle chain. */
+  def gatedRefresh(s: SparkSession, dir: String): DataFrame = {
+    def tmp(tag: String) = graft.QueryShared.deleteAtExit(
+      java.nio.file.Files.createTempDirectory(tag).toString)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val delta = emb.filter(col("vec_id") % 4 === 0)
+    val idx = tmp("ann_refresh_idx")
+    Similarity.writeIvfPqIndex(base, idx)
+    ArtifactManifest.write(idx, base.select(col("vec_id"), col("embedding")),
+      Seq(col("vec_id"), col("embedding")))
+    // deterministic 3-file split of the delta = 3 micro-batches
+    val deltaDir = tmp("ann_refresh_delta")
+    delta.repartitionByRange(3, col("vec_id"))
+      .write.mode("overwrite").parquet(deltaDir)
+    refreshFromStream(s, deltaDir, base, idx, tmp("ann_refresh_ck"))
+    Similarity.ivfPqSearchIndex(
+      idx, emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000), k = 5)
+  }
+}

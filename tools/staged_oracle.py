@@ -86,22 +86,37 @@ def split_ctes(sql):
 
 
 # ------------------------------------------------- per-query stage rewrites
-def argmax_cell_rewrite(round_sig, cent_cte, quant=10000.0):
+# 2^40: the pack shift must clear the largest centroid id. ScaleGen ids are
+# copy*1e8 + base, so sf10 reaches ~9.9e9 and sf100 ~9.9e10 — both < 2^40,
+# while the old 2^24 shift silently corrupted the ordering for any id
+# >= 16.7M (i.e. every decade above sf0.1). |q| <= 1e4 (quantized cosine)
+# or <= ~6.4e5 (quantized subvector L2^2), so |q|*2^40 stays far inside
+# BIGINT. The --selfcheck mode proves the packing at any chosen scale.
+PACK = 1 << 40
+
+
+def argmax_cell_rewrite(round_sig, cent_cte, cent_ref, cent_col,
+                        emb_alias, quant=10000.0):
     """Equivalent form of the assignment stage
-        SELECT vec_id, emb_v, cell FROM (SELECT ..., row_number() OVER (
-          PARTITION BY vec_id ORDER BY floor(cos*Q+0.5)/Q DESC, cell) rn
-        FROM embeddings e, <cent> c) WHERE rn = 1
+        SELECT vec_id, <emb_alias>, cell FROM (SELECT ..., row_number()
+          OVER (PARTITION BY vec_id ORDER BY floor(cos*Q+0.5)/Q DESC,
+                <cent_ref>.<cent_col>) rn
+        FROM embeddings e, <cent_cte> [<cent_ref>]) WHERE rn = 1
     that avoids sorting the N*K cross product: the ordering key
     (quantized-similarity DESC, cell ASC) is packed into one BIGINT and
     reduced with arg_max — a streaming hash aggregate over N groups.
     Ties are impossible to break differently: the packed key is a
-    strictly monotone encoding of the original (q, -cell) order."""
+    strictly monotone encoding of the original (q, -cell) order. The
+    centroid relation keeps its original qualifier so `round_sig` runs
+    verbatim."""
+    alias = "" if cent_ref == cent_cte else f" {cent_ref}"
     return f"""
-      SELECT a.vec_id, e.embedding AS emb_v, a.cell FROM (
+      SELECT a.vec_id, e.embedding AS {emb_alias}, a.cell FROM (
         SELECT e.vec_id,
-          arg_max(c.cell, CAST(floor({round_sig} * {quant} + 0.5) AS BIGINT) * 16777216
-                          + (16777215 - c.cell)) AS cell
-        FROM embeddings e, {cent_cte} c GROUP BY e.vec_id) a
+          arg_max({cent_ref}.{cent_col},
+                  CAST(floor({round_sig} * {quant} + 0.5) AS BIGINT) * {PACK}
+                  + ({PACK - 1} - {cent_ref}.{cent_col})) AS cell
+        FROM embeddings e, {cent_cte}{alias} GROUP BY e.vec_id) a
       JOIN embeddings e ON e.vec_id = a.vec_id"""
 
 
@@ -112,24 +127,71 @@ COS = ("(list_sum(list_transform(range(1, len(e.embedding)+1), "
        "sqrt(list_sum(list_transform(range(1, len(c.emb_cent)+1), "
        "i -> c.emb_cent[i]::DOUBLE * c.emb_cent[i]::DOUBLE)))))")
 
+def argmin_code_rewrite(dist, xs_tbl, xs_ref, cb_tbl, cb_ref,
+                        cent_col, quant=10000.0):
+    """Equivalent form of q_pq_code's distance stage
+        SELECT vec_id, <xs_ref>.sub AS sub, <cent_col>, floor(d*Q+0.5)/Q
+        FROM <xs> x JOIN <cb> c ON x.sub = c.sub
+    + the downstream rn=1 filter, fused: the (quantized-distance ASC,
+    code ASC) order packs into one BIGINT, arg_min reduces the N*K join
+    to one row per (vec_id, sub), and the surviving pair's distance is
+    re-evaluated verbatim on a K=1 join. The downstream row_number stage
+    then runs over N*m rows instead of N*m*K. L2^2 >= 0, so the packed
+    key needs no sign handling."""
+    return f"""
+      SELECT am.vec_id, am.sub, am.{cent_col},
+        floor(({dist}) * {quant} + 0.5) / {quant} AS dist
+      FROM (
+        SELECT {xs_ref}.vec_id, {xs_ref}.sub,
+          arg_min({cb_ref}.{cent_col},
+                  CAST(floor(({dist}) * {quant} + 0.5) AS BIGINT) * {PACK}
+                  + {cb_ref}.{cent_col}) AS {cent_col}
+        FROM {xs_tbl} {xs_ref} JOIN {cb_tbl} {cb_ref}
+          ON {xs_ref}.sub = {cb_ref}.sub
+        GROUP BY {xs_ref}.vec_id, {xs_ref}.sub) am
+      JOIN {xs_tbl} {xs_ref}
+        ON {xs_ref}.vec_id = am.vec_id AND {xs_ref}.sub = am.sub
+      JOIN {cb_tbl} {cb_ref}
+        ON {cb_ref}.sub = am.sub AND {cb_ref}.{cent_col} = am.{cent_col}"""
+
+
 # (query, cte) -> replacement SQL. Generated lazily in rewrites_for().
 def rewrites_for(query, ctes, final):
-    """Detect the two known scale-killer stage shapes and build equivalent
+    """Detect the known scale-killer stage shapes and build equivalent
     bodies; everything else runs verbatim."""
     rw = {}
     for name, body in ctes:
+        # centroid-assignment argmax: row_number over the N*K cross product,
+        # quantized-cosine DESC + centroid-id ASC. Alias-flexible: matches
+        # both `... AS emb_v, c.cell ... FROM embeddings e, cN c` (kmeans
+        # rounds) and `... AS emb_c, c0.cent_id ... FROM embeddings e, c0`.
         m = re.match(
-            r"SELECT vec_id, emb_v, cell FROM \(\s*"
-            r"SELECT e\.vec_id, e\.embedding AS emb_v, c\.cell,\s*"
+            r"SELECT vec_id, (?P<ea>emb_\w+), cell FROM \(\s*"
+            r"SELECT e\.vec_id, e\.embedding AS (?P=ea), (?P<cr>\w+)\.(?P<cc>\w+)(?: AS cell)?,\s*"
             r"row_number\(\) OVER \(PARTITION BY e\.vec_id\s*"
             r"ORDER BY floor\(\((?P<sim>.*?)\) \* (?P<q>[0-9.]+) \+ 0\.5\) / [0-9.]+ DESC,\s*"
-            r"c\.cell\) AS rn\s*"
-            r"FROM embeddings e, (?P<cent>\w+) c\) WHERE rn = 1$",
+            r"(?P=cr)\.(?P=cc)\) AS rn\s*"
+            r"FROM embeddings e, (?P<cent>\w+)(?: (?P<al>\w+))?\) WHERE rn = 1$",
             body, re.S)
-        if m:
+        if m and m.group("cr") == (m.group("al") or m.group("cent")):
             sim = "(" + m.group("sim") + ")"
             rw[name] = argmax_cell_rewrite(sim, m.group("cent"),
-                                           float(m.group("q")))
+                                           m.group("cr"), m.group("cc"),
+                                           m.group("ea"), float(m.group("q")))
+            continue
+        # PQ code-distance argmin: the N*m x K sub-distance table that only
+        # feeds an rn=1 filter downstream (q_pq_code's d stage).
+        m = re.match(
+            r"SELECT vec_id, (?P<xr>\w+)\.sub AS sub, (?P<cc>cent_\w+),\s*"
+            r"floor\(\((?P<dist>.*?)\) \* (?P<q>[0-9.]+) \+ 0\.5\) / [0-9.]+ AS dist\s*"
+            r"FROM (?P<xs>\w+) (?P=xr) JOIN (?P<cb>\w+) (?P<cr>\w+) "
+            r"ON (?P=xr)\.sub = (?P<cr2>\w+)\.sub$",
+            body, re.S)
+        if m and m.group("cr") == m.group("cr2"):
+            rw[name] = argmin_code_rewrite(
+                m.group("dist"), m.group("xs"), m.group("xr"),
+                m.group("cb"), m.group("cr"), m.group("cc"),
+                float(m.group("q")))
     return rw
 
 
