@@ -71,9 +71,15 @@ private[graft] object QueryShared {
 
   def lshPairs(s: SparkSession, dir: String): DataFrame = {
     lshPairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    lshPairsMemo.computeIfAbsent((s, dir), _ =>
+    val df = lshPairsMemo.computeIfAbsent((s, dir), _ =>
       operators.Dedup.minhashLshPairs(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+    // minhashLshPairs returns an eagerly-cached artifact, but a family-
+    // boundary clearCache (Bench hygiene) still drops that storage — lazily
+    // re-persist like memoizedArtifact so no consumer ever silently
+    // re-executes the pair build PER ACTION (one rebuild is paid, once).
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
   }
 
   /** Pruned co-purchase pair artifact (Basket.copurchasePairs), memoized per
