@@ -133,9 +133,48 @@ private[graft] object WarehouseQueries {
           graft.functions.GraftFunctions.detRound(col("custo_total_item"), 4).as("custo_total_item"),
           graft.functions.GraftFunctions.detRound(col("lucro_bruto"), 4).as("lucro_bruto"))
         .orderBy(col("id_venda"), col("id_produto"))
+    }),
+    // Small-file compaction (r14): simulate a micro-batch sink's damage —
+    // scatter documents into 32 tiny files — then size-aware bin-pack them
+    // back (Compaction.compact). The operator refuses to publish unless the
+    // read-back output fingerprint-matches the input (so a row lost or
+    // duplicated by the rewrite throws before this query can return); the
+    // oracle then re-proves content preservation differentially against
+    // the ORIGINAL source table, one rewrite removed.
+    "q_compact_docs" -> ((s, dir) => {
+      prep(s)
+      val scatter = deleteAtExit(
+        java.nio.file.Files.createTempDirectory("compact_in").toString)
+      val out = deleteAtExit(
+        java.nio.file.Files.createTempDirectory("compact_out").toString)
+      s.read.parquet(s"$dir/documents.parquet").repartition(32)
+        .write.mode("overwrite").parquet(scatter)
+      operators.Compaction.compact(s, scatter, out, targetFileBytes = 8L << 20)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // Clustering-preserving compaction: the range variant rewrites lineitem
+    // sorted by l_orderkey (per-file min/max stay disjoint — spec-pinned),
+    // so the S9 sorted-layout row-skipping survives the rewrite. Content
+    // gate is the full key/qty projection vs the source table.
+    "q_compact_range" -> ((s, dir) => {
+      prep(s)
+      val out = deleteAtExit(
+        java.nio.file.Files.createTempDirectory("compact_range").toString)
+      operators.Compaction.compact(s, s"$dir/lineitem.parquet", out,
+        targetFileBytes = 4L << 20, sortCol = Some("l_orderkey"))
+      s.read.parquet(out)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q_compact_docs" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "q_compact_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_dim_localidade" ->
       O.withDw("SELECT * FROM dim_localidade ORDER BY id_localidade"),
     "q_dim_categoria_cliente" ->

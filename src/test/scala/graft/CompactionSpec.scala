@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Compaction
+
+/** Pins the small-file compaction contract (r14): size-aware bin-packing,
+  * proven content preservation, idempotent re-runs, and the range variant's
+  * clustering (disjoint per-file key ranges, so sorted-layout row skipping
+  * survives the rewrite). */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def docs(n: Int) =
+    (1 to n).map(i => (i.toLong, s"doc $i body ${"x" * (i % 97)}", i % 7))
+      .toDF("doc_id", "text", "grp")
+
+  test("planOutputFiles is ceil(bytes/target), min 1") {
+    assert(Compaction.planOutputFiles(0L, 100L) == 1)
+    assert(Compaction.planOutputFiles(1L, 100L) == 1)
+    assert(Compaction.planOutputFiles(100L, 100L) == 1)
+    assert(Compaction.planOutputFiles(101L, 100L) == 2)
+    assert(Compaction.planOutputFiles(1000L, 100L) == 10)
+    intercept[IllegalArgumentException](Compaction.planOutputFiles(10L, 0L))
+  }
+
+  test("bin-pack merges a scattered dataset, preserving content exactly") {
+    val in = tmp("compact_spec_in"); val out = tmp("compact_spec_out")
+    docs(500).repartition(64).write.mode("overwrite").parquet(in)
+    val st = Compaction.compact(spark, in, out, targetFileBytes = 64L << 20)
+    assert(!st.skipped)
+    assert(st.nFilesIn == 64)
+    assert(st.nFilesOut == 1) // everything fits one target-sized bin
+    assert(st.rows == 500)
+    val before = docs(500).collect().toSet
+    assert(spark.read.parquet(out).collect().toSet == before)
+  }
+
+  test("re-running the same compaction is a no-op (manifest-gated idempotence)") {
+    val in = tmp("compact_idem_in"); val out = tmp("compact_idem_out")
+    docs(200).repartition(16).write.mode("overwrite").parquet(in)
+    val first = Compaction.compact(spark, in, out, targetFileBytes = 64L << 20)
+    assert(!first.skipped)
+    val mtimes = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(st => st.getPath.getName -> st.getModificationTime).toMap
+    }
+    val second = Compaction.compact(spark, in, out, targetFileBytes = 64L << 20)
+    assert(second.skipped)
+    assert(second.rows == 200)
+    val mtimes2 = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(st => st.getPath.getName -> st.getModificationTime).toMap
+    }
+    assert(mtimes2 == mtimes) // nothing rewritten
+  }
+
+  test("a drifted input re-compacts instead of skipping") {
+    val in = tmp("compact_drift_in"); val out = tmp("compact_drift_out")
+    docs(100).repartition(8).write.mode("overwrite").parquet(in)
+    assert(!Compaction.compact(spark, in, out, 64L << 20).skipped)
+    docs(101).repartition(8).write.mode("overwrite").parquet(in) // content drift
+    val st = Compaction.compact(spark, in, out, 64L << 20)
+    assert(!st.skipped)
+    assert(st.rows == 101)
+  }
+
+  test("range variant yields disjoint per-file key ranges (clustering preserved)") {
+    val in = tmp("compact_range_in"); val out = tmp("compact_range_out")
+    docs(4000).repartition(32).write.mode("overwrite").parquet(in)
+    // tiny target so the rewrite MUST produce several files
+    val bytesIn = {
+      val p = new org.apache.hadoop.fs.Path(in)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+    }
+    val target = math.max(1L, bytesIn / 4)
+    val st = Compaction.compact(spark, in, out, target, sortCol = Some("doc_id"))
+    assert(st.nFilesOut >= 2, s"expected a multi-file rewrite, got ${st.nFilesOut}")
+    // per-file [min,max] of the sort key must not overlap across files
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ranges = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .map { f =>
+        val r = spark.read.parquet(f.getPath.toString)
+          .agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(out).count() == 4000)
+  }
+
+  test("a rewrite that altered content would refuse to publish") {
+    // Simulate by checking the manifest contract compact() relies on: the
+    // OUTPUT check runs against the INPUT's stored fingerprint, so any
+    // content difference throws (full refusal matrix is ArtifactManifestSpec).
+    val in = tmp("compact_refuse_in")
+    docs(50).write.mode("overwrite").parquet(in)
+    val inDf = spark.read.parquet(in)
+    val cols = inDf.columns.toSeq.map(col)
+    val out = tmp("compact_refuse_out")
+    docs(49).write.mode("overwrite").parquet(out) // a "lossy rewrite"
+    operators.ArtifactManifest.write(out, inDf, cols)
+    intercept[IllegalArgumentException] {
+      operators.ArtifactManifest.check(out, spark.read.parquet(out), cols)
+    }
+  }
+}
