@@ -154,6 +154,26 @@ private[graft] object WarehouseQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // Per-partition compaction: the fleet shape — documents laid out as a
+    // Hive-partitioned dataset (lang=xx dirs, each scattered into 8 files),
+    // every partition compacted INDEPENDENTLY (own manifest, own idempotence;
+    // a rewrite never holds more than one partition's bytes). The read-back
+    // re-derives lang from the directory layout, so the oracle also proves
+    // the partition scheme survived the rewrite.
+    "q_compact_partitioned" -> ((s, dir) => {
+      prep(s)
+      val scatter = deleteAtExit(
+        java.nio.file.Files.createTempDirectory("compact_part_in").toString)
+      val out = deleteAtExit(
+        java.nio.file.Files.createTempDirectory("compact_part_out").toString)
+      s.read.parquet(s"$dir/documents.parquet").repartition(8)
+        .write.partitionBy("lang").mode("overwrite").parquet(scatter)
+      operators.Compaction.compactPartitioned(s, scatter, out,
+        targetFileBytes = 8L << 20)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // Clustering-preserving compaction: the range variant rewrites lineitem
     // sorted by l_orderkey (per-file min/max stay disjoint — spec-pinned),
     // so the S9 sorted-layout row-skipping survives the rewrite. Content
@@ -175,6 +195,8 @@ private[graft] object WarehouseQueries {
     "q_compact_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_compact_partitioned" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "q_dim_localidade" ->
       O.withDw("SELECT * FROM dim_localidade ORDER BY id_localidade"),
     "q_dim_categoria_cliente" ->

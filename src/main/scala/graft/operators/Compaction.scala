@@ -118,4 +118,31 @@ object Compaction {
       outFiles.size.toLong, outFiles.map(_.getLen).sum,
       spark.read.parquet(outDir).count(), skipped = false)
   }
+
+  /** Per-partition compaction of a Hive-partitioned dataset (`.../key=value/`
+    * dirs): each partition directory is compacted INDEPENDENTLY into the
+    * same `key=value` layout under `outDir` — the shape the 100 TB claim
+    * requires, because a fleet-scale compactor must never hold more than
+    * one partition's bytes in a single rewrite, must be able to run on just
+    * the partitions a sink touched tonight, and must leave every untouched
+    * partition's files (and manifest) alone. Each partition gets its own
+    * manifest, so idempotence and drift re-compaction are per-partition
+    * too: re-running after one partition received new data rewrites ONLY
+    * that partition (`skipped` everywhere else). Returns per-partition
+    * stats keyed by the `key=value` dir name.
+    */
+  def compactPartitioned(spark: SparkSession, inDir: String, outDir: String,
+                         targetFileBytes: Long,
+                         sortCol: Option[String] = None): Map[String, CompactionStats] = {
+    val p = new Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName).sorted
+    require(parts.nonEmpty, s"$inDir has no key=value partition directories")
+    parts.map { part =>
+      part -> compact(spark, s"$inDir/$part", s"$outDir/$part",
+        targetFileBytes, sortCol)
+    }.toMap
+  }
 }

@@ -100,6 +100,23 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 4000)
   }
 
+  test("partitioned dataset compacts per partition; a delta rewrites only its partition") {
+    val in = tmp("compact_part_in"); val out = tmp("compact_part_out")
+    docs(700).repartition(8).write.partitionBy("grp").mode("overwrite").parquet(in)
+    val stats = Compaction.compactPartitioned(spark, in, out, 64L << 20)
+    assert(stats.keySet == (0 to 6).map(g => s"grp=$g").toSet)
+    assert(stats.values.forall(st => !st.skipped && st.nFilesOut == 1))
+    // whole-dataset content survives, partition column re-derived from layout
+    assert(spark.read.parquet(out).collect().toSet == docs(700).collect().toSet)
+    // tonight's delta lands in ONE partition -> only that partition rewrites
+    Seq((701L, "delta a", 3), (702L, "delta b", 3)).toDF("doc_id", "text", "grp")
+      .write.partitionBy("grp").mode("append").parquet(in)
+    val stats2 = Compaction.compactPartitioned(spark, in, out, 64L << 20)
+    assert(!stats2("grp=3").skipped)
+    assert((0 to 6).filter(_ != 3).forall(g => stats2(s"grp=$g").skipped))
+    assert(spark.read.parquet(out).count() == 702)
+  }
+
   test("a rewrite that altered content would refuse to publish") {
     // Simulate by checking the manifest contract compact() relies on: the
     // OUTPUT check runs against the INPUT's stored fingerprint, so any
