@@ -102,7 +102,15 @@ object Compaction {
       case Some(c) if nOut > 1 =>
         in.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
       case Some(c) => in.repartition(1).sortWithinPartitions(col(c))
-      case None    => in.repartition(nOut)
+      case None =>
+        // Bin-packing needs NO exchange: the parquet scan already groups
+        // small files into ~maxPartitionBytes splits, so merging down to
+        // nOut is a coalesce — each write task streams a few scan splits
+        // straight to one output file, zero shuffle bytes at any scale.
+        // repartition only when SPLITTING (more output files than scan
+        // splits), where a shuffle is the only way to spread rows.
+        val scanParts = in.rdd.getNumPartitions
+        if (nOut <= scanParts) in.coalesce(nOut) else in.repartition(nOut)
     }
     packed.write.mode("overwrite").parquet(outDir)
 

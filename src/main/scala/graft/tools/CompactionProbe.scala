@@ -55,8 +55,12 @@ object CompactionProbe {
       val out = s"/tmp/compaction_probe/${table}_compacted"
       rm(scatter); rm(out)
       val (_, tScatter) = timed {
-        spark.read.parquet(s"$sfDir/$table.parquet").repartition(nScatter)
-          .write.mode("overwrite").parquet(scatter)
+        // scatter WITHOUT a shuffle (maxRecordsPerFile), like the sink that
+        // causes the problem: micro-batches append files, they don't exchange
+        val src = spark.read.parquet(s"$sfDir/$table.parquet")
+        val rowsPerFile = math.max(1L, src.count() / nScatter)
+        src.write.option("maxRecordsPerFile", rowsPerFile)
+          .mode("overwrite").parquet(scatter)
       }
       val (aggBefore, tAggScattered) = timed(agg(scatter))
       val (st, tBuild) = timed(
