@@ -174,6 +174,32 @@ private[graft] object WarehouseQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // Nested-partition compaction (r15, VERDICT r14 #3): a TWO-level Hive
+    // layout (lang=xx/day=d) compacted leaf-by-leaf with bounded
+    // parallelism. compactPartitioned recurses to the leaf directories and
+    // reproduces the full relative layout on the output side — the read-back
+    // re-derives BOTH partition keys from the directory structure, so the
+    // oracle proves the nested scheme survived (the r14 code silently
+    // flattened it). The flat compact() path now refuses nested inputs
+    // outright (spec-pinned), so the flatten bug is unreachable.
+    "q_compact_nested" -> ((s, dir) => {
+      prep(s)
+      val scatter = deleteAtExit(
+        java.nio.file.Files.createTempDirectory("compact_nest_in").toString)
+      val out = deleteAtExit(
+        java.nio.file.Files.createTempDirectory("compact_nest_out").toString)
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("day", col("doc_id") % 3)
+        .repartition(4)
+        .write.partitionBy("lang", "day").mode("overwrite").parquet(scatter)
+      operators.Compaction.compactPartitioned(s, scatter, out,
+        targetFileBytes = 8L << 20, parallelism = 4)
+      s.read.parquet(out)
+        // partition discovery infers day as int; the oracle computes BIGINT
+        .select(col("doc_id"), col("lang"), col("day").cast("long").as("day"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // Clustering-preserving compaction: the range variant rewrites lineitem
     // sorted by l_orderkey (per-file min/max stay disjoint — spec-pinned),
     // so the S9 sorted-layout row-skipping survives the rewrite. Content
@@ -197,6 +223,8 @@ private[graft] object WarehouseQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_compact_partitioned" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "q_compact_nested" ->
+      "SELECT doc_id, lang, doc_id % 3 AS day, n_chars FROM documents ORDER BY doc_id",
     "q_dim_localidade" ->
       O.withDw("SELECT * FROM dim_localidade ORDER BY id_localidade"),
     "q_dim_categoria_cliente" ->

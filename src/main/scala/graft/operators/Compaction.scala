@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.Path
 
@@ -20,21 +20,29 @@ import org.apache.hadoop.fs.Path
   *  - **Size-aware**: output file count is computed from the INPUT's real
   *    bytes (`planOutputFiles`), not guessed; compressed size in ≈ size
   *    out for a rewrite of the same codec.
-  *  - **Proven content-preserving**: after the rewrite the output is read
-  *    back and its order-free fingerprint (count + xxhash64 multiset sum
-  *    over every column — [[ArtifactManifest]]'s scheme) must equal the
-  *    input's, or compact() throws and no manifest lands. A rewrite that
-  *    lost or duplicated rows can never be mistaken for a finished one.
-  *  - **Idempotent**: the input fingerprint is stored as the output dir's
-  *    manifest; a re-run that finds a manifest matching the current input
-  *    skips the rewrite entirely (the nightly-cron shape — re-running a
-  *    compaction job must be a no-op, exactly like `Fact.backfillSlices`'
-  *    `_SUCCESS` probing).
+  *  - **Proven content-preserving, THEN published** (r15, ADVICE r14): the
+  *    input's order-free fingerprint (count + xxhash64 multiset sum over
+  *    every column — [[ArtifactManifest]]'s scheme) and the read-back
+  *    output's are compared IN MEMORY; only after they match does the
+  *    manifest land at the output. A lossy rewrite — or a crash anywhere
+  *    before the compare passes — leaves NO manifest, so the next run can
+  *    never mistake a corrupt output for a finished one.
+  *  - **Idempotent**: the published manifest records the input fingerprint;
+  *    a re-run whose current input matches it skips the rewrite entirely
+  *    (the nightly-cron shape — re-running a compaction job must be a
+  *    no-op, exactly like `Fact.backfillSlices`' `_SUCCESS` probing). The
+  *    skip decision and the stats row count reuse the ONE fingerprint scan
+  *    — no separate `count()` actions (ADVICE r14 low).
   *  - **Clustering-preserving (optional)**: with `sortCol` the rewrite
   *    range-partitions + sorts within files, so per-file min/max stay
   *    disjoint and parquet row-group skipping (the S9 sorted-layout proof,
   *    `Warehouse.scala:70`) survives the compaction instead of being
   *    destroyed by round-robin shuffling.
+  *  - **Leaf-only, loudly**: `compact` REFUSES a directory containing
+  *    sub-directories (VERDICT r14 #3 — a nested Hive layout fed to the
+  *    flat path used to be silently flattened); [[compactPartitioned]]
+  *    recurses to the LEAF `key=value` directories of arbitrarily nested
+  *    layouts and preserves the full relative layout on the output side.
   *
   * Physical plan: one exchange (round-robin or range) over one scan, then
   * the write — no global sort, no window, no driver-side row movement.
@@ -62,6 +70,17 @@ object Compaction {
     }
   }
 
+  /** Non-hidden sub-directories — a leaf dataset dir must have none. */
+  private def dataSubdirs(spark: SparkSession, dir: String) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** ceil(totalBytes / targetBytes), min 1 — the bin count a same-codec
     * rewrite needs for ~target-sized output files. */
   def planOutputFiles(totalBytes: Long, targetFileBytes: Long): Int = {
@@ -69,32 +88,62 @@ object Compaction {
     math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
   }
 
+  /** `outDir` must be a different directory from `inDir` and neither may
+    * nest inside the other: compacting onto the input would read and
+    * overwrite the same files mid-job, and a nested output would pollute
+    * the other side's listing on the next run. Checked up front so the
+    * failure is a clear precondition, not a mid-write stack trace. */
+  private def requireDisjoint(spark: SparkSession, inDir: String, outDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(d: String) = { val p = new Path(d); p.getFileSystem(conf).makeQualified(p) }
+    val (qi, qo) = (qualified(inDir), qualified(outDir))
+    require(qi != qo, s"compaction outDir must differ from inDir: $qi")
+    def nests(a: Path, b: Path): Boolean =
+      Iterator.iterate(b)(_.getParent).takeWhile(_ != null).contains(a)
+    require(!nests(qi, qo) && !nests(qo, qi),
+      s"compaction inDir and outDir must not nest: in=$qi out=$qo")
+  }
+
   /** Rewrite `inDir`'s parquet dataset into `outDir` at ~`targetFileBytes`
     * per file. `sortCol` switches the exchange from round-robin to
     * range-partition + in-file sort (clustering-preserving mode). The
-    * output is verified against the input's content fingerprint before the
-    * manifest lands; a manifest already matching the input makes the call
-    * a no-op. Returns what happened either way.
+    * output is verified against the input's content fingerprint and only
+    * then is the manifest published; a manifest already matching the input
+    * makes the call a no-op. Returns what happened either way. Exactly one
+    * content scan of the input (the fingerprint; the rewrite's own write
+    * re-reads it, as any rewrite must) and one of the output (read-back).
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetFileBytes: Long, sortCol: Option[String] = None): CompactionStats = {
+    requireDisjoint(spark, inDir, outDir)
+    val inFiles = dataFiles(spark, inDir)
+    val subdirs = dataSubdirs(spark, inDir)
+    require(subdirs.isEmpty,
+      s"$inDir contains sub-directories (${subdirs.map(_.getPath.getName).mkString(", ")}): " +
+        "compact() rewrites ONE leaf directory — a nested layout would be " +
+        "silently flattened; use compactPartitioned for Hive layouts")
+    require(inFiles.nonEmpty, s"$inDir has no data files to compact")
     val in = spark.read.parquet(inDir)
     val cols = in.columns.toSeq.map(col)
-    val inFiles = dataFiles(spark, inDir)
     val bytesIn = inFiles.map(_.getLen).sum
+
+    // ONE fingerprint scan serves the skip decision, the publish gate's
+    // input side, and every stats row count below.
+    val (nIn, hIn) = ArtifactManifest.fingerprintOf(in, cols)
 
     // Idempotent re-run: an output manifest that fingerprint-matches the
     // CURRENT input means this exact content is already compacted there.
-    // Any failure (no dir, no manifest, drifted input) falls through to a
-    // fresh rewrite — redoing is precisely what compaction should do then.
+    // A missing/unreadable/drifted manifest falls through to a fresh
+    // rewrite — redoing is precisely what compaction should do then.
     val alreadyDone =
-      try { ArtifactManifest.check(outDir, in, cols); true }
+      try ArtifactManifest.read(outDir, spark)
+        .exists(m => m.nRows == nIn && m.inputHash == hIn)
       catch { case _: Exception => false }
     if (alreadyDone) {
       val outFiles = dataFiles(spark, outDir)
       return CompactionStats(inFiles.size.toLong, bytesIn,
         outFiles.size.toLong, outFiles.map(_.getLen).sum,
-        in.count(), skipped = true)
+        nIn, skipped = true)
     }
 
     val nOut = planOutputFiles(bytesIn, targetFileBytes)
@@ -114,43 +163,93 @@ object Compaction {
     }
     packed.write.mode("overwrite").parquet(outDir)
 
-    // Prove the rewrite content-preserving BEFORE publishing the manifest:
-    // write the input's fingerprint, then demand the read-back output
-    // fingerprint-match it (ArtifactManifest.check recomputes over the
-    // frame it is given). Throws on any lost/duplicated/altered row.
-    ArtifactManifest.write(outDir, in, cols)
-    ArtifactManifest.check(outDir, spark.read.parquet(outDir), cols)
+    // Publish gate (ADVICE r14 high): prove the rewrite content-preserving
+    // IN MEMORY — read-back fingerprint must equal the input's — and only
+    // then land the manifest. A lossy rewrite, or a crash before this
+    // point, leaves no manifest, so it can never be skipped as "done".
+    val (nOutRows, hOut) =
+      ArtifactManifest.fingerprintOf(spark.read.parquet(outDir), cols)
+    require(nOutRows == nIn && hOut == hIn,
+      s"compaction of $inDir altered content: input (n=$nIn, hash=$hIn) vs " +
+        s"read-back output (n=$nOutRows, hash=$hOut) — manifest NOT published")
+    ArtifactManifest.writeValues(outDir, nIn, hIn, spark)
 
     val outFiles = dataFiles(spark, outDir)
     CompactionStats(inFiles.size.toLong, bytesIn,
       outFiles.size.toLong, outFiles.map(_.getLen).sum,
-      spark.read.parquet(outDir).count(), skipped = false)
+      nIn, skipped = false)
   }
 
-  /** Per-partition compaction of a Hive-partitioned dataset (`.../key=value/`
-    * dirs): each partition directory is compacted INDEPENDENTLY into the
-    * same `key=value` layout under `outDir` — the shape the 100 TB claim
-    * requires, because a fleet-scale compactor must never hold more than
-    * one partition's bytes in a single rewrite, must be able to run on just
-    * the partitions a sink touched tonight, and must leave every untouched
-    * partition's files (and manifest) alone. Each partition gets its own
-    * manifest, so idempotence and drift re-compaction are per-partition
+  /** The LEAF partition directories of a (possibly nested) Hive layout,
+    * as relative `key=value[/key=value…]` paths: descend while a dir has
+    * `key=value` children, stop at dirs that hold the data files. */
+  private def leafPartitionDirs(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def go(dir: Path, rel: String): Seq[String] = {
+      val partDirs = fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (partDirs.isEmpty) { if (rel.isEmpty) Seq.empty else Seq(rel) }
+      else partDirs.flatMap { st =>
+        val name = st.getPath.getName
+        go(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+      }
+    }
+    go(p, "").sorted
+  }
+
+  /** Run `f` over `items` with at most `parallelism` in flight — the fleet
+    * compactor's bound (one rewrite's bytes per slot, never the table's). */
+  private def runBounded[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+    if (parallelism <= 1) items.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.traverse(items)(a => Future(f(a))), Duration.Inf)
+      finally pool.shutdown()
+    }
+
+  /** Per-partition compaction of a Hive-partitioned dataset (`key=value`
+    * dirs, nested to any depth): each LEAF partition directory is compacted
+    * INDEPENDENTLY into the same relative layout under `outDir` — the shape
+    * the 100 TB claim requires, because a fleet-scale compactor must never
+    * hold more than one partition's bytes in a single rewrite, must be able
+    * to run on just the partitions a sink touched tonight, and must leave
+    * every untouched partition's files (and manifest) alone. Each leaf gets
+    * its own manifest, so idempotence and drift re-compaction are per-leaf
     * too: re-running after one partition received new data rewrites ONLY
-    * that partition (`skipped` everywhere else). Returns per-partition
-    * stats keyed by the `key=value` dir name.
+    * that partition (`skipped` everywhere else). `parallelism` bounds how
+    * many leaf rewrites run concurrently (default 1 — the single-runner
+    * nightly; a fleet driver raises it to its memory budget).
+    *
+    * After the per-leaf pass, a DATASET-LEVEL rollup manifest lands at
+    * `outDir`: the SUM of the leaf manifests — exact, by the fingerprint's
+    * additivity over the disjoint leaves — so a consumer can verify the
+    * whole table's provenance from sidecars alone, without rescanning any
+    * partition (VERDICT r14 next #6). Returns per-leaf stats keyed by the
+    * relative `key=value[/…]` path.
     */
   def compactPartitioned(spark: SparkSession, inDir: String, outDir: String,
                          targetFileBytes: Long,
-                         sortCol: Option[String] = None): Map[String, CompactionStats] = {
-    val p = new Path(inDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .map(_.getPath.getName).sorted
+                         sortCol: Option[String] = None,
+                         parallelism: Int = 1): Map[String, CompactionStats] = {
+    requireDisjoint(spark, inDir, outDir)
+    val parts = leafPartitionDirs(spark, inDir)
     require(parts.nonEmpty, s"$inDir has no key=value partition directories")
-    parts.map { part =>
+    val stats = runBounded(parts, parallelism) { part =>
       part -> compact(spark, s"$inDir/$part", s"$outDir/$part",
         targetFileBytes, sortCol)
-    }.toMap
+    }
+    // Rollup: sum of the (just-published or already-present) leaf manifests
+    // — no data scan; additive over disjoint leaf row multisets.
+    val leafManifests = parts.map { part =>
+      ArtifactManifest.read(s"$outDir/$part", spark).getOrElse(
+        throw new IllegalStateException(s"leaf $part compacted but has no manifest"))
+    }
+    ArtifactManifest.writeValues(outDir,
+      leafManifests.map(_.nRows).sum, leafManifests.map(_.inputHash).sum, spark)
+    stats.toMap
   }
 }

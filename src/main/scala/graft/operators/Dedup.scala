@@ -521,15 +521,26 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/bands.parquet")
   }
 
+  /** The two artifact contributions of a delta — (shingles, bands), the
+    * bands derived from the CACHED shingle frame so the delta's text is
+    * hashed once. The caller writes them where its lifecycle needs (the
+    * batch append below; the streaming refresh's batchId-keyed fold) and
+    * must unpersist the returned shingle frame after both writes land. */
+  def signatureFrames(delta: DataFrame, id: String, text: String,
+                      k: Int = 32, bands: Int = 8): (DataFrame, DataFrame) = {
+    val prep = withShingles(delta, id, text).cache()
+    (prep, bandHashes(prep, k, bands))
+  }
+
   /** Fold a consumed delta into the artifact (run AFTER
     * [[minhashLshPairsDelta]] so tonight's delta is tomorrow's base).
     * Plain parquet appends — same single-runner contract as the backfill
     * sink: two concurrent appenders of the same delta would double it. */
   def appendToSignatureArtifact(delta: DataFrame, id: String, text: String,
                                 dir: String, k: Int = 32, bands: Int = 8): Unit = {
-    val prep = withShingles(delta, id, text).cache()
+    val (prep, banded) = signatureFrames(delta, id, text, k, bands)
     prep.write.mode("append").parquet(s"$dir/shingles.parquet")
-    bandHashes(prep, k, bands).write.mode("append").parquet(s"$dir/bands.parquet")
+    banded.write.mode("append").parquet(s"$dir/bands.parquet")
     prep.unpersist()
   }
 

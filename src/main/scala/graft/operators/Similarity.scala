@@ -1064,18 +1064,28 @@ object Similarity {
     * Same single-runner append contract as the backfill sink. */
   def appendToIvfPqIndex(delta: DataFrame, dir: String,
                          m: Int = 4, dim: Int = 64): Unit = {
+    val (cells, codes) = ivfPqAssignFrames(delta, dir, m, dim)
+    cells.write.mode("append").parquet(s"$dir/cells.parquet")
+    codes.write.mode("append").parquet(s"$dir/codes.parquet")
+  }
+
+  /** The delta's two index contributions — (cells, codes) — assigned by
+    * the STORED quantizers at `dir` (never retrained; per-row functions of
+    * the trained tables, so any micro-batch split of a delta yields the
+    * same multiset). The caller writes them where its lifecycle needs: the
+    * batch append above, or the streaming refresh's batchId-keyed fold. */
+  def ivfPqAssignFrames(delta: DataFrame, dir: String,
+                        m: Int = 4, dim: Int = 64): (DataFrame, DataFrame) = {
     val spark = delta.sparkSession
     val coarse = spark.read.parquet(s"$dir/cents.parquet")
     val cents = coarse.select(col("cell"), col("emb_cent"),
       sqrt(dotFP(col("emb_cent"), col("emb_cent"))).as("norm_cent"))
     val withNorm = delta.select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
-    argmaxAssign(withNorm, cents)
-      .select(col("vec_id"), col("cell"))
-      .write.mode("append").parquet(s"$dir/cells.parquet")
+    val cells = argmaxAssign(withNorm, cents).select(col("vec_id"), col("cell"))
     val cb = spark.read.parquet(s"$dir/codebook.parquet")
-    argminSubAssign(subVectors(delta, m, dim), cb)
-      .write.mode("append").parquet(s"$dir/codes.parquet")
+    val codes = argminSubAssign(subVectors(delta, m, dim), cb)
+    (cells, codes)
   }
 
   /** Search a [[writeIvfPqIndex]] artifact: the same [[adcSearch]] core as

@@ -27,11 +27,19 @@ import org.apache.spark.sql.functions._
   *    complete exactly the missing slices. Checksums compare against a
   *    clean control sink.
   *
+  *  - `stream` (r15): the streaming LSH artifact refresh
+  *    (ArtifactRefresh.refreshFromStream) with an executor SIGKILLed
+  *    mid-stream. Either the micro-batch's tasks retry on the surviving
+  *    executor and the run completes, or the query crashes and a RESTART
+  *    on the SAME checkpoint re-delivers the torn batch — the
+  *    batchId-keyed fold (IdempotentFold) must converge to pair set /
+  *    artifact tables / manifest identical to an unkilled control.
+  *
   * Requires a multi-JVM master: set SPARK_GRAFT_MASTER (defaults here to
   * local-cluster[2,8,4096] — in local[N] there is no executor process to
   * kill and the probe aborts).
   *
-  * Usage: runMain graft.tools.ExecutorLossProbe <sfDir> <pagerank|backfill>
+  * Usage: runMain graft.tools.ExecutorLossProbe <sfDir> <pagerank|backfill|stream>
   */
 object ExecutorLossProbe {
   /** Executor JVMs belonging to THIS application only: a bare
@@ -183,7 +191,79 @@ object ExecutorLossProbe {
           s""""drill":[${drill._1},${drill._2},${drill._3}],""" +
           s""""equal":${ctl == drill}}""")
 
-      case other => sys.error(s"unknown mode '$other' (pagerank|backfill)")
+      case "stream" =>
+        import graft.operators.{ArtifactManifest, Dedup}
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val base = docs.filter(col("doc_id") % 4 =!= 0)
+        val delta = docs.filter(col("doc_id") % 4 === 0)
+        val dCols = Seq(col("doc_id"), col("text"))
+        def tmp(tag: String) = graft.QueryShared.deleteAtExit(
+          java.nio.file.Files.createTempDirectory(tag).toString)
+        def buildArt(): String = {
+          val art = tmp("els_art")
+          Dedup.writeSignatureArtifact(base, "doc_id", "text", art)
+          ArtifactManifest.write(art, base.select(dCols: _*), dCols)
+          art
+        }
+        // observable state: pairs multiset + artifact tables + manifest
+        def state(art: String, pairsDir: String): Seq[Long] = {
+          val p = spark.read.parquet(pairsDir).agg(
+            count(lit(1)), sum(xxhash64(col("doc_id_a"), col("doc_id_b"),
+              floor(col("jaccard") * 10000 + 0.5).cast("long"))))
+            .collect()(0)
+          def tab(t: String) = {
+            val df = spark.read.parquet(s"$art/$t.parquet")
+            val r = df.agg(count(lit(1)),
+              sum(xxhash64(df.columns.map(col).toSeq: _*))).collect()(0)
+            Seq(r.getLong(0), r.getLong(1))
+          }
+          val m = ArtifactManifest.read(art, spark).get
+          Seq(p.getLong(0), p.getLong(1)) ++ tab("shingles") ++ tab("bands") ++
+            Seq(m.nRows, m.inputHash)
+        }
+        val nBatches = 4
+        val deltaDir = tmp("els_delta")
+        delta.repartitionByRange(nBatches, col("doc_id"))
+          .write.mode("overwrite").parquet(deltaDir)
+        // unkilled control
+        val ctlArt = buildArt(); val ctlPairs = tmp("els_ctl_pairs")
+        val t0 = System.nanoTime()
+        graft.streaming.ArtifactRefresh.refreshFromStream(spark, deltaDir,
+          "doc_id", "text", ctlArt, ctlPairs, ckDir())
+        val ctlWall = (System.nanoTime() - t0) / 1e9
+        val ctl = state(ctlArt, ctlPairs)
+        println(f"[drill] control wall=$ctlWall%.1fs state=${ctl.mkString(",")}")
+        // drill: identical base build, kill one executor ~40% in
+        val drillArt = buildArt(); val drillPairs = tmp("els_drill_pairs")
+        val ck = ckDir()
+        @volatile var killedPid = -2L
+        val killer = new Thread(() => {
+          Thread.sleep(math.max(2000L, (ctlWall * 0.4 * 1000).toLong))
+          killedPid = killOneExecutor(appId)
+        })
+        killer.setDaemon(true)
+        killer.start()
+        var crashed: String = null
+        try graft.streaming.ArtifactRefresh.refreshFromStream(spark, deltaDir,
+          "doc_id", "text", drillArt, drillPairs, ck)
+        catch { case e: Throwable =>
+          crashed = s"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").take(200).replace("\"", "'")}"
+          println(s"[drill] stream crashed: $crashed")
+        }
+        // restart on the SAME checkpoint: re-delivers any uncommitted batch;
+        // a no-op if task retries rode out the loss
+        graft.streaming.ArtifactRefresh.refreshFromStream(spark, deltaDir,
+          "doc_id", "text", drillArt, drillPairs, ck)
+        val drill = state(drillArt, drillPairs)
+        println(s"""{"metric":"executor_loss_stream_refresh","sf_dir":"$sfDir",""" +
+          s""""master":"${spark.sparkContext.master}","n_batches":$nBatches,""" +
+          s""""killed_pid":$killedPid,"first_run_crashed":${crashed != null},""" +
+          (if (crashed != null) s""""error":"$crashed",""" else "") +
+          s""""control":[${ctl.mkString(",")}],"drill":[${drill.mkString(",")}],""" +
+          s""""equal":${ctl == drill}}""")
+
+      case other => sys.error(s"unknown mode '$other' (pagerank|backfill|stream)")
     }
     spark.stop()
   }

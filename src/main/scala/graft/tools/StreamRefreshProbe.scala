@@ -6,17 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.operators.{ArtifactManifest, Dedup, Similarity}
 import graft.streaming.{AnnIndexRefresh, ArtifactRefresh}
 
-/** Scale probe for the r14 streaming artifact-refresh paths: at a replica
-  * scale (sf1/sf10), fold the delta into the persisted LSH signature
+/** Scale probe for the streaming artifact-refresh paths: at a replica
+  * scale (sf1/sf10/sf100), fold the delta into the persisted LSH signature
   * artifact and the persisted IVF-PQ index as a MICRO-BATCH STREAM, and
   * compare against the one-shot batch delta/append path on an identical
   * base build. Reports
   *   - output parity (pair counts / index row counts must be equal — the
   *     split-invariance the specs pin, re-proven at scale),
-  *   - wall decomposition: the stream pays the SAME delta-sized work plus
-  *     nBatches × (manifest recompute over base ∪ consumed) — the honest
-  *     gate-scale provenance cost, measured separately so the reading can
-  *     say what a snapshot-manifest deployment would keep.
+  *   - the per-batch provenance cost both ways (r15): `manifest_check_sec`
+  *     is the full corpus rescan (what the r14 loop paid per micro-batch),
+  *     `manifest_add_sec` is the O(batch) additive fold the loop pays now —
+  *     the reading that must stay FLAT as the base grows across decades.
   *
   * Usage: runMain graft.tools.StreamRefreshProbe [sfDir] [nBatches]
   */
@@ -59,10 +59,17 @@ object StreamRefreshProbe {
       Dedup.appendToSignatureArtifact(dDelta, "doc_id", "text", lshRef)
       n
     }
-    // manifest recompute+check alone at this corpus size (the per-batch tax)
+    // per-batch provenance both ways at this corpus size: the full rescan
+    // (r14's per-batch tax, grows with the base) vs the additive fold
+    // (r15's, O(batch) — a 4096-row probe batch against the big manifest)
     ArtifactManifest.write(lshRef, docs.select(dCols: _*), dCols)
     val (_, lshManifestSec) =
       timed(ArtifactManifest.check(lshRef, docs.select(dCols: _*), dCols))
+    val probeBatchDocs = docs.select(dCols: _*).limit(4096).cache()
+    probeBatchDocs.count()
+    val (_, lshAddSec) =
+      timed(ArtifactManifest.add(lshRef, probeBatchDocs, dCols, 999999L))
+    probeBatchDocs.unpersist()
 
     // streamed refresh on an identical base build
     val lshArt = tmp("srp_lsh_art")
@@ -73,11 +80,13 @@ object StreamRefreshProbe {
       .write.mode("overwrite").parquet(dDeltaDir)
     val pairsDir = tmp("srp_lsh_pairs")
     val (lshBatches, lshStreamSec) = timed(
-      ArtifactRefresh.refreshFromStream(spark, dDeltaDir, dBase,
+      ArtifactRefresh.refreshFromStream(spark, dDeltaDir,
         "doc_id", "text", lshArt, pairsDir, tmp("srp_lsh_ck")))
     val streamPairs = spark.read.parquet(pairsDir).count()
     require(streamPairs == batchPairs,
       s"stream/batch pair divergence: $streamPairs vs $batchPairs")
+    // post-stream provenance: the folded manifest must equal the rescan
+    ArtifactManifest.check(lshArt, docs.select(dCols: _*), dCols)
 
     // ---------------- IVF-PQ index ----------------------------------------
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -91,6 +100,11 @@ object StreamRefreshProbe {
     ArtifactManifest.write(annRef, emb.select(eCols: _*), eCols)
     val (_, annManifestSec) =
       timed(ArtifactManifest.check(annRef, emb.select(eCols: _*), eCols))
+    val probeBatchVecs = emb.select(eCols: _*).limit(4096).cache()
+    probeBatchVecs.count()
+    val (_, annAddSec) =
+      timed(ArtifactManifest.add(annRef, probeBatchVecs, eCols, 999999L))
+    probeBatchVecs.unpersist()
 
     val annIdx = tmp("srp_ann_idx")
     Similarity.writeIvfPqIndex(eBase, annIdx)
@@ -99,22 +113,24 @@ object StreamRefreshProbe {
     eDelta.repartitionByRange(nBatches, col("vec_id"))
       .write.mode("overwrite").parquet(eDeltaDir)
     val (annBatches, annStreamSec) = timed(
-      AnnIndexRefresh.refreshFromStream(spark, eDeltaDir, eBase, annIdx,
+      AnnIndexRefresh.refreshFromStream(spark, eDeltaDir, annIdx,
         tmp("srp_ann_ck")))
     for (t <- Seq("cells", "codes")) {
       val a = spark.read.parquet(s"$annRef/$t.parquet").count()
       val b = spark.read.parquet(s"$annIdx/$t.parquet").count()
       require(a == b, s"stream/batch $t divergence: $b vs $a")
     }
+    ArtifactManifest.check(annIdx, emb.select(eCols: _*), eCols)
 
     println(
       s"""{"metric":"stream_refresh","sf":"$sfDir","n_batches":$nBatches,""" +
       s""""lsh":{"build_sec":${r3(lshBuildSec)},"batch_delta_sec":${r3(lshBatchSec)},""" +
       s""""stream_total_sec":${r3(lshStreamSec)},"stream_batches":$lshBatches,""" +
-      s""""manifest_check_sec":${r3(lshManifestSec)},"pairs":$batchPairs},""" +
+      s""""manifest_check_sec":${r3(lshManifestSec)},"manifest_add_sec":${r3(lshAddSec)},""" +
+      s""""pairs":$batchPairs},""" +
       s""""ann":{"build_sec":${r3(annBuildSec)},"batch_append_sec":${r3(annBatchSec)},""" +
       s""""stream_total_sec":${r3(annStreamSec)},"stream_batches":$annBatches,""" +
-      s""""manifest_check_sec":${r3(annManifestSec)}}}""")
+      s""""manifest_check_sec":${r3(annManifestSec)},"manifest_add_sec":${r3(annAddSec)}}}""")
     spark.stop()
   }
 }

@@ -43,6 +43,39 @@ class ArtifactManifestSpec extends SparkSpec {
     }
   }
 
+  test("additive fold == full rescan, across random splits of the corpus (r15 #1)") {
+    // the O(batch) streaming fold must be EXACT: write the manifest over a
+    // base split, add the remaining splits batch by batch, and the result
+    // must check against a full recompute over the whole corpus — for
+    // several different split geometries (the fingerprint is an additive
+    // multiset sum, so ANY disjoint split folds to the same value)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (seed <- Seq(3, 7, 11)) {
+      val bucket = pmod(xxhash64(col("doc_id"), lit(seed)), lit(3))
+      val dir = java.nio.file.Files.createTempDirectory(s"manifest_add_$seed").toString
+      ArtifactManifest.write(dir, docs.filter(bucket === 0), cols)
+      assert(ArtifactManifest.add(dir, docs.filter(bucket === 1), cols, 0L))
+      assert(ArtifactManifest.add(dir, docs.filter(bucket === 2), cols, 1L))
+      ArtifactManifest.check(dir, docs, cols) // folded == rescanned
+    }
+  }
+
+  test("add refuses to fold the same micro-batch twice (at-least-once replay guard)") {
+    val dir = freshArtifact()
+    val batch = corpus(Seq(10L -> "delta"))
+    assert(ArtifactManifest.add(dir, batch, cols, foldBatchId = 7L))
+    val after = ArtifactManifest.read(dir, spark).get
+    assert(after.foldBatch === Some(7L))
+    // re-delivery of batch 7: a no-op, manifest unchanged
+    assert(!ArtifactManifest.add(dir, batch, cols, foldBatchId = 7L))
+    assert(ArtifactManifest.read(dir, spark).get === after)
+    // the next batch folds normally
+    assert(ArtifactManifest.add(dir, corpus(Seq(11L -> "next")), cols, 8L))
+    ArtifactManifest.check(dir,
+      corpus(train ++ Seq(10L -> "delta", 11L -> "next")), cols)
+  }
+
   test("check refuses an artifact with no manifest") {
     val dir = java.nio.file.Files.createTempDirectory("manifest_spec").toString
     val e = intercept[IllegalArgumentException] {
