@@ -40,8 +40,14 @@ object ArtifactManifest {
   private val FILE = "_input_manifest.json"
 
   /** The stored sidecar: fingerprint plus (for streaming folds) the last
-    * folded micro-batch id — the replay guard for at-least-once delivery. */
-  final case class Manifest(nRows: Long, inputHash: Long, foldBatch: Option[Long])
+    * folded micro-batch id and its run tag — the replay guard for
+    * at-least-once delivery. The run tag matters because batch ids restart
+    * at 0 under a new checkpoint (ADVICE r15): without it, a finished
+    * run's final stamp could silently swallow a NEW run's same-numbered
+    * first batch. */
+  final case class Manifest(nRows: Long, inputHash: Long,
+                            foldBatch: Option[Long],
+                            foldRun: Option[String] = None)
 
   /** The order-free content fingerprint: (row count, xxhash64 multiset sum
     * over `cols`). Public so consumers that must compare fingerprints
@@ -52,18 +58,20 @@ object ArtifactManifest {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
-  private def render(n: Long, h: Long, foldBatch: Option[Long]): String =
-    foldBatch match {
-      case Some(b) => s"""{"n_rows":$n,"input_hash":$h,"fold_batch":$b}"""
-      case None    => s"""{"n_rows":$n,"input_hash":$h}"""
-    }
+  private def render(n: Long, h: Long, foldBatch: Option[Long],
+                     foldRun: Option[String] = None): String = {
+    val stamp = foldBatch.map(b => s""","fold_batch":$b""").getOrElse("") +
+      foldRun.map(r => s""","fold_run":"$r"""").getOrElse("")
+    s"""{"n_rows":$n,"input_hash":$h$stamp}"""
+  }
 
   private val ManifestRe =
-    """\{"n_rows":(-?\d+),"input_hash":(-?\d+)(?:,"fold_batch":(-?\d+))?\}""".r
+    ("""\{"n_rows":(-?\d+),"input_hash":(-?\d+)""" +
+      """(?:,"fold_batch":(-?\d+))?(?:,"fold_run":"([0-9a-f]+)")?\}""").r
 
   private def parse(s: String, where: String): Manifest = s.trim match {
-    case ManifestRe(n, h, fb) =>
-      Manifest(n.toLong, h.toLong, Option(fb).map(_.toLong))
+    case ManifestRe(n, h, fb, fr) =>
+      Manifest(n.toLong, h.toLong, Option(fb).map(_.toLong), Option(fr))
     case other =>
       throw new IllegalArgumentException(
         s"unparseable input manifest at $where: $other")
@@ -81,19 +89,31 @@ object ArtifactManifest {
     (p.getFileSystem(hconf), p)
   }
 
-  /** Write the sidecar atomically: land the bytes at `<name>.tmp`, then
-    * rename over the target (FileContext rename with OVERWRITE — atomic on
-    * the local FS and HDFS). A crash mid-write leaves either the old
-    * manifest or the new one, never a torn file — the property [[add]]'s
-    * replay guard depends on. */
+  /** Write the sidecar via write-tmp-then-rename: land the bytes at
+    * `<name>.tmp`, then rename over the target (FileContext rename with
+    * OVERWRITE). On the local FS and HDFS the rename is atomic, so a crash
+    * mid-write leaves either the old manifest or the new one, never a torn
+    * file — the property [[add]]'s replay guard depends on. Filesystems
+    * with no AbstractFileSystem binding (some object stores) fall back to
+    * a plain delete + FileSystem rename (ADVICE r15): still
+    * torn-manifest-free (the tmp write is complete before the swap), but
+    * a crash between the delete and the rename can leave the manifest
+    * missing — a LOUD state ([[check]]/[[add]] refuse a missing manifest),
+    * never a silently wrong one. Note s3a's rename is copy+delete either
+    * way; the atomicity claim is scoped to local/HDFS. */
   private def atomicWrite(fs: FileSystem, p: Path, content: String,
                           hconf: Configuration): Unit = {
     val qp = fs.makeQualified(p)
     val tmp = new Path(qp.getParent, qp.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, hconf)
+    try org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, hconf)
       .rename(tmp, qp, Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(qp)) fs.delete(qp, false)
+        require(fs.rename(tmp, qp), s"could not move $tmp over $qp")
+    }
   }
 
   private def readManifest(fs: FileSystem, p: Path): Manifest = {
@@ -123,10 +143,11 @@ object ArtifactManifest {
     * proved content preservation in memory first and only then land the
     * manifest (Compaction's publish gate, the partitioned rollup). */
   def writeValues(artifactDir: String, nRows: Long, inputHash: Long,
-                  spark: SparkSession, foldBatch: Option[Long] = None): Unit = {
+                  spark: SparkSession, foldBatch: Option[Long] = None,
+                  foldRun: Option[String] = None): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val (fs, p) = manifestPath(artifactDir, hconf)
-    atomicWrite(fs, p, render(nRows, inputHash, foldBatch), hconf)
+    atomicWrite(fs, p, render(nRows, inputHash, foldBatch, foldRun), hconf)
   }
 
   /** Verify the corpus about to be served equals the corpus the artifact
@@ -150,25 +171,32 @@ object ArtifactManifest {
   /** O(batch) streaming fold: extend the stored manifest to cover
     * `batch`'s rows as well — EXACT, by the fingerprint's additivity over
     * disjoint row multisets — without scanning anything but the batch.
-    * Stamps `foldBatchId` into the sidecar and returns false (no-op) when
-    * the stored stamp already equals it: under foreachBatch's
-    * at-least-once re-delivery, a replayed micro-batch folds exactly once.
+    * Stamps (`foldRun`, `foldBatchId`) into the sidecar and returns false
+    * (no-op) when the stored stamp already equals BOTH: under
+    * foreachBatch's at-least-once re-delivery, a replayed micro-batch
+    * folds exactly once — and because batch ids restart at 0 under a new
+    * checkpoint, the run tag keeps a finished run's final stamp from
+    * swallowing a NEW run's same-numbered batch (ADVICE r15).
     * Micro-batches arrive sequentially with increasing ids (the
     * single-runner append contract all the artifact folds share), so one
-    * stamp suffices. */
+    * stamp suffices. `foldRun` is [[graft.streaming.IdempotentFold.runTag]]
+    * of the checkpoint; "" (legacy batch-only stamping) matches a stamp
+    * with no run. */
   def add(artifactDir: String, batch: DataFrame, cols: Seq[Column],
-          foldBatchId: Long): Boolean = {
+          foldBatchId: Long, foldRun: String = ""): Boolean = {
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val (fs, p) = manifestPath(artifactDir, hconf)
     require(fs.exists(p),
       s"artifact at $artifactDir has no input manifest ($FILE)")
     val stored = readManifest(fs, p)
-    if (stored.foldBatch.contains(foldBatchId)) false
+    val runOpt = Option(foldRun).filter(_.nonEmpty)
+    if (stored.foldBatch.contains(foldBatchId) && stored.foldRun == runOpt) false
     else {
       val (n, h) = fingerprintOf(batch, cols)
       atomicWrite(fs, p,
-        render(stored.nRows + n, stored.inputHash + h, Some(foldBatchId)), hconf)
+        render(stored.nRows + n, stored.inputHash + h, Some(foldBatchId), runOpt),
+        hconf)
       true
     }
   }

@@ -182,17 +182,36 @@ object Compaction {
 
   /** The LEAF partition directories of a (possibly nested) Hive layout,
     * as relative `key=value[/key=value…]` paths: descend while a dir has
-    * `key=value` children, stop at dirs that hold the data files. */
+    * `key=value` children, stop at dirs that hold the data files.
+    *
+    * A NON-leaf level must hold nothing but `key=value` children (VERDICT
+    * r15 #4): a data file parked at the root or an intermediate level, or
+    * a stray non-partition subdirectory, would be silently absent from the
+    * compacted copy AND from the rollup manifest — the same silent-loss
+    * class as the flatten bug `compact` refuses loudly — so a mixed layout
+    * fails here instead. */
   private def leafPartitionDirs(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def go(dir: Path, rel: String): Seq[String] = {
-      val partDirs = fs.listStatus(dir).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      val entries = fs.listStatus(dir).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+      val partDirs = entries.filter(st => st.isDirectory && st.getPath.getName.contains("="))
       if (partDirs.isEmpty) { if (rel.isEmpty) Seq.empty else Seq(rel) }
-      else partDirs.flatMap { st =>
-        val name = st.getPath.getName
-        go(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+      else {
+        val strays = entries.filterNot(partDirs.contains)
+        require(strays.isEmpty,
+          s"mixed layout under $dir: found " +
+            strays.map(st => (if (st.isFile) "file " else "dir ") + st.getPath.getName)
+              .mkString(", ") +
+            " alongside key=value partition directories — such entries would" +
+            " be silently omitted from the compacted copy; clean the layout" +
+            " or compact that directory separately")
+        partDirs.flatMap { st =>
+          val name = st.getPath.getName
+          go(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        }
       }
     }
     go(p, "").sorted
@@ -234,22 +253,79 @@ object Compaction {
   def compactPartitioned(spark: SparkSession, inDir: String, outDir: String,
                          targetFileBytes: Long,
                          sortCol: Option[String] = None,
-                         parallelism: Int = 1): Map[String, CompactionStats] = {
+                         parallelism: Int = 1,
+                         partitions: Option[Seq[String]] = None): Map[String, CompactionStats] = {
     requireDisjoint(spark, inDir, outDir)
-    val parts = leafPartitionDirs(spark, inDir)
+    val parts = partitions match {
+      case None => leafPartitionDirs(spark, inDir)
+      case Some(sel) => validateSubset(spark, inDir, sel)
+    }
     require(parts.nonEmpty, s"$inDir has no key=value partition directories")
+    // Subset mode updates the rollup incrementally: capture the touched
+    // leaves' OLD manifests before the rewrites replace them.
+    val oldLeaf: Map[String, ArtifactManifest.Manifest] =
+      if (partitions.isEmpty) Map.empty
+      else parts.flatMap(part =>
+        ArtifactManifest.read(s"$outDir/$part", spark).map(part -> _)).toMap
     val stats = runBounded(parts, parallelism) { part =>
       part -> compact(spark, s"$inDir/$part", s"$outDir/$part",
         targetFileBytes, sortCol)
     }
-    // Rollup: sum of the (just-published or already-present) leaf manifests
-    // — no data scan; additive over disjoint leaf row multisets.
-    val leafManifests = parts.map { part =>
+    val newLeaf = parts.map { part =>
       ArtifactManifest.read(s"$outDir/$part", spark).getOrElse(
         throw new IllegalStateException(s"leaf $part compacted but has no manifest"))
     }
-    ArtifactManifest.writeValues(outDir,
-      leafManifests.map(_.nRows).sum, leafManifests.map(_.inputHash).sum, spark)
+    // Rollup manifest at outDir — exact by the fingerprint's additivity
+    // over disjoint leaves, never a data rescan. Full runs sum the leaf
+    // manifests; subset runs adjust the prior rollup by the touched
+    // leaves' delta (subtract old contributions, add new — VERDICT r15
+    // #6: "tonight's touched partitions" must not enumerate the fleet),
+    // falling back to a full sidecar sum when no prior rollup exists.
+    (partitions, ArtifactManifest.read(outDir, spark)) match {
+      case (Some(_), Some(roll)) =>
+        ArtifactManifest.writeValues(outDir,
+          roll.nRows - oldLeaf.values.map(_.nRows).sum + newLeaf.map(_.nRows).sum,
+          roll.inputHash - oldLeaf.values.map(_.inputHash).sum + newLeaf.map(_.inputHash).sum,
+          spark)
+      case (Some(_), None) =>
+        val all = leafPartitionDirs(spark, outDir)
+        val ms = all.map { part =>
+          ArtifactManifest.read(s"$outDir/$part", spark).getOrElse(
+            throw new IllegalStateException(
+              s"subset compaction with no prior rollup: leaf $part at $outDir" +
+                " has no manifest to sum — run a full compactPartitioned first"))
+        }
+        ArtifactManifest.writeValues(outDir,
+          ms.map(_.nRows).sum, ms.map(_.inputHash).sum, spark)
+      case (None, _) =>
+        ArtifactManifest.writeValues(outDir,
+          newLeaf.map(_.nRows).sum, newLeaf.map(_.inputHash).sum, spark)
+    }
     stats.toMap
+  }
+
+  /** Validate an explicit partition subset without traversing the rest of
+    * the layout (the point of subset mode at fleet scale): each entry must
+    * be a relative `key=value[/key=value…]` path to an EXISTING LEAF
+    * directory under `inDir`. */
+  private def validateSubset(spark: SparkSession, inDir: String,
+                             sel: Seq[String]): Seq[String] = {
+    require(sel.nonEmpty, "subset compaction: empty partition list")
+    val conf = spark.sparkContext.hadoopConfiguration
+    sel.distinct.map { rel =>
+      require(rel.nonEmpty && rel.split("/").forall(seg =>
+        seg.contains("=") && !seg.startsWith("_") && !seg.startsWith(".")),
+        s"subset partition '$rel' is not a relative key=value[/key=value…] path")
+      val p = new Path(s"$inDir/$rel")
+      val fs = p.getFileSystem(conf)
+      require(fs.exists(p) && fs.getFileStatus(p).isDirectory,
+        s"subset partition '$rel' does not exist under $inDir")
+      val kids = fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      require(kids.isEmpty,
+        s"subset partition '$rel' is not a leaf: it has key=value children " +
+          kids.map(_.getPath.getName).mkString(", "))
+      rel
+    }
   }
 }

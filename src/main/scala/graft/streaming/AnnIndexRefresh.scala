@@ -47,16 +47,19 @@ object AnnIndexRefresh {
 
   /** Run the bounded refresh: stream `deltaDir`'s parquet files one per
     * micro-batch into the IVF-PQ index at `indexDir` (already built with a
-    * manifest). Returns non-empty micro-batches delivered. */
+    * manifest). Returns non-empty micro-batches delivered.
+    * `shufflePartitions` sizes the per-batch assignment joins: the gate's
+    * tiny batches default to 8, but a production feed's multi-GB
+    * micro-batch sets it to its own scale (VERDICT r15 #2). */
   def refreshFromStream(spark: SparkSession, deltaDir: String,
                         indexDir: String, checkpointDir: String,
-                        m: Int = 4, dim: Int = 64): Long = {
-    val s = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try s.conf.set(k, v) catch { case _: Exception => () }
-    }
-    // batch-sized appends; keep the tiny assignment joins narrow
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+                        m: Int = 4, dim: Int = 64,
+                        shufflePartitions: Option[Int] = None): Long = {
+    // batch-sized appends; the tiny assignment joins default narrow
+    val s = IdempotentFold.foldSession(spark, shufflePartitions)
+    // bookkeeping keyed by the checkpoint's run tag (ADVICE r15 — batch
+    // ids restart at 0 under a new checkpoint)
+    val run = IdempotentFold.runTag(checkpointDir)
     val fingerCols = Seq(col("vec_id"), col("embedding"))
     var batches = 0L
     val q = s.readStream.schema(embeddingsSchema)
@@ -66,16 +69,16 @@ object AnnIndexRefresh {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val b = batch.persist()
         if (!b.isEmpty) {
-          if (!IdempotentFold.isCommitted(b.sparkSession, indexDir, batchId)) {
-            IdempotentFold.cleanKeyed(b.sparkSession, s"$indexDir/cells.parquet", batchId)
-            IdempotentFold.cleanKeyed(b.sparkSession, s"$indexDir/codes.parquet", batchId)
+          if (!IdempotentFold.isCommitted(b.sparkSession, indexDir, run, batchId)) {
+            IdempotentFold.cleanKeyed(b.sparkSession, s"$indexDir/cells.parquet", run, batchId)
+            IdempotentFold.cleanKeyed(b.sparkSession, s"$indexDir/codes.parquet", run, batchId)
             val (cells, codes) = Similarity.ivfPqAssignFrames(b, indexDir, m, dim)
-            IdempotentFold.appendKeyed(cells, s"$indexDir/cells.parquet", batchId)
-            IdempotentFold.appendKeyed(codes, s"$indexDir/codes.parquet", batchId)
-            // O(batch) manifest fold, exactly-once via the batch stamp
+            IdempotentFold.appendKeyed(cells, s"$indexDir/cells.parquet", run, batchId)
+            IdempotentFold.appendKeyed(codes, s"$indexDir/codes.parquet", run, batchId)
+            // O(batch) manifest fold, exactly-once via the (run, batch) stamp
             ArtifactManifest.add(indexDir, b.select(fingerCols: _*),
-              fingerCols, batchId)
-            IdempotentFold.markCommitted(b.sparkSession, indexDir, batchId)
+              fingerCols, batchId, run)
+            IdempotentFold.markCommitted(b.sparkSession, indexDir, run, batchId)
           }
           batches += 1
         }

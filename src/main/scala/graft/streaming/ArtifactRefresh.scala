@@ -46,17 +46,22 @@ object ArtifactRefresh {
   /** Run the bounded refresh: stream `deltaDir`'s parquet files one per
     * micro-batch into the artifact at `artifactDir` (already built with a
     * manifest), appending discovered pairs to `pairsDir`. Returns the
-    * number of non-empty micro-batches delivered (replays included). */
+    * number of non-empty micro-batches delivered (replays included).
+    * `shufflePartitions` sizes the per-batch delta joins: the gate's tiny
+    * batches default to 8, but the loop is the production entry point — a
+    * real feed's multi-GB micro-batch sets it to its own scale (VERDICT
+    * r15 #2: the old hardcoded 8 overrode the caller unconditionally). */
   def refreshFromStream(spark: SparkSession, deltaDir: String,
                         id: String, text: String,
                         artifactDir: String, pairsDir: String,
-                        checkpointDir: String): Long = {
-    val s = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try s.conf.set(k, v) catch { case _: Exception => () }
-    }
-    // state-free stream, but the delta joins repartition; keep them small
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+                        checkpointDir: String,
+                        shufflePartitions: Option[Int] = None): Long = {
+    // state-free stream, but the delta joins repartition; batch-sized
+    val s = IdempotentFold.foldSession(spark, shufflePartitions)
+    // all bookkeeping is keyed by the checkpoint's run tag: a NEW
+    // checkpoint restarts batch ids at 0, and without the tag those would
+    // silently collide with a finished run's markers (ADVICE r15)
+    val run = IdempotentFold.runTag(checkpointDir)
     val schema = EventsStream.documentsSchema
     val fingerCols = Seq(col(id), col(text))
     var batches = 0L
@@ -67,25 +72,25 @@ object ArtifactRefresh {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val b = batch.persist()
         if (!b.isEmpty) {
-          if (!IdempotentFold.isCommitted(b.sparkSession, artifactDir, batchId)) {
+          if (!IdempotentFold.isCommitted(b.sparkSession, artifactDir, run, batchId)) {
             // a replayed, partially-committed batch: erase its keyed files
             // FIRST, so the recompute sees exactly the pre-batch artifact
-            IdempotentFold.cleanKeyed(b.sparkSession, pairsDir, batchId)
-            IdempotentFold.cleanKeyed(b.sparkSession, s"$artifactDir/shingles.parquet", batchId)
-            IdempotentFold.cleanKeyed(b.sparkSession, s"$artifactDir/bands.parquet", batchId)
+            IdempotentFold.cleanKeyed(b.sparkSession, pairsDir, run, batchId)
+            IdempotentFold.cleanKeyed(b.sparkSession, s"$artifactDir/shingles.parquet", run, batchId)
+            IdempotentFold.cleanKeyed(b.sparkSession, s"$artifactDir/bands.parquet", run, batchId)
             // materialized (cached + counted) inside minhashLshPairsDelta,
             // so the artifact fold below cannot perturb it
             val pairs = Dedup.minhashLshPairsDelta(b, id, text, artifactDir)
-            IdempotentFold.appendKeyed(pairs, pairsDir, batchId)
+            IdempotentFold.appendKeyed(pairs, pairsDir, run, batchId)
             pairs.unpersist()
             val (sh, banded) = Dedup.signatureFrames(b, id, text)
-            IdempotentFold.appendKeyed(sh, s"$artifactDir/shingles.parquet", batchId)
-            IdempotentFold.appendKeyed(banded, s"$artifactDir/bands.parquet", batchId)
+            IdempotentFold.appendKeyed(sh, s"$artifactDir/shingles.parquet", run, batchId)
+            IdempotentFold.appendKeyed(banded, s"$artifactDir/bands.parquet", run, batchId)
             sh.unpersist()
-            // O(batch) manifest fold, exactly-once via the batch stamp
+            // O(batch) manifest fold, exactly-once via the (run, batch) stamp
             ArtifactManifest.add(artifactDir, b.select(fingerCols: _*),
-              fingerCols, batchId)
-            IdempotentFold.markCommitted(b.sparkSession, artifactDir, batchId)
+              fingerCols, batchId, run)
+            IdempotentFold.markCommitted(b.sparkSession, artifactDir, run, batchId)
           }
           batches += 1
         }

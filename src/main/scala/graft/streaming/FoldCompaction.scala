@@ -1,0 +1,199 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{ArtifactManifest, Compaction}
+
+/** Small-file compaction for STREAMED artifacts (VERDICT r15 #3 — the
+  * natural composition of the round's two families): [[IdempotentFold]]'s
+  * keyed appends land one-or-few files per micro-batch, so a long-lived
+  * refresh re-creates exactly the small-file problem
+  * [[graft.operators.Compaction]] exists to solve — but a plain rewrite
+  * would break the fold's replay contract, because a re-delivered batch
+  * erases its keyed files before recomputing ([[IdempotentFold.cleanKeyed]]);
+  * if those rows had been merged into anonymous parts, the recompute would
+  * double them.
+  *
+  * The safety line is the checkpoint's committed horizon
+  * ([[IdempotentFold.committedHorizon]]): Structured Streaming only ever
+  * re-delivers a batch missing from the checkpoint's `commits/` log, so a
+  * batch at or below the horizon is replay-DEAD — its keyed files can merge
+  * into plain parts and its marker can be pruned. Everything above the
+  * horizon (a torn in-flight batch) keeps its keyed files verbatim, so a
+  * restart still cleans and recomputes it exactly as before. Keyed files
+  * from OTHER runs merge only when their commit marker still exists (the
+  * marker proves the batch fully landed; replays of it skip on the marker,
+  * which is never pruned for foreign runs).
+  *
+  * Per dataset the rewrite is [[graft.operators.Compaction]]'s shape —
+  * size-aware bin-packing (exchange-free coalesce), an in-memory
+  * fingerprint publish gate, a content manifest enabling the idempotent
+  * skip — plus a crash-safe IN-PLACE swap, since the artifact's location is
+  * its identity: build the merged copy at a hidden sibling
+  * (`_compact_tmp_<name>`), verify, copy live keyed files in verbatim, then
+  * swap via two directory renames with a self-healing recovery path (a
+  * crash between the renames is detected on the next run and rolled
+  * forward or back by whether the tmp's publish gate had passed).
+  *
+  * The artifact-level provenance manifest (`_input_manifest.json` at the
+  * ARTIFACT dir, with its fold stamp) is never touched — compaction changes
+  * the file layout, not the corpus the artifact was built from.
+  * Single-runner contract: run only while the stream is stopped, like any
+  * OPTIMIZE pass.
+  */
+object FoldCompaction {
+
+  /** What one dataset's fold-compaction did. `merged` counts the
+    * replay-dead files rewritten, `liveKept` the keyed files preserved
+    * verbatim, `skipped` the idempotent no-op path. */
+  final case class FoldStats(merged: Long, filesOut: Long, liveKept: Long,
+                             rows: Long, skipped: Boolean)
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Compact every dataset of a streamed artifact against `checkpointDir`'s
+    * committed horizon, then prune the current run's replay-dead markers.
+    * `datasetDirs` are the flat parquet datasets the refresh appends to —
+    * inside the artifact (`<art>/bands.parquet`) or beside it (the pairs
+    * sink); markers are read from (and pruned at) `artifactDir`. */
+  def compactArtifact(spark: SparkSession, artifactDir: String,
+                      datasetDirs: Seq[String], checkpointDir: String,
+                      targetFileBytes: Long): Map[String, FoldStats] = {
+    val run = IdempotentFold.runTag(checkpointDir)
+    val horizon = IdempotentFold.committedHorizon(spark, checkpointDir)
+    val stats = datasetDirs.map { d =>
+      d -> compactFold(spark, d, run, horizon, targetFileBytes,
+        markerDir = Some(artifactDir))
+    }.toMap
+    IdempotentFold.pruneMarkers(spark, artifactDir, run, horizon): Unit
+    stats
+  }
+
+  /** Commit markers present under `markerDir`, as (run, batchId) — the
+    * proof a foreign run's batch fully landed. */
+  private def markerSet(spark: SparkSession, markerDir: String): Set[(String, Long)] = {
+    val (fs, p) = fsFor(spark, s"$markerDir/_commits")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val MarkerRe = """^r([0-9a-f]{8})_b(\d+)$""".r
+      fs.listStatus(p).toSeq.flatMap(_.getPath.getName match {
+        case MarkerRe(r, id) => Some((r, id.toLong))
+        case _               => None
+      }).toSet
+    }
+  }
+
+  /** Compact ONE flat parquet dataset that received [[IdempotentFold]]
+    * keyed appends: merge the replay-dead files (plain parts, the current
+    * run's keyed files at or below `horizon`, and marker-proven foreign
+    * keyed files) into ~`targetFileBytes` parts, keep every other keyed
+    * file verbatim, and swap the result in place. Idempotent: a stored
+    * content manifest matching the current replay-dead content makes the
+    * call a no-op. */
+  def compactFold(spark: SparkSession, dir: String, run: String,
+                  horizon: Long, targetFileBytes: Long,
+                  markerDir: Option[String] = None): FoldStats = {
+    val (fs, target) = fsFor(spark, dir)
+    val qt = fs.makeQualified(target)
+    val name = qt.getName
+    val tmp = new Path(qt.getParent, s"_compact_tmp_$name")
+    val old = new Path(qt.getParent, s"_compact_old_$name")
+
+    // Self-healing recovery of a crashed swap: the dataset dir missing
+    // means we died between the two renames — roll FORWARD when the tmp
+    // copy had passed its publish gate (its content manifest exists),
+    // otherwise roll BACK to the original.
+    if (!fs.exists(qt)) {
+      val tmpComplete =
+        try ArtifactManifest.read(tmp.toString, spark).nonEmpty
+        catch { case _: Exception => false }
+      if (fs.exists(tmp) && tmpComplete) {
+        require(fs.rename(tmp, qt), s"swap recovery: could not move $tmp to $qt")
+        if (fs.exists(old)) fs.delete(old, true): Unit
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, qt), s"swap recovery: could not restore $old to $qt")
+        if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+      } else {
+        throw new IllegalStateException(
+          s"$dir does not exist and no compaction remnants to recover from")
+      }
+    } else {
+      // stale remnants from a crash before the swap began: discard
+      if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+      if (fs.exists(old)) fs.delete(old, true): Unit
+    }
+
+    val markers = markerDir.map(markerSet(spark, _)).getOrElse(Set.empty)
+    val files = fs.listStatus(qt).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val (dead, live) = files.partition { st =>
+      IdempotentFold.parseKeyed(st.getPath.getName) match {
+        case None               => true // plain part (base build / prior compaction)
+        case Some((r, id)) if r == run => id <= horizon
+        case Some(key)          => markers.contains(key)
+      }
+    }
+    if (dead.isEmpty)
+      return FoldStats(0L, 0L, live.size.toLong, 0L, skipped = true)
+
+    val in = spark.read.parquet(dead.map(_.getPath.toString): _*)
+    val cols = in.columns.toSeq.map(col)
+    val (nIn, hIn) = ArtifactManifest.fingerprintOf(in, cols)
+
+    // Idempotent skip: the stored content manifest fingerprints the
+    // replay-dead content as of the last compaction — unchanged content
+    // (no newly committed batches since) means nothing to do.
+    val alreadyDone =
+      try ArtifactManifest.read(dir, spark)
+        .exists(m => m.nRows == nIn && m.inputHash == hIn)
+      catch { case _: Exception => false }
+    if (alreadyDone)
+      return FoldStats(dead.size.toLong, dead.size.toLong, live.size.toLong,
+        nIn, skipped = true)
+
+    // Bin-pack exchange-free (Compaction.compact's merge path): the scan
+    // already groups small files into splits, so merging is a coalesce.
+    val nOut = Compaction.planOutputFiles(dead.map(_.getLen).sum, targetFileBytes)
+    val scanParts = in.rdd.getNumPartitions
+    val packed = if (nOut <= scanParts) in.coalesce(nOut) else in.repartition(nOut)
+    packed.write.mode("overwrite").parquet(tmp.toString)
+
+    // Publish gate, then manifest INTO THE TMP — its presence is also the
+    // roll-forward signal for the swap recovery above.
+    val (nOutRows, hOut) =
+      ArtifactManifest.fingerprintOf(spark.read.parquet(tmp.toString), cols)
+    require(nOutRows == nIn && hOut == hIn,
+      s"fold compaction of $dir altered content: in (n=$nIn, hash=$hIn) vs " +
+        s"read-back (n=$nOutRows, hash=$hOut) — aborted, original untouched")
+    ArtifactManifest.writeValues(tmp.toString, nIn, hIn, spark)
+
+    // Live keyed files ride along verbatim (copy, not move — the original
+    // dir stays complete until the swap).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    live.foreach { st =>
+      FileUtil.copy(fs, st.getPath, fs, new Path(tmp, st.getPath.getName),
+        false, hconf): Unit
+    }
+
+    val outParts = fs.listStatus(tmp).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+    // The swap: two renames. A crash between them leaves the dataset dir
+    // missing with a gate-passed tmp — the recovery path rolls it forward.
+    require(fs.rename(qt, old), s"could not move $qt aside for swap")
+    require(fs.rename(tmp, qt), s"could not move compacted $tmp to $qt")
+    fs.delete(old, true)
+
+    FoldStats(dead.size.toLong, (outParts - live.size).toLong,
+      live.size.toLong, nIn, skipped = false)
+  }
+}

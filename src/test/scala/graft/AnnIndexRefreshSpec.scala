@@ -91,17 +91,18 @@ class AnnIndexRefreshSpec extends SparkSpec {
     val wantCodes = table("codes").count()
     val wantManifest = ArtifactManifest.read(idx, spark).get
 
+    val run = graft.streaming.IdempotentFold.runTag(ck)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lastBatch = fs.listStatus(new org.apache.hadoop.fs.Path(idx, "_commits"))
-      .map(_.getPath.getName.stripPrefix("b").toLong).max
+      .map(_.getPath.getName.stripPrefix(s"r${run}_b").toLong).max
     assert(lastBatch >= 2)
 
     // crash window: marker gone, the codes append torn, engine commit gone
-    fs.delete(new org.apache.hadoop.fs.Path(idx, s"_commits/b$lastBatch"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(idx, s"_commits/r${run}_b$lastBatch"), false)
     val codes = new org.apache.hadoop.fs.Path(s"$idx/codes.parquet")
     val keyed = fs.listStatus(codes)
-      .filter(_.getPath.getName.startsWith(s"b${lastBatch}_"))
+      .filter(_.getPath.getName.startsWith(s"r${run}_b${lastBatch}_"))
     assert(keyed.nonEmpty, "expected batchId-keyed code files")
     fs.delete(keyed.head.getPath, false)
     val commits = new java.io.File(s"$ck/commits")

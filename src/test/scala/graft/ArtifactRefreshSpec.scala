@@ -92,21 +92,23 @@ class ArtifactRefreshSpec extends SparkSpec {
     val wantBands = spark.read.parquet(s"$art/bands.parquet").count()
     val wantManifest = ArtifactManifest.read(art, spark).get
 
-    // last batch that actually folded (its commit marker exists)
+    // last batch that actually folded (its commit marker exists) — markers
+    // are keyed by the checkpoint's run tag since r16
+    val run = graft.streaming.IdempotentFold.runTag(ck)
     val fs = new org.apache.hadoop.fs.Path(art)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lastBatch = fs.listStatus(new org.apache.hadoop.fs.Path(art, "_commits"))
-      .map(_.getPath.getName.stripPrefix("b").toLong).max
+      .map(_.getPath.getName.stripPrefix(s"r${run}_b").toLong).max
     assert(lastBatch >= 2)
 
     // Simulate the crash window foreachBatch leaves open: every side-effect
     // of `lastBatch` landed EXCEPT the commit marker, the crashed attempt's
     // bands move was torn (its keyed files half-gone), and the engine never
     // committed the batch to the checkpoint — so a restart re-delivers it.
-    fs.delete(new org.apache.hadoop.fs.Path(art, s"_commits/b$lastBatch"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(art, s"_commits/r${run}_b$lastBatch"), false)
     val bands = new org.apache.hadoop.fs.Path(s"$art/bands.parquet")
     val keyed = fs.listStatus(bands)
-      .filter(_.getPath.getName.startsWith(s"b${lastBatch}_"))
+      .filter(_.getPath.getName.startsWith(s"r${run}_b${lastBatch}_"))
     assert(keyed.nonEmpty, "expected batchId-keyed band files")
     fs.delete(keyed.head.getPath, false) // tear the append
     val commits = new java.io.File(s"$ck/commits")

@@ -46,14 +46,17 @@ def save_ledger(path, ledger):
 
 
 def classify(output):
-    """Map a failing check_oracle output to a ledger status."""
+    """Map a failing check_oracle output to a ledger status. Only outputs
+    carrying a recognized marker land in a known bucket; anything else is a
+    distinct 'error' (an engine crash or harness bug must demand attention,
+    never be ledgered as an excusable oracle resource wall — ADVICE r15)."""
     if "MISSING" in output:
         return "missing"
-    if "ORAERR" in output:
+    if "ORAERR" in output or "OutOfMemory" in output:
         return "oracle_wall"
     if "SCHEMA" in output or "ROWS" in output:
         return "mismatch"
-    return "oracle_wall"
+    return "error"
 
 
 def run_check(outdir, sfdir, q, oracle, timeout, env):
@@ -72,6 +75,9 @@ def run_check(outdir, sfdir, q, oracle, timeout, env):
         status = "ok" if r.returncode == 0 else classify(out)
     except subprocess.TimeoutExpired:
         status, out = "timeout", "(timeout)"
+    finally:
+        import shutil
+        shutil.rmtree(shadow, ignore_errors=True)
     return status, time.time() - t0, out
 
 
