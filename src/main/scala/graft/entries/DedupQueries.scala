@@ -68,6 +68,16 @@ private[graft] object DedupQueries {
       streaming.ArtifactRefresh.gatedRefresh(s, dir)
         .orderBy(col("doc_id_a"), col("doc_id_b"))
     }),
+    // TWO refresh runs (separate checkpoints — batch ids restart at 0, the
+    // run-identity guard) with the nightly artifact COMPACTION between them
+    // (r16): merging replay-dead keyed files and pruning dead markers must
+    // be invisible to the pair set, which equals the one-shot incremental
+    // path over the union delta.
+    "q_stream_refresh_compacted" -> ((s, dir) => {
+      prep(s)
+      streaming.ArtifactRefresh.gatedCompactedRefresh(s, dir)
+        .orderBy(col("doc_id_a"), col("doc_id_b"))
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       prep(s)
       operators.Dedup.simhashPairs(
@@ -159,5 +169,8 @@ private[graft] object DedupQueries {
     // the streamed refresh is output-equivalent to the one-shot delta path
     "q_stream_artifact_refresh" -> O.minhashLshIncrSql(k = 32, bands = 8,
       threshold = 0.6, deltaSel = c => s"$c % 4 = 0"),
+    // two runs + compaction accumulate exactly the union-delta pair set
+    "q_stream_refresh_compacted" -> O.minhashLshIncrSql(k = 32, bands = 8,
+      threshold = 0.6, deltaSel = c => s"$c % 4 <= 1"),
     "q_dedup_simhash" -> O.simhashSql(maxHamming = 3))
 }

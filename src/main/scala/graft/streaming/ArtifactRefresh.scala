@@ -127,4 +127,43 @@ object ArtifactRefresh {
       art, pairsDir, tmp("stream_refresh_ck"))
     s.read.parquet(pairsDir)
   }
+
+  /** The gated TWO-RUN form with mid-life compaction (r16): build the base
+    * artifact over `doc_id % 4 >= 2`, stream the `% 4 == 0` delta as run A,
+    * run [[FoldCompaction.compactArtifact]] (the nightly maintenance pass —
+    * merge run A's replay-dead keyed files, prune its markers), then stream
+    * the `% 4 == 1` delta as run B under a NEW checkpoint (batch ids
+    * restart at 0 — the run-identity guard, ADVICE r15). The accumulated
+    * pair set must equal the one-shot incremental path over the UNION
+    * delta: a pair surfaces exactly when its later side arrives, so the
+    * run split — like the batch split — cannot change WHAT is discovered,
+    * and compaction changes only the file layout. The final provenance
+    * check proves run B actually folded (batchId-only keying would have
+    * silently skipped it). */
+  def gatedCompactedRefresh(s: SparkSession, dir: String): DataFrame = {
+    def tmp(tag: String) = graft.QueryShared.deleteAtExit(
+      java.nio.file.Files.createTempDirectory(tag).toString)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val dCols = Seq(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 4 >= 2)
+    val art = tmp("cstream_art")
+    Dedup.writeSignatureArtifact(base, "doc_id", "text", art)
+    ArtifactManifest.write(art, base.select(dCols: _*), dCols)
+    val pairsDir = tmp("cstream_pairs")
+    def runDelta(mod: Int, ck: String): Unit = {
+      val deltaDir = tmp(s"cstream_delta$mod")
+      docs.filter(col("doc_id") % 4 === mod)
+        .repartitionByRange(2, col("doc_id"))
+        .write.mode("overwrite").parquet(deltaDir)
+      refreshFromStream(s, deltaDir, "doc_id", "text", art, pairsDir, ck): Unit
+    }
+    val ckA = tmp("cstream_ck_a")
+    runDelta(0, ckA)
+    FoldCompaction.compactArtifact(s, art,
+      Seq(s"$art/shingles.parquet", s"$art/bands.parquet", pairsDir), ckA,
+      targetFileBytes = 256L << 20): Unit
+    runDelta(1, tmp("cstream_ck_b"))
+    ArtifactManifest.check(art, docs.select(dCols: _*), dCols)
+    s.read.parquet(pairsDir)
+  }
 }

@@ -18,7 +18,13 @@ import graft.streaming.{AnnIndexRefresh, ArtifactRefresh}
   *     `manifest_add_sec` is the O(batch) additive fold the loop pays now —
   *     the reading that must stay FLAT as the base grows across decades.
   *
-  * Usage: runMain graft.tools.StreamRefreshProbe [sfDir] [nBatches]
+  * r16 additions: an optional shuffle-partition override for the refresh
+  * loops (arg 3 — re-proves output parity at a non-default value, VERDICT
+  * r15 #2) and a post-stream [[graft.streaming.FoldCompaction]] pass over
+  * the LSH artifact (merge replay-dead keyed files, prune markers) that
+  * must leave pair count, band count and the provenance manifest intact.
+  *
+  * Usage: runMain graft.tools.StreamRefreshProbe [sfDir] [nBatches] [shufflePartitions]
   */
 object StreamRefreshProbe {
   private def timed[T](f: => T): (T, Double) = {
@@ -30,6 +36,7 @@ object StreamRefreshProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val nBatches = if (args.length > 1) args(1).toInt else 4
+    val shufflePartitions = if (args.length > 2) Some(args(2).toInt) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,13 +86,38 @@ object StreamRefreshProbe {
     dDelta.repartitionByRange(nBatches, col("doc_id"))
       .write.mode("overwrite").parquet(dDeltaDir)
     val pairsDir = tmp("srp_lsh_pairs")
+    val lshCk = tmp("srp_lsh_ck")
     val (lshBatches, lshStreamSec) = timed(
       ArtifactRefresh.refreshFromStream(spark, dDeltaDir,
-        "doc_id", "text", lshArt, pairsDir, tmp("srp_lsh_ck")))
+        "doc_id", "text", lshArt, pairsDir, lshCk, shufflePartitions))
     val streamPairs = spark.read.parquet(pairsDir).count()
     require(streamPairs == batchPairs,
       s"stream/batch pair divergence: $streamPairs vs $batchPairs")
     // post-stream provenance: the folded manifest must equal the rescan
+    ArtifactManifest.check(lshArt, docs.select(dCols: _*), dCols)
+
+    // nightly maintenance at scale (r16): merge the stream's replay-dead
+    // keyed files, prune dead markers — pair count, band count and the
+    // provenance manifest must all be unchanged by the layout rewrite
+    val bandsBefore = spark.read.parquet(s"$lshArt/bands.parquet").count()
+    val fileCount = { (d: String) =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val pairFilesBefore = fileCount(pairsDir)
+    val (_, compactSec) = timed(
+      graft.streaming.FoldCompaction.compactArtifact(spark, lshArt,
+        Seq(s"$lshArt/shingles.parquet", s"$lshArt/bands.parquet", pairsDir),
+        lshCk, targetFileBytes = 256L << 20))
+    val pairFilesAfter = fileCount(pairsDir)
+    require(spark.read.parquet(pairsDir).count() == batchPairs,
+      "compaction changed the pair count")
+    require(spark.read.parquet(s"$lshArt/bands.parquet").count() == bandsBefore,
+      "compaction changed the band count")
     ArtifactManifest.check(lshArt, docs.select(dCols: _*), dCols)
 
     // ---------------- IVF-PQ index ----------------------------------------
@@ -114,7 +146,7 @@ object StreamRefreshProbe {
       .write.mode("overwrite").parquet(eDeltaDir)
     val (annBatches, annStreamSec) = timed(
       AnnIndexRefresh.refreshFromStream(spark, eDeltaDir, annIdx,
-        tmp("srp_ann_ck")))
+        tmp("srp_ann_ck"), shufflePartitions = shufflePartitions))
     for (t <- Seq("cells", "codes")) {
       val a = spark.read.parquet(s"$annRef/$t.parquet").count()
       val b = spark.read.parquet(s"$annIdx/$t.parquet").count()
@@ -124,9 +156,12 @@ object StreamRefreshProbe {
 
     println(
       s"""{"metric":"stream_refresh","sf":"$sfDir","n_batches":$nBatches,""" +
+      s""""shuffle_partitions":${shufflePartitions.getOrElse(8)},""" +
       s""""lsh":{"build_sec":${r3(lshBuildSec)},"batch_delta_sec":${r3(lshBatchSec)},""" +
       s""""stream_total_sec":${r3(lshStreamSec)},"stream_batches":$lshBatches,""" +
       s""""manifest_check_sec":${r3(lshManifestSec)},"manifest_add_sec":${r3(lshAddSec)},""" +
+      s""""compact_sec":${r3(compactSec)},"pair_files_before":$pairFilesBefore,""" +
+      s""""pair_files_after":$pairFilesAfter,""" +
       s""""pairs":$batchPairs},""" +
       s""""ann":{"build_sec":${r3(annBuildSec)},"batch_append_sec":${r3(annBatchSec)},""" +
       s""""stream_total_sec":${r3(annStreamSec)},"stream_batches":$annBatches,""" +
