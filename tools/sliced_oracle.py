@@ -10,13 +10,16 @@ equality across all K slices IS full-surface equality, while each slice's
 DuckDB process only ever holds ~1/K of the rows (memory and spill bounded,
 resumable). Two modes:
 
- - generic (q_tokenize, q_logreg_score, anything per-doc): wrap the
-   verbatim oracle SQL with `WHERE <col> % K = i` and compare against the
-   engine dump filtered the same way, one fresh process per slice. The
-   predicate is applied OUTSIDE the untouched query, so the compare is
-   exact by construction for ANY query whose output carries the column;
-   per-doc pipelines additionally let DuckDB push the filter to the scan,
-   so total work stays ~one full pass.
+ - generic (q_tokenize, q_logreg_score, anything per-doc): run the
+   VERBATIM oracle SQL against a `documents` view that carries the slice
+   predicate (`WHERE <col> % K = i`) and compare against the engine dump
+   filtered the same way, one fresh process per slice. The predicate is
+   pushed at the SOURCE — DuckDB's optimizer does not reliably push a
+   modulus filter through unnest + grouped aggregates, and an unpushed
+   slice recomputes (and re-spills) the full corpus K times. Source-level
+   slicing is only exact for PER-DOCUMENT-independent queries; that is
+   precisely what `--selfcheck` proves (sliced == one-shot) at a scale
+   where the one-shot runs.
 
  - q_lm_bucket (global aggregates): the bigram model is additive over
    disjoint doc slices, so the chain restages as
@@ -48,16 +51,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def views_sql(sfdir, extra=()):
+def views_sql(sfdir, extra=(), slice_pred=None):
+    """Base-table views; `slice_pred = (table, predicate)` bakes the slice
+    filter into that table's view so every consumer of it is sliced at the
+    scan (the manual pushdown the generic mode relies on)."""
     lines = []
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
+        src = None
         if os.path.isdir(p):
-            lines.append(f"CREATE VIEW {t} AS SELECT * FROM "
-                         f"read_parquet('{p}/*.parquet');")
+            src = f"read_parquet('{p}/*.parquet')"
         elif os.path.exists(p):
-            lines.append(f"CREATE VIEW {t} AS SELECT * FROM "
-                         f"read_parquet('{p}');")
+            src = f"read_parquet('{p}')"
+        if src:
+            where = ""
+            if slice_pred and slice_pred[0] == t:
+                where = f" WHERE {slice_pred[1]}"
+            lines.append(f"CREATE VIEW {t} AS SELECT * FROM {src}{where};")
     for name, path in extra:
         lines.append(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM "
                      f"read_parquet('{path}');")
@@ -73,7 +83,7 @@ def fresh(script):
     return r.stdout.strip().splitlines()[-1]
 
 
-def bighash_pair(sfdir, sql_a, sql_b, mem, extra=()):
+def bighash_pair(sfdir, sql_a, sql_b, mem, extra=(), slice_pred=None):
     """bighash both queries in ONE fresh process (same hash universe)."""
     script = f"""
 import duckdb, os, sys, json
@@ -83,7 +93,7 @@ con = duckdb.connect()
 os.makedirs('/tmp/duckdb_spill', exist_ok=True)
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
 con.execute("SET memory_limit='{mem}'")
-con.execute('''{views_sql(sfdir, extra)}''')
+con.execute('''{views_sql(sfdir, extra, slice_pred)}''')
 ca, na, ha = bighash(con, '''{sql_a}''')
 cb, nb, hb = bighash(con, '''{sql_b}''')
 print(json.dumps({{"a": [ca, na, ha], "b": [cb, nb, hb]}}))
@@ -114,18 +124,19 @@ def engine_sql(outdir, query):
 
 
 # ------------------------------------------------- generic per-doc slicing
-def run_generic(outdir, sfdir, query, sql, col, k, mem):
+def run_generic(outdir, sfdir, query, sql, col, k, mem, table="documents"):
     eng = engine_sql(outdir, query)
     ok = True
     for i in range(k):
         got = bighash_pair(
-            sfdir,
-            f"SELECT * FROM ({sql}) q WHERE {col} % {k} = {i}",
-            f"SELECT * FROM ({eng}) q WHERE {col} % {k} = {i}", mem)
+            sfdir, sql,
+            f"SELECT * FROM ({eng}) q WHERE {col} % {k} = {i}", mem,
+            slice_pred=(table, f"{col} % {k} = {i}"))
         match = got["a"] == got["b"]
         ok = ok and match
         print(f"[sliced] {query} slice {i}/{k}: oracle n={got['a'][1]} "
-              f"engine n={got['b'][1]} {'OK' if match else 'MISMATCH ' + json.dumps(got)}")
+              f"engine n={got['b'][1]} {'OK' if match else 'MISMATCH ' + json.dumps(got)}",
+              flush=True)
     return ok
 
 
@@ -179,19 +190,19 @@ def run_lm_bucket(outdir, sfdir, query, sql, k, mem, selfcheck):
         for i in range(k):
             copy_stage(sfdir, LM_SLICE_COUNT.format(k=k, i=i),
                        f"{work}/bgc_{i}.parquet", mem)
-            print(f"[sliced] {query}: bigram counts slice {i}/{k} done")
+            print(f"[sliced] {query}: bigram counts slice {i}/{k} done", flush=True)
         # (2) the global model: additive sum of the disjoint slice counts
         copy_stage(sfdir, LM_CB.format(parts=f"{work}/bgc_*.parquet"),
                    f"{work}/cb.parquet", mem)
         copy_stage(sfdir, LM_CBL, f"{work}/cbl.parquet", mem,
                    extra=[("cbv", f"{work}/cb.parquet")])
-        print(f"[sliced] {query}: global bigram model materialized")
+        print(f"[sliced] {query}: global bigram model materialized", flush=True)
         # (3) per-slice per-doc scores against the stored model
         for i in range(k):
             copy_stage(sfdir, LM_A.format(k=k, i=i),
                        f"{work}/a_{i}.parquet", mem,
                        extra=[("cblv", f"{work}/cbl.parquet")])
-            print(f"[sliced] {query}: scores slice {i}/{k} done")
+            print(f"[sliced] {query}: scores slice {i}/{k} done", flush=True)
         # (4) cuts + final over the per-doc table; compare vs engine dump
         got = bighash_pair(
             sfdir, LM_FINAL, engine_sql(outdir, query), mem,

@@ -128,7 +128,9 @@ def main(argv):
 
     for n in names:
         prior = qs.get(n, {}).get("status", "")
-        if prior.startswith("ok"):
+        # skip settled queries and ones being adjudicated out-of-band
+        # (e.g. the sliced_oracle runs for the recorded resource walls)
+        if prior.startswith("ok") or prior.startswith("adjudicating"):
             continue
         status, wall, out = run_check(outdir, sfdir, n, oracle, timeout, env)
         if status not in ("ok", "mismatch") and staged_retry:
