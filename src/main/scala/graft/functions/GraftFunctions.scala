@@ -253,7 +253,14 @@ object GraftFunctions {
     */
   def detRound(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
-    floor(c * f + 0.5) / f
+    // Spark floor(DOUBLE) returns LONG and wraps at 2^63 (same class as the
+    // stableSumScaled r16 sf100 saturation). Above 2^53 the scaled double is
+    // already integral — floor is a no-op — so keep the value in the double
+    // domain there, exactly as the DuckDB mirror (detRoundSql floors in
+    // DOUBLE at every magnitude). Below 2^53 floor's LONG is exact and the
+    // LONG/f division promotes losslessly — bit-identical to the old path.
+    val w = c * f + 0.5
+    when(abs(w) >= Two53, w).otherwise(floor(w).cast("double")) / f
   }
 
   /** Order-independent SUM of per-row doubles, deterministically quantized
@@ -272,9 +279,28 @@ object GraftFunctions {
     // final double conversion is correctly rounded — bit-identical to the
     // old path wherever the old path didn't wrap. Oracle mirror sums
     // HUGEINT (stableSumScaledSql) for the same exactness.
-    sum(floor(c * f + 0.5).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-      .cast("double") / f
+    //
+    // The PER-ROW value must also never pass through LONG (r16, caught by
+    // the full-surface sf100 sweep): Spark's floor(DOUBLE) returns LONG, so
+    // a row with |c·f| ≥ 2^63 saturates at Long.Max BEFORE the decimal sum —
+    // sf100 daily-revenue squares are ~8.8e19 each, so every q_autocorr row
+    // collapsed to n·Long.Max and the correlation read an exact 0.0. Above
+    // 2^53 a double is already integral, so floor is a no-op there: cast the
+    // pre-floor double straight to DECIMAL(38,0) (exact for an integral
+    // double up to 1e38); below 2^53 floor's LONG is exact. This matches
+    // DuckDB's floor(DOUBLE)→DOUBLE→HUGEINT at every magnitude and is
+    // bit-identical to the old path wherever the old path didn't saturate.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = c * f + 0.5
+    val quantized = when(abs(w) >= Two53, w.cast(d38))
+      .otherwise(floor(w).cast(d38))
+    sum(quantized).cast("double") / f
   }
+
+  /** 2^53 — the magnitude above which every IEEE double is integral (and
+    * above which floor(DOUBLE)'s LONG result may wrap at 2^63).
+    */
+  private val Two53: Double = 9007199254740992.0
 
   // ---- F15 calendar attributes (etl_completo.py:780-799) ------------------
 

@@ -312,7 +312,13 @@ object Compaction {
                              sel: Seq[String]): Seq[String] = {
     require(sel.nonEmpty, "subset compaction: empty partition list")
     val conf = spark.sparkContext.hadoopConfiguration
-    sel.distinct.map { rel =>
+    // Normalize BEFORE dedup (ADVICE r16): "grp=2" and "grp=2/" name the
+    // same leaf — a raw-string distinct would keep both, compacting the
+    // leaf twice (possibly concurrently under `parallelism`, racing
+    // in-place rewrites) and double-counting its delta in the incremental
+    // rollup.
+    val normalized = sel.map(_.split("/").filter(_.nonEmpty).mkString("/"))
+    normalized.distinct.map { rel =>
       require(rel.nonEmpty && rel.split("/").forall(seg =>
         seg.contains("=") && !seg.startsWith("_") && !seg.startsWith(".")),
         s"subset partition '$rel' is not a relative key=value[/key=value…] path")

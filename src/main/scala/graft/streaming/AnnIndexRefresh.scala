@@ -57,9 +57,12 @@ object AnnIndexRefresh {
                         shufflePartitions: Option[Int] = None): Long = {
     // batch-sized appends; the tiny assignment joins default narrow
     val s = IdempotentFold.foldSession(spark, shufflePartitions)
-    // bookkeeping keyed by the checkpoint's run tag (ADVICE r15 — batch
-    // ids restart at 0 under a new checkpoint)
-    val run = IdempotentFold.runTag(checkpointDir)
+    // bookkeeping keyed by the checkpoint's run identity (query UUID —
+    // ADVICE r15/r16: batch ids restart at 0 under a new checkpoint, even
+    // one recreated at the same path); aliases honor a resumed stream's
+    // older-era bookkeeping
+    val keys = IdempotentFold.runKeys(spark, checkpointDir)
+    val run = keys.run
     val fingerCols = Seq(col("vec_id"), col("embedding"))
     var batches = 0L
     val q = s.readStream.schema(embeddingsSchema)
@@ -69,15 +72,19 @@ object AnnIndexRefresh {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val b = batch.persist()
         if (!b.isEmpty) {
-          if (!IdempotentFold.isCommitted(b.sparkSession, indexDir, run, batchId)) {
-            IdempotentFold.cleanKeyed(b.sparkSession, s"$indexDir/cells.parquet", run, batchId)
-            IdempotentFold.cleanKeyed(b.sparkSession, s"$indexDir/codes.parquet", run, batchId)
+          // explicit override wins; else size this batch's shuffles to its
+          // own input bytes (VERDICT r16 #5)
+          IdempotentFold.sizeBatchShuffle(b, shufflePartitions): Unit
+          if (!IdempotentFold.isCommittedAny(b.sparkSession, indexDir, keys, batchId)) {
+            IdempotentFold.cleanKeyedAll(b.sparkSession, s"$indexDir/cells.parquet", keys, batchId)
+            IdempotentFold.cleanKeyedAll(b.sparkSession, s"$indexDir/codes.parquet", keys, batchId)
             val (cells, codes) = Similarity.ivfPqAssignFrames(b, indexDir, m, dim)
             IdempotentFold.appendKeyed(cells, s"$indexDir/cells.parquet", run, batchId)
             IdempotentFold.appendKeyed(codes, s"$indexDir/codes.parquet", run, batchId)
-            // O(batch) manifest fold, exactly-once via the (run, batch) stamp
+            // O(batch) manifest fold, exactly-once via the (run, batch)
+            // stamp; alias runs match a stamp an older code era landed
             ArtifactManifest.add(indexDir, b.select(fingerCols: _*),
-              fingerCols, batchId, run)
+              fingerCols, batchId, run, keys.aliases)
             IdempotentFold.markCommitted(b.sparkSession, indexDir, run, batchId)
           }
           batches += 1

@@ -58,10 +58,14 @@ object ArtifactRefresh {
                         shufflePartitions: Option[Int] = None): Long = {
     // state-free stream, but the delta joins repartition; batch-sized
     val s = IdempotentFold.foldSession(spark, shufflePartitions)
-    // all bookkeeping is keyed by the checkpoint's run tag: a NEW
-    // checkpoint restarts batch ids at 0, and without the tag those would
-    // silently collide with a finished run's markers (ADVICE r15)
-    val run = IdempotentFold.runTag(checkpointDir)
+    // all bookkeeping is keyed by the checkpoint's run identity (its query
+    // UUID): a NEW checkpoint — even one recreated at the same path —
+    // restarts batch ids at 0, and without the tag those would silently
+    // collide with a finished run's markers (ADVICE r15/r16); on a RESUMED
+    // checkpoint the alias keys also honor bookkeeping an older code era
+    // wrote for this same stream (ADVICE r16 upgrade path)
+    val keys = IdempotentFold.runKeys(spark, checkpointDir)
+    val run = keys.run
     val schema = EventsStream.documentsSchema
     val fingerCols = Seq(col(id), col(text))
     var batches = 0L
@@ -72,12 +76,16 @@ object ArtifactRefresh {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val b = batch.persist()
         if (!b.isEmpty) {
-          if (!IdempotentFold.isCommitted(b.sparkSession, artifactDir, run, batchId)) {
+          // explicit override wins; else size this batch's shuffles to its
+          // own input bytes (VERDICT r16 #5)
+          IdempotentFold.sizeBatchShuffle(b, shufflePartitions): Unit
+          if (!IdempotentFold.isCommittedAny(b.sparkSession, artifactDir, keys, batchId)) {
             // a replayed, partially-committed batch: erase its keyed files
-            // FIRST, so the recompute sees exactly the pre-batch artifact
-            IdempotentFold.cleanKeyed(b.sparkSession, pairsDir, run, batchId)
-            IdempotentFold.cleanKeyed(b.sparkSession, s"$artifactDir/shingles.parquet", run, batchId)
-            IdempotentFold.cleanKeyed(b.sparkSession, s"$artifactDir/bands.parquet", run, batchId)
+            // FIRST (current tag AND upgrade aliases), so the recompute
+            // sees exactly the pre-batch artifact
+            IdempotentFold.cleanKeyedAll(b.sparkSession, pairsDir, keys, batchId)
+            IdempotentFold.cleanKeyedAll(b.sparkSession, s"$artifactDir/shingles.parquet", keys, batchId)
+            IdempotentFold.cleanKeyedAll(b.sparkSession, s"$artifactDir/bands.parquet", keys, batchId)
             // materialized (cached + counted) inside minhashLshPairsDelta,
             // so the artifact fold below cannot perturb it
             val pairs = Dedup.minhashLshPairsDelta(b, id, text, artifactDir)
@@ -87,9 +95,10 @@ object ArtifactRefresh {
             IdempotentFold.appendKeyed(sh, s"$artifactDir/shingles.parquet", run, batchId)
             IdempotentFold.appendKeyed(banded, s"$artifactDir/bands.parquet", run, batchId)
             sh.unpersist()
-            // O(batch) manifest fold, exactly-once via the (run, batch) stamp
+            // O(batch) manifest fold, exactly-once via the (run, batch)
+            // stamp; alias runs match a stamp an older code era landed
             ArtifactManifest.add(artifactDir, b.select(fingerCols: _*),
-              fingerCols, batchId, run)
+              fingerCols, batchId, run, keys.aliases)
             IdempotentFold.markCommitted(b.sparkSession, artifactDir, run, batchId)
           }
           batches += 1

@@ -46,8 +46,9 @@ import graft.operators.{ArtifactManifest, Compaction}
 object FoldCompaction {
 
   /** What one dataset's fold-compaction did. `merged` counts the
-    * replay-dead files rewritten, `liveKept` the keyed files preserved
-    * verbatim, `skipped` the idempotent no-op path. */
+    * replay-dead files rewritten, `liveKept` every file preserved verbatim
+    * (replay-live keyed files AND plain parts already at compaction size),
+    * `skipped` the idempotent no-op path. */
   final case class FoldStats(merged: Long, filesOut: Long, liveKept: Long,
                              rows: Long, skipped: Boolean)
 
@@ -64,40 +65,92 @@ object FoldCompaction {
   def compactArtifact(spark: SparkSession, artifactDir: String,
                       datasetDirs: Seq[String], checkpointDir: String,
                       targetFileBytes: Long): Map[String, FoldStats] = {
-    val run = IdempotentFold.runTag(checkpointDir)
+    val keys = IdempotentFold.runKeys(spark, checkpointDir)
     val horizon = IdempotentFold.committedHorizon(spark, checkpointDir)
     val stats = datasetDirs.map { d =>
-      d -> compactFold(spark, d, run, horizon, targetFileBytes,
-        markerDir = Some(artifactDir))
+      d -> compactFold(spark, d, keys.run, horizon, targetFileBytes,
+        markerDir = Some(artifactDir), aliasRuns = keys.aliases)
     }.toMap
-    IdempotentFold.pruneMarkers(spark, artifactDir, run, horizon): Unit
+    IdempotentFold.pruneMarkers(spark, artifactDir, keys.all, horizon): Unit
     stats
   }
 
   /** Commit markers present under `markerDir`, as (run, batchId) — the
-    * proof a foreign run's batch fully landed. */
+    * proof a foreign run's batch fully landed. Pre-r16 batch-only markers
+    * parse as run `""`. */
   private def markerSet(spark: SparkSession, markerDir: String): Set[(String, Long)] = {
     val (fs, p) = fsFor(spark, s"$markerDir/_commits")
     if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .flatMap(st => IdempotentFold.parseMarker(st.getPath.getName)).toSet
+  }
+
+  /** Tags of every run that still has commit markers at `artifactDir` —
+    * the candidates for [[retireRuns]] (pre-r16 batch-only markers report
+    * as `""`). */
+  def markerRuns(spark: SparkSession, artifactDir: String): Set[String] =
+    markerSet(spark, artifactDir).map(_._1)
+
+  /** Retire DEAD runs' commit markers (VERDICT r16 #4): a long-lived
+    * artifact accumulates one `_commits/r<tag>_b<id>` file per (run,
+    * batch) forever, because [[IdempotentFold.pruneMarkers]] only prunes
+    * the CURRENT run (foreign markers are the merge-safety proof
+    * [[compactFold]] relies on). Once a run is dead — its checkpoint
+    * deleted or fully merged, so no replay of it can ever arrive — its
+    * markers are pure dead weight. The caller names the dead tags; per tag
+    * this REFUSES unless every dataset is free of that run's keyed files
+    * (unmerged keyed files without their marker would double-count if the
+    * run were in fact resumed — run [[compactArtifact]] first, which
+    * merges marker-proven foreign files). Returns markers deleted. */
+  def retireRuns(spark: SparkSession, artifactDir: String,
+                 datasetDirs: Seq[String], runTags: Seq[String]): Int = {
+    require(runTags.nonEmpty, "retireRuns: no run tags given")
+    runTags.foreach { tag =>
+      datasetDirs.foreach { d =>
+        val (fs, p) = fsFor(spark, d)
+        if (fs.exists(p)) {
+          val left = fs.listStatus(p).toSeq.filter { st =>
+            st.isFile &&
+              IdempotentFold.parseKeyed(st.getPath.getName).exists(_._1 == tag)
+          }
+          require(left.isEmpty,
+            s"refusing to retire run '$tag': $d still holds its keyed files " +
+              left.map(_.getPath.getName).take(3).mkString(", ") +
+              " — compact the artifact first so they merge under marker proof")
+        }
+      }
+    }
+    val (fs, p) = fsFor(spark, s"$artifactDir/_commits")
+    if (!fs.exists(p)) 0
     else {
-      val MarkerRe = """^r([0-9a-f]{8})_b(\d+)$""".r
-      fs.listStatus(p).toSeq.flatMap(_.getPath.getName match {
-        case MarkerRe(r, id) => Some((r, id.toLong))
-        case _               => None
-      }).toSet
+      val dead = fs.listStatus(p).toSeq.filter { st =>
+        IdempotentFold.parseMarker(st.getPath.getName)
+          .exists { case (r, _) => runTags.contains(r) }
+      }
+      dead.foreach(st => fs.delete(st.getPath, false))
+      dead.size
     }
   }
 
   /** Compact ONE flat parquet dataset that received [[IdempotentFold]]
-    * keyed appends: merge the replay-dead files (plain parts, the current
-    * run's keyed files at or below `horizon`, and marker-proven foreign
-    * keyed files) into ~`targetFileBytes` parts, keep every other keyed
-    * file verbatim, and swap the result in place. Idempotent: a stored
-    * content manifest matching the current replay-dead content makes the
-    * call a no-op. */
+    * keyed appends: merge the replay-dead files (small plain parts, own
+    * keyed files at or below `horizon`, and marker-proven foreign keyed
+    * files) into ~`targetFileBytes` parts, keep every other file verbatim,
+    * and swap the result in place. `aliasRuns` are older-era tags of the
+    * same stream (treated as `run`). Idempotent: a stored content manifest
+    * matching the current merge set makes the call a no-op.
+    *
+    * Nightly cost is O(new batches), not O(total artifact) (ADVICE r16):
+    * plain parts already at ≥ `targetFileBytes`/2 — prior compactions'
+    * output, which bin-packing sizes just UNDER the target, hence the
+    * half-target keep rule — are retained verbatim, never re-read; only
+    * the merge set is decoded, fingerprinted, and rewritten. Retained
+    * files ride into the swapped copy as hard links where the FS allows
+    * (local), else raw byte copies — never a parquet decode. */
   def compactFold(spark: SparkSession, dir: String, run: String,
                   horizon: Long, targetFileBytes: Long,
-                  markerDir: Option[String] = None): FoldStats = {
+                  markerDir: Option[String] = None,
+                  aliasRuns: Seq[String] = Nil): FoldStats = {
     val (fs, target) = fsFor(spark, dir)
     val qt = fs.makeQualified(target)
     val name = qt.getName
@@ -133,29 +186,42 @@ object FoldCompaction {
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
-    val (dead, live) = files.partition { st =>
+    def isOwn(r: String) = r == run || aliasRuns.contains(r)
+    val (deadAll, live) = files.partition { st =>
       IdempotentFold.parseKeyed(st.getPath.getName) match {
-        case None               => true // plain part (base build / prior compaction)
-        case Some((r, id)) if r == run => id <= horizon
-        case Some(key)          => markers.contains(key)
+        case None                      => true // plain part (base build / prior compaction)
+        case Some((r, id)) if isOwn(r) => id <= horizon
+        case Some(key)                 => markers.contains(key)
       }
     }
-    if (dead.isEmpty)
-      return FoldStats(0L, 0L, live.size.toLong, 0L, skipped = true)
+    // Plain parts already at compaction size stay verbatim — the nightly
+    // O(new) bound; everything else replay-dead merges.
+    val keepBytes = targetFileBytes / 2
+    val (keepPlain, dead) = deadAll.partition { st =>
+      IdempotentFold.parseKeyed(st.getPath.getName).isEmpty &&
+        st.getLen >= keepBytes
+    }
+    val kept = live ++ keepPlain
+    // Nothing to merge — or a single plain runt, which a rewrite would
+    // only copy into itself.
+    val singlePlainRunt = dead.size == 1 &&
+      IdempotentFold.parseKeyed(dead.head.getPath.getName).isEmpty
+    if (dead.isEmpty || singlePlainRunt)
+      return FoldStats(0L, 0L, kept.size.toLong, 0L, skipped = true)
 
     val in = spark.read.parquet(dead.map(_.getPath.toString): _*)
     val cols = in.columns.toSeq.map(col)
     val (nIn, hIn) = ArtifactManifest.fingerprintOf(in, cols)
 
-    // Idempotent skip: the stored content manifest fingerprints the
-    // replay-dead content as of the last compaction — unchanged content
-    // (no newly committed batches since) means nothing to do.
+    // Idempotent skip: the stored content manifest fingerprints the MERGE
+    // SET as of the last compaction — unchanged content (no newly
+    // committed batches since) means nothing to do.
     val alreadyDone =
       try ArtifactManifest.read(dir, spark)
         .exists(m => m.nRows == nIn && m.inputHash == hIn)
       catch { case _: Exception => false }
     if (alreadyDone)
-      return FoldStats(dead.size.toLong, dead.size.toLong, live.size.toLong,
+      return FoldStats(dead.size.toLong, dead.size.toLong, kept.size.toLong,
         nIn, skipped = true)
 
     // Bin-pack exchange-free (Compaction.compact's merge path): the scan
@@ -174,12 +240,21 @@ object FoldCompaction {
         s"read-back (n=$nOutRows, hash=$hOut) — aborted, original untouched")
     ArtifactManifest.writeValues(tmp.toString, nIn, hIn, spark)
 
-    // Live keyed files ride along verbatim (copy, not move — the original
-    // dir stays complete until the swap).
+    // Retained files (live keyed + compaction-sized plain) ride along
+    // verbatim — hard link where the FS allows, else a raw byte copy;
+    // never a move, so the original dir stays complete until the swap.
     val hconf = spark.sparkContext.hadoopConfiguration
-    live.foreach { st =>
-      FileUtil.copy(fs, st.getPath, fs, new Path(tmp, st.getPath.getName),
-        false, hconf): Unit
+    kept.foreach { st =>
+      val to = new Path(tmp, st.getPath.getName)
+      val linked = fs.getScheme == "file" &&
+        (try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(to.toUri.getPath),
+            java.nio.file.Paths.get(st.getPath.toUri.getPath))
+          true
+        } catch { case _: Exception => false })
+      if (!linked)
+        FileUtil.copy(fs, st.getPath, fs, to, false, hconf): Unit
     }
 
     val outParts = fs.listStatus(tmp).count { st =>
@@ -193,7 +268,7 @@ object FoldCompaction {
     require(fs.rename(tmp, qt), s"could not move compacted $tmp to $qt")
     fs.delete(old, true)
 
-    FoldStats(dead.size.toLong, (outParts - live.size).toLong,
-      live.size.toLong, nIn, skipped = false)
+    FoldStats(dead.size.toLong, (outParts - kept.size).toLong,
+      kept.size.toLong, nIn, skipped = false)
   }
 }

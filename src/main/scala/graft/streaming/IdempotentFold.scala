@@ -13,11 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ids restart at 0 under a NEW checkpoint (a new nightly delta dir), so a
   * marker keyed by batchId alone would make the new run's batch 0 look
   * "already committed" — every batch silently skipped, pairs never emitted,
-  * manifest never folded. [[runTag]] derives a stable tag from the
-  * checkpoint path (the unit Structured Streaming scopes batch ids to);
-  * markers, staging dirs and keyed part files all embed it, so two runs'
-  * bookkeeping can never collide and a replayed batch only ever erases its
-  * OWN run's partial work.
+  * manifest never folded. [[runIdentity]] derives a 64-bit tag from the
+  * checkpoint's persisted query UUID (the unit Structured Streaming scopes
+  * batch ids to — and unlike a path hash, a checkpoint wiped and recreated
+  * at the same path is a NEW identity, ADVICE r16 medium); markers, staging
+  * dirs and keyed part files all embed it, so two runs' bookkeeping can
+  * never collide and a replayed batch only ever erases its OWN run's
+  * partial work. [[runKeys]] adds read-side aliases for bookkeeping older
+  * code eras wrote for the same resumed stream.
   *
   * Three pieces, composed by the refresh loops:
   *
@@ -78,14 +81,76 @@ object IdempotentFold {
     s
   }
 
-  /** The run identity all fold bookkeeping is keyed by: a stable hash of
-    * the checkpoint path, because the checkpoint IS the unit batch ids are
-    * scoped to — a restart of the same checkpoint yields the same tag (so
-    * replays find their run's markers), a NEW checkpoint yields a new one
-    * (so its batch 0 can never collide with a finished run's batch 0). */
-  def runTag(checkpointDir: String): String = {
+  /** The run identity all fold bookkeeping is keyed by: 64 bits of the
+    * checkpoint's persisted QUERY UUID, because the checkpoint IS the unit
+    * batch ids are scoped to — a restart of the same checkpoint yields the
+    * same tag (so replays find their run's markers), while a NEW checkpoint
+    * — including one recreated at the SAME path after a wipe, the common
+    * fixed-nightly-ck-dir ops pattern (ADVICE r16 medium) — mints a fresh
+    * UUID and so a fresh tag: its batch 0 can never collide with a dead
+    * run's batch 0. Structured Streaming writes `{"id":<uuid>}` to
+    * `<ckpt>/metadata` at first start and adopts a pre-existing file, so on
+    * a fresh checkpoint we mint and persist the id ourselves (same format)
+    * and the engine keeps it; on an existing checkpoint we read the
+    * engine's. 64 bits (vs r16's 32-bit path hash — ADVICE r16 low) because
+    * a tag collision means silent data loss, not a retry. */
+  def runIdentity(spark: SparkSession, checkpointDir: String): String = {
+    val (fs, ck) = fsFor(spark, checkpointDir)
+    val meta = new Path(ck, "metadata")
+    val uuid =
+      if (fs.exists(meta)) {
+        val in = fs.open(meta)
+        val raw =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        MetaIdRe.findFirstMatchIn(raw).map(_.group(1)).getOrElse(
+          throw new IllegalStateException(
+            s"no query id in stream metadata at $meta: $raw"))
+      } else {
+        val u = java.util.UUID.randomUUID().toString
+        fs.mkdirs(ck)
+        val out = fs.create(meta, false)
+        try out.write(s"""{"id":"$u"}""".getBytes("UTF-8")) finally out.close()
+        u
+      }
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(uuid.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+  private val MetaIdRe = """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r
+
+  /** The r16 path-hash tag — kept ONLY as an upgrade alias: bookkeeping
+    * written by r16 code for this same checkpoint used it as the run key. */
+  def legacyPathTag(checkpointDir: String): String = {
     val normalized = new Path(checkpointDir).toString
     f"${scala.util.hashing.MurmurHash3.stringHash(normalized) & 0xffffffffL}%08x"
+  }
+
+  /** The current run tag plus the alias tags older code eras keyed THIS
+    * stream's bookkeeping by. `""` is the pre-r16 batch-only era
+    * ([[keyedPrefix]]/markers render it with no `r<tag>_` part). */
+  final case class RunKeys(run: String, aliases: Seq[String]) {
+    def all: Seq[String] = run +: aliases
+  }
+
+  /** Resolve the run identity for a refresh about to start. Aliases cover
+    * bookkeeping written by OLDER code for THIS SAME stream (ADVICE r16
+    * upgrade path): the r16 path-hash tag and the pre-r16 batch-only
+    * keying. They are active ONLY when the checkpoint has prior engine
+    * state (its `offsets/` log is non-empty) — the batches a resumed
+    * checkpoint can re-deliver are exactly the ones an older era may have
+    * half-landed, and under the single-runner contract that older bookkeeping
+    * can only be this stream's own. A FRESH checkpoint gets no aliases: a
+    * dead run that happened to use the same path must never make the new
+    * run's batches look committed (the data-loss class run identity exists
+    * to prevent). */
+  def runKeys(spark: SparkSession, checkpointDir: String): RunKeys = {
+    val run = runIdentity(spark, checkpointDir)
+    val (fs, ck) = fsFor(spark, checkpointDir)
+    val offsets = new Path(ck, "offsets")
+    val resumed = fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+    if (resumed) RunKeys(run, Seq(legacyPathTag(checkpointDir), ""))
+    else RunKeys(run, Nil)
   }
 
   /** Highest batch id recorded in the checkpoint's `commits/` log, or -1
@@ -103,20 +168,41 @@ object IdempotentFold {
     }
   }
 
-  /** The keyed-file name prefix for (`run`, `batchId`). */
-  def keyedPrefix(run: String, batchId: Long) = s"r${run}_b${batchId}_"
+  /** The keyed-file name prefix for (`run`, `batchId`). `run == ""` renders
+    * the pre-r16 batch-only form (`b<id>_`) — read-side alias only; writes
+    * always carry the current tag. */
+  def keyedPrefix(run: String, batchId: Long) =
+    if (run.isEmpty) s"b${batchId}_" else s"r${run}_b${batchId}_"
 
   /** Parse a keyed file name back to its (run, batchId), None for plain
     * (unkeyed) parts — how [[FoldCompaction]] splits a dataset's files
-    * into replay-dead and replay-live. */
+    * into replay-dead and replay-live. Pre-r16 batch-only names parse as
+    * run `""`. */
   def parseKeyed(name: String): Option[(String, Long)] = name match {
-    case KeyedRe(run, id) => Some((run, id.toLong))
-    case _                => None
+    case KeyedRe(run, id)  => Some((run, id.toLong))
+    case LegacyKeyedRe(id) => Some(("", id.toLong))
+    case _                 => None
   }
-  private val KeyedRe = """^r([0-9a-f]{8})_b(\d+)_.*""".r
+  private val KeyedRe = """^r([0-9a-f]{8,64})_b(\d+)_.*""".r
+  private val LegacyKeyedRe = """^b(\d+)_.*""".r
+
+  /** A marker's file name for (`run`, `batchId`) — `""` is the pre-r16
+    * batch-only era. */
+  def markerName(run: String, batchId: Long): String =
+    if (run.isEmpty) s"b$batchId" else s"r${run}_b$batchId"
+
+  /** Parse a marker file name to (run, batchId); pre-r16 batch-only
+    * markers parse as run `""`. */
+  def parseMarker(name: String): Option[(String, Long)] = name match {
+    case MarkerRe(run, id)  => Some((run, id.toLong))
+    case LegacyMarkerRe(id) => Some(("", id.toLong))
+    case _                  => None
+  }
+  private val MarkerRe = """^r([0-9a-f]{8,64})_b(\d+)$""".r
+  private val LegacyMarkerRe = """^b(\d+)$""".r
 
   private def markerPath(p: Path, run: String, batchId: Long) =
-    new Path(p, s"_commits/r${run}_b$batchId")
+    new Path(p, s"_commits/${markerName(run, batchId)}")
 
   /** Has `batchId` of run `run` been fully committed into the fold at
     * `dir`? */
@@ -126,35 +212,45 @@ object IdempotentFold {
     fs.exists(markerPath(p, run, batchId))
   }
 
+  /** [[isCommitted]] under the current tag OR any upgrade alias — the
+    * resumed-checkpoint read path (a batch an older code era fully landed
+    * must not be recomputed on replay; ADVICE r16 upgrade). */
+  def isCommittedAny(spark: SparkSession, dir: String, keys: RunKeys,
+                     batchId: Long): Boolean =
+    keys.all.exists(isCommitted(spark, dir, _, batchId))
+
   /** Land the batch's commit marker — call ONLY after every side-effect
     * (keyed appends AND the manifest fold) has completed. */
   def markCommitted(spark: SparkSession, dir: String, run: String,
                     batchId: Long): Unit = {
+    require(run.nonEmpty, "commit markers are always written run-tagged")
     val (fs, p) = fsFor(spark, dir)
     fs.create(markerPath(p, run, batchId), true).close()
   }
 
-  /** Delete run `run`'s markers at or below `horizon` (see
+  /** Delete markers of the given runs at or below `horizon` (see
     * [[committedHorizon]] — those batches can never be re-delivered, so
     * their markers are dead weight that would otherwise accumulate
     * one-per-batch forever). Returns how many were pruned. */
-  def pruneMarkers(spark: SparkSession, dir: String, run: String,
+  def pruneMarkers(spark: SparkSession, dir: String, runs: Seq[String],
                    horizon: Long): Int = {
     val (fs, p) = fsFor(spark, dir)
     val commits = new Path(p, "_commits")
     if (!fs.exists(commits)) 0
     else {
-      val MarkerRe = """^r([0-9a-f]{8})_b(\d+)$""".r
       val dead = fs.listStatus(commits).toSeq.filter { st =>
-        st.getPath.getName match {
-          case MarkerRe(r, id) => r == run && id.toLong <= horizon
-          case _               => false
-        }
+        parseMarker(st.getPath.getName)
+          .exists { case (r, id) => runs.contains(r) && id <= horizon }
       }
       dead.foreach(st => fs.delete(st.getPath, false))
       dead.size
     }
   }
+
+  /** Single-run convenience overload. */
+  def pruneMarkers(spark: SparkSession, dir: String, run: String,
+                   horizon: Long): Int =
+    pruneMarkers(spark, dir, Seq(run), horizon)
 
   /** Remove `batchId`'s keyed part files (and any stale staging dir) from
     * the dataset at `destDir` — the replay's first move, erasing a crashed
@@ -173,6 +269,46 @@ object IdempotentFold {
       if (fs.exists(staging)) fs.delete(staging, true): Unit
     }
   }
+
+  /** [[cleanKeyed]] under the current tag AND every upgrade alias: a torn
+    * attempt of this batch may have been written by an older code era
+    * (`b<id>_` files, r16 path-tag files) — the replay must erase those
+    * too or the recompute double-appends (ADVICE r16 upgrade). */
+  def cleanKeyedAll(spark: SparkSession, destDir: String, keys: RunKeys,
+                    batchId: Long): Unit =
+    keys.all.foreach(cleanKeyed(spark, destDir, _, batchId))
+
+  /** Shuffle partitions for ONE micro-batch when the caller set no
+    * explicit override (VERDICT r16 #5): size to the batch's own input
+    * bytes at ~`targetBytes` per partition — the [[graft.operators.Fact]]
+    * `suggestSlices` shape applied per batch — clamped to [`floorN`,
+    * `cap`]. The floor keeps the gate's tiny batches at the old default 8;
+    * the cap bounds task-scheduling overhead for a pathological burst. */
+  def deriveShufflePartitions(inputBytes: Long, targetBytes: Long = 64L << 20,
+                              floorN: Int = 8, cap: Int = 2048): Int = {
+    require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
+    val n = (inputBytes + targetBytes - 1) / targetBytes
+    math.min(cap.toLong, math.max(floorN.toLong, n)).toInt
+  }
+
+  /** Apply the batch's shuffle sizing to its session and return the value
+    * in force: an explicit caller override wins unconditionally (it was
+    * already set once by [[foldSession]] — precedence pinned in spec);
+    * otherwise derive from the batch's optimizer-estimated input bytes
+    * (real file sizes for a file-source micro-batch) and set it for this
+    * batch's plans. Unusable stats (the optimizer's Long.Max default for
+    * sourceless plans) fall back to the floor — the old fixed default. */
+  def sizeBatchShuffle(b: org.apache.spark.sql.Dataset[_],
+                       explicit: Option[Int],
+                       targetBytes: Long = 64L << 20): Int =
+    explicit.getOrElse {
+      val raw = b.queryExecution.optimizedPlan.stats.sizeInBytes
+      val bytes = if (raw.isValidLong) raw.toLong else 0L
+      val usable = if (bytes == Long.MaxValue) 0L else bytes
+      val n = deriveShufflePartitions(usable, targetBytes)
+      b.sparkSession.conf.set("spark.sql.shuffle.partitions", n.toString)
+      n
+    }
 
   /** Append `df`'s rows to the flat parquet dataset at `destDir`, keyed by
     * (`run`, `batchId`): write to `destDir/_staging_r<run>_b<id>`

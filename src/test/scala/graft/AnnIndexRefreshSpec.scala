@@ -91,7 +91,7 @@ class AnnIndexRefreshSpec extends SparkSpec {
     val wantCodes = table("codes").count()
     val wantManifest = ArtifactManifest.read(idx, spark).get
 
-    val run = graft.streaming.IdempotentFold.runTag(ck)
+    val run = graft.streaming.IdempotentFold.runIdentity(spark, ck)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lastBatch = fs.listStatus(new org.apache.hadoop.fs.Path(idx, "_commits"))

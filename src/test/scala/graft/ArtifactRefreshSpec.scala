@@ -94,7 +94,7 @@ class ArtifactRefreshSpec extends SparkSpec {
 
     // last batch that actually folded (its commit marker exists) — markers
     // are keyed by the checkpoint's run tag since r16
-    val run = graft.streaming.IdempotentFold.runTag(ck)
+    val run = graft.streaming.IdempotentFold.runIdentity(spark, ck)
     val fs = new org.apache.hadoop.fs.Path(art)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lastBatch = fs.listStatus(new org.apache.hadoop.fs.Path(art, "_commits"))

@@ -326,4 +326,26 @@ class CompactionSpec extends SparkSpec {
       operators.ArtifactManifest.check(out, spark.read.parquet(out), cols)
     }
   }
+
+  test("subset entries normalize before dedup: equivalent spellings are ONE leaf (ADVICE r16)") {
+    import graft.operators.ArtifactManifest
+    val in = tmp("compact_norm_in")
+    val out = tmp("compact_norm_out"); val outFull = tmp("compact_norm_outfull")
+    docs(300).repartition(4).write.partitionBy("grp").mode("overwrite").parquet(in)
+    Compaction.compactPartitioned(spark, in, out, 64L << 20)
+    // drift grp=2 so a double-applied incremental delta would corrupt the
+    // rollup (old raw-string distinct kept "grp=2" and "grp=2/" as two
+    // entries: the same leaf compacted twice and its delta counted twice)
+    Seq((901L, "delta", 2)).toDF("doc_id", "text", "grp")
+      .write.partitionBy("grp").mode("append").parquet(in)
+    val stats = Compaction.compactPartitioned(spark, in, out, 64L << 20,
+      partitions = Some(Seq("grp=2", "grp=2/", "/grp=2//")), parallelism = 2)
+    assert(stats.keySet === Set("grp=2"),
+      "equivalent spellings must collapse to one normalized leaf")
+    // the incrementally-updated rollup still equals a full recompute
+    Compaction.compactPartitioned(spark, in, outFull, 64L << 20)
+    val (ri, rf) = (ArtifactManifest.read(out, spark).get,
+      ArtifactManifest.read(outFull, spark).get)
+    assert((ri.nRows, ri.inputHash) === ((rf.nRows, rf.inputHash)))
+  }
 }

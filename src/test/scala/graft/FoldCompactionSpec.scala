@@ -131,7 +131,7 @@ class FoldCompactionSpec extends SparkSpec {
       artT, pairsT, ckB)
 
     // ---- replay drill: tear run B's last batch and restart -------------
-    val runB = IdempotentFold.runTag(ckB)
+    val runB = IdempotentFold.runIdentity(spark, ckB)
     val fs = fsOf(artT)
     val lastBatch = fs.listStatus(new Path(artT, "_commits"))
       .map(_.getPath.getName.stripPrefix(s"r${runB}_b").toLong).max
@@ -233,6 +233,181 @@ class FoldCompactionSpec extends SparkSpec {
     // …so a replay can still erase exactly that batch's contribution
     IdempotentFold.cleanKeyed(spark, ds, runB, 1L)
     assert(spark.read.parquet(ds).count() === want.size - 10L)
+  }
+
+  test("retireRuns deletes dead runs' markers once their files merged; refuses while keyed files remain (VERDICT r16 #4)") {
+    import spark.implicits._
+    val parent = tmp("foldc_retire")
+    val art = s"$parent/art"; val ds = s"$art/data.parquet"
+    fsOf(parent).mkdirs(new Path(art))
+    def batchDf(lo: Long) = (lo until lo + 10L).map(i => (i, s"v$i"))
+      .toDF("id", "v").coalesce(1)
+    val runA = "aaaaaaaaaaaaaaaa"; val runB = "bbbbbbbbbbbbbbbb"
+    val runC = "cccccccccccccccc"
+    for ((r, lo) <- Seq((runA, 0L), (runB, 100L))) {
+      IdempotentFold.appendKeyed(batchDf(lo), ds, r, 0L)
+      IdempotentFold.markCommitted(spark, art, r, 0L)
+    }
+    // live run C: committed, but above C's own compaction horizon
+    IdempotentFold.appendKeyed(batchDf(200), ds, runC, 7L)
+    IdempotentFold.markCommitted(spark, art, runC, 7L)
+
+    // refuse while A's keyed files are unmerged
+    intercept[IllegalArgumentException](
+      FoldCompaction.retireRuns(spark, art, Seq(ds), Seq(runA)))
+
+    // compact as run C: A and B merge under marker proof; C stays keyed
+    val want = spark.read.parquet(ds).collect().map(_.toString).sorted.toSeq
+    FoldCompaction.compactFold(spark, ds, runC, horizon = -1L,
+      targetFileBytes = 64L << 20, markerDir = Some(art))
+    assert(spark.read.parquet(ds).collect().map(_.toString).sorted.toSeq === want)
+
+    assert(FoldCompaction.markerRuns(spark, art) === Set(runA, runB, runC))
+    val n = FoldCompaction.retireRuns(spark, art, Seq(ds), Seq(runA, runB))
+    assert(n === 2)
+    assert(!IdempotentFold.isCommitted(spark, art, runA, 0L))
+    assert(!IdempotentFold.isCommitted(spark, art, runB, 0L))
+    assert(IdempotentFold.isCommitted(spark, art, runC, 7L),
+      "the live run's markers survive retirement of the dead ones")
+    // run C's replay contract is intact: its keyed files still erase cleanly
+    IdempotentFold.cleanKeyed(spark, ds, runC, 7L)
+    assert(spark.read.parquet(ds).count() === want.size - 10L)
+  }
+
+  test("plain parts at compaction size are retained verbatim: a nightly pass costs O(new), not O(artifact) (ADVICE r16)") {
+    import spark.implicits._
+    val parent = tmp("foldc_keep")
+    val art = s"$parent/art"; val ds = s"$art/data.parquet"
+    val fs = fsOf(parent)
+    fs.mkdirs(new Path(ds))
+    def movePart(stage: String, rename: String => String = identity): String = {
+      val part = fs.listStatus(new Path(stage))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-")).head
+      val name = rename(part.getPath.getName)
+      require(fs.rename(part.getPath, new Path(ds, name)))
+      name
+    }
+    // a "prior compaction output": one big plain part
+    val bigStage = tmp("foldc_keep_big")
+    (1L to 20000L).map(i => (i, s"payload $i ${"y" * (i % 53).toInt}"))
+      .toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(bigStage)
+    val bigName = movePart(bigStage)
+    val bigLen = fs.getFileStatus(new Path(ds, bigName)).getLen
+    assert(bigLen > 20000, s"fixture big part too small: $bigLen")
+    // tonight's new work: one dead keyed batch + one small plain file
+    val run = "dddddddddddddddd"
+    IdempotentFold.appendKeyed(
+      (1L to 20L).map(i => (i + 100000L, s"n$i")).toDF("id", "v").coalesce(1),
+      ds, run, 0L)
+    val smallStage = tmp("foldc_keep_small")
+    (1L to 30L).map(i => (i + 200000L, s"s$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(smallStage)
+    movePart(smallStage, n => s"part-small-$n")
+
+    val want = spark.read.parquet(ds).collect().map(_.toString).sorted.toSeq
+    val mtimeBefore = fs.getFileStatus(new Path(ds, bigName)).getModificationTime
+    val st1 = FoldCompaction.compactFold(spark, ds, run, horizon = 0L,
+      targetFileBytes = bigLen * 2, markerDir = Some(art))
+    assert(!st1.skipped && st1.merged === 2,
+      "exactly the keyed batch and the small plain file merge")
+    assert(st1.liveKept === 1, "the compaction-sized plain part is retained")
+    val after = fs.getFileStatus(new Path(ds, bigName))
+    assert(after.getModificationTime === mtimeBefore,
+      "retained verbatim (linked/copied, never rewritten)")
+    assert(spark.read.parquet(ds).collect().map(_.toString).sorted.toSeq === want)
+
+    // next night with nothing new: the single merged runt alone is a no-op
+    val st2 = FoldCompaction.compactFold(spark, ds, run, horizon = 0L,
+      targetFileBytes = bigLen * 2, markerDir = Some(art))
+    assert(st2.skipped, "a lone plain runt must not be rewritten into itself")
+    assert(spark.read.parquet(ds).collect().map(_.toString).sorted.toSeq === want)
+  }
+
+  test("upgrade path: a resumed checkpoint honors pre-r16 batch-only bookkeeping — committed batches skip, torn batches clean and recompute, the manifest never double-folds (ADVICE r16)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(col("doc_id") % 4 >= 2)
+    val delta = docs.filter(col("doc_id") % 4 < 2)
+    val deltaDir = splitDelta(delta)
+
+    // control: uninterrupted modern run
+    val artC = buildArtifact(base)
+    val pairsC = tmp("foldc_up_pc")
+    ArtifactRefresh.refreshFromStream(spark, deltaDir, "doc_id", "text",
+      artC, pairsC, tmp("foldc_up_ckc"))
+    val wantPairs = pairsMultiset(pairsC)
+    val wantBands = spark.read.parquet(s"$artC/bands.parquet").count()
+
+    // rewrite a run's bookkeeping to the pre-r16 era: b<id>_ file names,
+    // _commits/b<id> markers, a run-less manifest fold stamp
+    def demote(art: String, pairs: String, ck: String): Long = {
+      val run = IdempotentFold.runIdentity(spark, ck)
+      val fs = fsOf(art)
+      for (d <- Seq(s"$art/shingles.parquet", s"$art/bands.parquet", pairs);
+           st <- fs.listStatus(new Path(d)) if st.isFile) {
+        val n = st.getPath.getName
+        if (n.startsWith(s"r${run}_b"))
+          require(fs.rename(st.getPath, new Path(d, n.stripPrefix(s"r${run}_"))))
+      }
+      var last = -1L
+      for (st <- fs.listStatus(new Path(art, "_commits"))) {
+        IdempotentFold.parseMarker(st.getPath.getName).foreach { case (r, id) =>
+          if (r == run) {
+            last = math.max(last, id)
+            fs.create(new Path(art, s"_commits/b$id"), true).close()
+            fs.delete(st.getPath, false)
+          }
+        }
+      }
+      val m = ArtifactManifest.read(art, spark).get
+      ArtifactManifest.writeValues(art, m.nRows, m.inputHash, spark,
+        m.foldBatch, foldRun = None)
+      last
+    }
+    def tearEngineCommit(ck: String, id: Long): Unit = {
+      new java.io.File(s"$ck/commits").listFiles()
+        .filter(f => f.getName.forall(_.isDigit) && f.getName.toLong >= id)
+        .foreach { f =>
+          assert(f.delete())
+          val crc = new java.io.File(f.getParent, s".${f.getName}.crc")
+          if (crc.exists()) assert(crc.delete())
+        }
+    }
+
+    // case 1: the legacy batch fully landed (marker present) but the engine
+    // commit was torn — the replay must SKIP on the legacy marker
+    val art1 = buildArtifact(base); val pairs1 = tmp("foldc_up_p1")
+    val ck1 = tmp("foldc_up_ck1")
+    ArtifactRefresh.refreshFromStream(spark, deltaDir, "doc_id", "text",
+      art1, pairs1, ck1)
+    val last1 = demote(art1, pairs1, ck1)
+    assert(last1 >= 2)
+    tearEngineCommit(ck1, last1)
+    ArtifactRefresh.refreshFromStream(spark, deltaDir, "doc_id", "text",
+      art1, pairs1, ck1)
+    assert(pairsMultiset(pairs1) === wantPairs)
+    assert(spark.read.parquet(s"$art1/bands.parquet").count() === wantBands)
+    ArtifactManifest.check(art1, docs.select(dCols: _*), dCols)
+
+    // case 2: the legacy batch is TORN (marker gone, a band file gone) but
+    // its manifest fold landed — the replay must erase the legacy files,
+    // recompute under the new tag, and NOT fold the manifest twice
+    val art2 = buildArtifact(base); val pairs2 = tmp("foldc_up_p2")
+    val ck2 = tmp("foldc_up_ck2")
+    ArtifactRefresh.refreshFromStream(spark, deltaDir, "doc_id", "text",
+      art2, pairs2, ck2)
+    val last2 = demote(art2, pairs2, ck2)
+    val fs2 = fsOf(art2)
+    fs2.delete(new Path(art2, s"_commits/b$last2"), false)
+    val keyed = fs2.listStatus(new Path(s"$art2/bands.parquet"))
+      .filter(_.getPath.getName.startsWith(s"b${last2}_"))
+    assert(keyed.nonEmpty, "expected legacy-named band files")
+    fs2.delete(keyed.head.getPath, false) // tear the legacy append
+    tearEngineCommit(ck2, last2)
+    ArtifactRefresh.refreshFromStream(spark, deltaDir, "doc_id", "text",
+      art2, pairs2, ck2)
+    assert(pairsMultiset(pairs2) === wantPairs)
+    assert(spark.read.parquet(s"$art2/bands.parquet").count() === wantBands)
+    ArtifactManifest.check(art2, docs.select(dCols: _*), dCols)
   }
 
   test("foldSession: a caller-set shuffle-partition override survives; default stays 8") {
