@@ -223,6 +223,80 @@ def run_lm_bucket(outdir, sfdir, query, sql, k, mem, selfcheck):
         shutil.rmtree(work, ignore_errors=True)
 
 
+# ------------------------------------- q_pq_code: xs-stratified, cb full
+def run_pq_code(outdir, sfdir, query, sql, k, mem, selfcheck):
+    """Stratify the xs CTE (the 2M query vectors) by vec_id % K while the
+    codebook CTE keeps reading the FULL embeddings table: per-(vec_id,sub)
+    argmin depends only on that vector and the whole codebook, and the
+    output rows partition exactly by vec_id % K — so K per-slice bighash
+    equalities ARE full-surface equality, with each DuckDB process holding
+    a ~4e11/K-pair cross product instead of the whole thing."""
+    marker = "FROM embeddings, subs),"
+    if sql.count(marker) != 1:
+        raise RuntimeError(f"pq_code xs CTE marker not unique: "
+                           f"{sql.count(marker)} occurrences")
+    eng = engine_sql(outdir, query)
+    ok = True
+    for i in range(k):
+        sliced = sql.replace(
+            marker, f"FROM embeddings, subs WHERE vec_id % {k} = {i}),")
+        got = bighash_pair(
+            sfdir, sliced,
+            f"SELECT * FROM ({eng}) q WHERE vec_id % {k} = {i}", mem)
+        match = got["a"] == got["b"]
+        ok = ok and match
+        print(f"[sliced] {query} stratum {i}/{k}: oracle n={got['a'][1]} "
+              f"engine n={got['b'][1]} "
+              f"{'OK' if match else 'MISMATCH ' + json.dumps(got)}",
+              flush=True)
+    if ok and selfcheck:
+        got = bighash_pair(sfdir, sql, engine_sql(outdir, query), mem)
+        same = got["a"] == got["b"]
+        print(f"[sliced] {query} selfcheck (one-shot): "
+              f"{'OK' if same else 'MISMATCH'}", flush=True)
+        ok = ok and same
+    return ok
+
+
+# ------------------- q_cosine_neardup_lsh: bucket-stratified pair compare
+def run_lsh_neardup(outdir, sfdir, query, sql, k, mem, selfcheck):
+    """Both members of every output pair share one SRP bucket, so pairs
+    partition exactly by bucket % K: per-slice, the oracle's b CTE keeps
+    only bucket % K = i vectors (the quadratic within-bucket join runs on
+    ~1/K of the candidate mass per fresh process) and the engine dump is
+    filtered by vec_id_a's recomputed bucket."""
+    head = "WITH b AS ("
+    tail = "FROM embeddings)"
+    if not sql.startswith(head) or sql.count(tail) != 1:
+        raise RuntimeError("lsh_neardup SQL shape changed; update rewrite")
+    bucket_expr = sql[len(head):sql.index(tail)]  # SELECT ... bucket\n
+    eng = engine_sql(outdir, query)
+    ok = True
+    for i in range(k):
+        sliced = sql.replace(head, "WITH b0 AS (", 1).replace(
+            tail,
+            f"FROM embeddings), b AS "
+            f"(SELECT * FROM b0 WHERE bucket % {k} = {i})", 1)
+        eng_sliced = (
+            f"SELECT e.* FROM ({eng}) e JOIN "
+            f"({bucket_expr} FROM embeddings) bb ON e.vec_id_a = bb.vec_id "
+            f"WHERE bb.bucket % {k} = {i}")
+        got = bighash_pair(sfdir, sliced, eng_sliced, mem)
+        match = got["a"] == got["b"]
+        ok = ok and match
+        print(f"[sliced] {query} bucket-stratum {i}/{k}: "
+              f"oracle n={got['a'][1]} engine n={got['b'][1]} "
+              f"{'OK' if match else 'MISMATCH ' + json.dumps(got)}",
+              flush=True)
+    if ok and selfcheck:
+        got = bighash_pair(sfdir, sql, engine_sql(outdir, query), mem)
+        same = got["a"] == got["b"]
+        print(f"[sliced] {query} selfcheck (one-shot): "
+              f"{'OK' if same else 'MISMATCH'}", flush=True)
+        ok = ok and same
+    return ok
+
+
 def main(argv):
     args = [a for a in argv if not a.startswith("--")]
     outdir, sfdir, query = args[0], args[1], args[2]
@@ -239,6 +313,10 @@ def main(argv):
     sql = json.load(open(f"{outdir}/oracle_sql.json"))[query]
     if query == "q_lm_bucket":
         ok = run_lm_bucket(outdir, sfdir, query, sql, k, mem, selfcheck)
+    elif query == "q_pq_code":
+        ok = run_pq_code(outdir, sfdir, query, sql, k, mem, selfcheck)
+    elif query == "q_cosine_neardup_lsh":
+        ok = run_lsh_neardup(outdir, sfdir, query, sql, k, mem, selfcheck)
     else:
         ok = run_generic(outdir, sfdir, query, sql, col, k, mem)
         if ok and selfcheck:
