@@ -51,9 +51,17 @@ object Fact {
   def fatoVendasNoSk(vendas: DataFrame, itemVendas: DataFrame, dimTempo: DataFrame,
                      dimCliente: DataFrame, dimProduto: DataFrame, dimVendedor: DataFrame,
                      dimLoja: DataFrame): DataFrame = {
-    // J1 — the one big⋈big join (etl_completo.py:598-604).
+    // J1 — the one big⋈big join (etl_completo.py:598-604). The item side is
+    // fanned out to session parallelism first (guide §2.4; exact no-op when
+    // the source already has ≥cores splits, the 100 TB state): with a
+    // single-split source the planner broadcasts the (smaller) vendas side
+    // and the ENTIRE fused fact pipeline — J1, five broadcast lookups, date
+    // parse, measures — otherwise runs inside the one item-scan task
+    // (measured r17: 6.0 s of task time on one core of local[32]).
     val base = vendas.select("id_venda", "data_venda", "id_cliente", "id_vendedor", "id_loja")
-      .join(itemVendas.select("id_venda", "id_produto", "qtd_vendida", "preco_venda"),
+      .join(Parallelism.fanOut(
+          itemVendas.select("id_venda", "id_produto", "qtd_vendida", "preco_venda"),
+          Seq(col("id_venda"))),
         Seq("id_venda"), "inner")
 
     // F13 (etl_completo.py:615-635): drop malformed rows, null the sentinels.
@@ -246,9 +254,12 @@ object Fact {
   def fatoVendasV2(vendas: DataFrame, itemVendas: DataFrame, dimTempo: DataFrame,
                    dimCliente: DataFrame, dimProduto: DataFrame, dimVendedor: DataFrame,
                    dimLoja: DataFrame, dimPromocao: DataFrame): DataFrame = {
+    // same J1 fan-out as v1 (no-op at scale)
     val base = vendas.select("id_venda", "data_venda", "id_cliente", "id_vendedor", "id_loja")
-      .join(itemVendas.select("id_venda", "id_produto", "qtd_vendida", "preco_venda",
-        "id_promocao_aplicada"), Seq("id_venda"), "inner")
+      .join(Parallelism.fanOut(
+          itemVendas.select("id_venda", "id_produto", "qtd_vendida", "preco_venda",
+            "id_promocao_aplicada"), Seq(col("id_venda"))),
+        Seq("id_venda"), "inner")
       .withColumn("__data_obj", parseMultiFormatDate(col("data_venda")))
 
     val joined = base

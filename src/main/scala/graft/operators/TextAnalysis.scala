@@ -394,7 +394,11 @@ object TextAnalysis {
   private def bpeLoop(docs: DataFrame, text: String, rounds: Int,
                       ckRoot: Option[String]): (List[DataFrame], DataFrame) = {
     require(rounds >= 1, "bpeTrain needs at least one merge round")
-    val vocab = docs.select(explode(words(col(text))).as("word"))
+    // corpus pass fanned out before the explode (no-op at scale): the
+    // word-count's map side otherwise runs inside the one scan task of a
+    // single-split source
+    val vocab = Parallelism.fanOut(docs.select(col(text)), Seq(col(text)))
+      .select(explode(words(col(text))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     var seg = IterState(
@@ -444,7 +448,7 @@ object TextAnalysis {
     val (_, seg) = bpeLoop(docs, text, rounds, ckRoot)
     // word_idx counts ALL split positions (1-based, empties included) and
     // only then drops empty words — position numbering is split-stable
-    val toks = docs
+    val toks = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
       .select(col(id).as("doc_id"), posexplode(words(col(text))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("word_idx"),
         col("col").as("word"))
@@ -489,7 +493,13 @@ object TextAnalysis {
     val mergePairs = spark.read.parquet(s"$dir/merges.parquet")
       .orderBy(col("round")).select(col("pair")).collect()
       .map(_.getString(0)) // K rows — model-sized by construction
-    val toks = docs
+    // corpus side fanned out BEFORE the explode (guide §2.4; no-op at
+    // scale): with a single-split docs source the planner otherwise
+    // broadcast the CORPUS token stream (its pre-explode size estimate
+    // undercuts the vocab's) and fused the whole tokenize onto the vocab's
+    // one scan task — backwards at every scale, serial locally (r17
+    // measured 6.8 s of task time on one core)
+    val toks = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
       .select(col(id).as("doc_id"), posexplode(words(col(text))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("word_idx"),
         col("col").as("word"))
@@ -503,7 +513,11 @@ object TextAnalysis {
         applyMergeFold(col("sym"), lit(ab(0)), lit(ab(1))).as("sym"))
     }
     val fullSeg = vocab.select(col("word"), col("sym")).unionByName(oovSeg)
-    toks.join(fullSeg, Seq("word"))
+    // the segmentation table is MODEL-sized (trained vocab + this corpus's
+    // OOV words) — broadcast it explicitly so the corpus stream is the
+    // probe side at every scale (guide §3.1: the planner's size estimates
+    // pick the wrong build side here)
+    toks.join(broadcast(fullSeg), Seq("word"))
       .select(col("doc_id"), col("word_idx"), posexplode(col("sym")))
       .select(col("doc_id"), col("word_idx"),
         (col("pos") + 1).cast("long").as("token_idx"), col("col").as("token"))
