@@ -21,7 +21,11 @@ object Curation {
              minQuality: Double, sampleFraction: Double): DataFrame = {
     val keepers = Dedup.exactDedup(docs, col(text), col(id))
       .select(col("doc_id").as(id))
-    docs.select(col(id),
+    // fanned out before the fused scoring projection (guide §2.4; no-op at
+    // scale): lang+quality scoring is the pipeline's CPU-heavy pass and
+    // otherwise runs inside a single-split source's one scan task
+    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id),
         TextAnalysis.langPredCol(col(text)).as("lang_pred"),
         TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
       .join(keepers, Seq(id), "left_semi")
@@ -114,7 +118,7 @@ object Curation {
     val f1 = TextAnalysis.langPredCol(col(text)) === lang
     val f2 = f1 && TextAnalysis.qualityScoreCol(col(text)) >= minQuality
     val f3Base = col("__keeper").isNotNull
-    val flags = docs
+    val flags = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
       .join(keepers, Seq(id), "left")
       .select(col(id), f1.as("__f1"), f2.as("__f2"),
         (f2 && f3Base).as("__f3"))
@@ -147,7 +151,8 @@ object Curation {
     */
   def tokenBudget(docs: DataFrame, text: String, source: String,
                   budget: Long, maxEpochs: Int): DataFrame = {
-    val counts = docs.groupBy(col(source).as("source"))
+    val counts = Parallelism.fanOut(docs.select(col(source), col(text)), Seq(col(text)))
+      .groupBy(col(source).as("source"))
       .agg(sum(size(regexp_extract_all(col(text),
         lit(TextAnalysis.TokenPattern), lit(0))).cast("long")).as("n_tokens"))
     val total = counts.agg(sum(col("n_tokens")).as("total_tokens"))
@@ -180,8 +185,10 @@ object Curation {
   def capPerDomain(docs: DataFrame, id: String, text: String, domain: String,
                    cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = docs.select(col(id).as("doc_id"), col(domain).as("domain"),
-      TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
+    val scored = Parallelism.fanOut(
+        docs.select(col(id), col(domain), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"), col(domain).as("domain"),
+        TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
       .filter(col("quality_score").isNotNull)
     val w = Window.partitionBy(col("domain"))
       .orderBy(col("quality_score").desc, col("doc_id"))
@@ -232,8 +239,10 @@ object Curation {
     */
   def capPerDomainAgg(docs: DataFrame, id: String, text: String, domain: String,
                       cap: Int): DataFrame = {
-    val scored = docs.select(col(id).as("doc_id"), col(domain).as("domain"),
-      TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
+    val scored = Parallelism.fanOut(
+        docs.select(col(id), col(domain), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"), col(domain).as("domain"),
+        TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
       .filter(col("quality_score").isNotNull) // same contract as capPerDomain
     scored.groupBy(col("domain"))
       .agg(graft.functions.TopKAggregate.topKByScore(

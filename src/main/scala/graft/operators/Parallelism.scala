@@ -39,9 +39,23 @@ object Parallelism {
     * monotonically_increasing_id) must fan out BEFORE deriving, as the
     * Surrogate helpers do via their own exchanges.
     */
+  /** Session kill-switch: the micro-batch fold sessions set this false —
+    * a production micro-batch arrives as many files (fan-out is a no-op
+    * there anyway), while the gate's tiny batches only pay the exchange +
+    * per-call planning for nothing (measured r17: +1-3 s per refresh
+    * query). */
+  val EnabledConf = "spark.graft.fanout.enabled"
+
   def fanOut(df: DataFrame, keys: Seq[Column] = Nil): DataFrame = {
     if (df.isStreaming) return df
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val session = df.sparkSession
+    if (session.conf.get(EnabledConf, "true") != "true") return df
+    // target the session's intended shuffle width, not the raw core count:
+    // a caller that sized spark.sql.shuffle.partitions for its batch (the
+    // refresh loops' per-batch sizing) must not be overridden upward
+    val target = math.min(
+      session.sparkContext.defaultParallelism,
+      session.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val current = df.rdd.getNumPartitions
     if (current >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)

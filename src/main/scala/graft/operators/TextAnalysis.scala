@@ -33,7 +33,10 @@ object TextAnalysis {
     * (chunking, vocab building) groups as it needs to.
     */
   def tokenStream(docs: DataFrame, id: String, text: String): DataFrame =
-    docs
+    // fanned out before the regex explode (guide §2.4; no-op at scale):
+    // tokenStream is the head of hashFeatures / sparse-cosine / LM-count
+    // pipelines, all otherwise serialized by a single-split source
+    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
       .select(col(id).as("doc_id"),
         posexplode(regexp_extract_all(col(text), lit(TokenPattern), lit(0))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("token_idx"),
@@ -44,7 +47,8 @@ object TextAnalysis {
     */
   def tokenCounts(docs: DataFrame, id: String, text: String): DataFrame = {
     val ws = words(col(text))
-    docs.select(col(id).as("doc_id"),
+    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"),
       length(col(text)).cast("long").as("n_chars"),
       size(ws).cast("long").as("n_words"),
       size(array_distinct(ws)).cast("long").as("n_distinct_words"),
@@ -80,7 +84,8 @@ object TextAnalysis {
     val distinctRatio = size(array_distinct(ws)).cast("double") / nWords
     val stopRatio = hitCount(ws, StopwordsEn).cast("double") / nWords
     val meanWordLen = (length(col(text)).cast("double") - (nWords - 1)) / nWords
-    docs.select(col(id).as("doc_id"),
+    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"),
       size(ws).cast("long").as("n_words"),
       detRound(distinctRatio, 4).as("distinct_ratio"),
       detRound(stopRatio, 4).as("stopword_ratio"),
@@ -107,7 +112,8 @@ object TextAnalysis {
 
   def langId(docs: DataFrame, id: String, text: String): DataFrame = {
     val ws = words(lower(col(text)))
-    docs.select(col(id).as("doc_id"),
+    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"),
       hitCount(ws, StopwordsEn).cast("long").as("score_en"),
       hitCount(ws, StopwordsPt).cast("long").as("score_pt"),
       hitCount(ws, StopwordsEs).cast("long").as("score_es"),
@@ -167,7 +173,8 @@ object TextAnalysis {
     */
   def topTermsByTfRarity(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = docs.select(col(id).as("doc_id"), explode(words(col(text))).as("term"))
+    val terms = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"), explode(words(col(text))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -183,7 +190,8 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
     // native expression (codegen); null text → 0 like the Python-falsy
     // convention and the oracle's CASE (rollingFingerprint("") is 0 itself)
-    docs.select(col(id).as("doc_id"),
+    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"),
       coalesce(graft.functions.VectorExpressions.rollingFingerprint(col(text), 8), lit(0L))
         .as("fingerprint"))
 
@@ -205,8 +213,9 @@ object TextAnalysis {
     */
   def winnow(docs: DataFrame, id: String, text: String,
              k: Int = 3, w: Int = 4): DataFrame = {
-    val wordsArr = docs.select(col(id).as("doc_id"), words(col(text)).as("__w"),
-      col(text).as("__t"))
+    val wordsArr = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"), words(col(text)).as("__w"),
+        col(text).as("__t"))
     val gram = (i: Column) => concat_ws(" ",
       (0 until k).map(j => element_at(col("__w"), i + j)): _*)
     val grams = wordsArr.select(col("doc_id"),
@@ -239,7 +248,8 @@ object TextAnalysis {
     */
   def vocabCoverage(docs: DataFrame, id: String, text: String,
                     levels: Seq[Double]): DataFrame = {
-    val counts = docs.select(explode(words(col(text))).as("term"))
+    val counts = Parallelism.fanOut(docs.select(col(text)), Seq(col(text)))
+      .select(explode(words(col(text))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val ranked = Surrogate.rankedRunningTotal(counts, col("cnt"), "rank", "cum",
       Seq(col("cnt").desc, col("term")))
@@ -271,8 +281,9 @@ object TextAnalysis {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, id: String, text: String,
                     flagThreshold: Double = 0.5): DataFrame = {
-    val corpusSh = corpus.select(col(id).as("doc_id"),
-      graft.functions.VectorExpressions.shingleSet(col(text), 3).as("sh"))
+    val corpusSh = Parallelism.fanOut(corpus.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"),
+        graft.functions.VectorExpressions.shingleSet(col(text), 3).as("sh"))
     val benchHashes = benchmark
       .select(explode(graft.functions.VectorExpressions.shingleSet(col(text), 3)).as("s"))
       .select(Dedup.hash60(col("s")).as("h")).distinct()
@@ -298,7 +309,8 @@ object TextAnalysis {
     * trap).
     */
   def repetitionScore(docs: DataFrame, id: String, text: String): DataFrame = {
-    val withW = docs.select(col(id).as("doc_id"), words(col(text)).as("__w"))
+    val withW = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"), words(col(text)).as("__w"))
     val bigrams = transform(sequence(lit(0), size(col("__w")) - 2), i =>
       concat_ws(" ", element_at(col("__w"), i + 1), element_at(col("__w"), i + 2)))
     withW.select(col("doc_id"),
@@ -326,7 +338,8 @@ object TextAnalysis {
     * + limit, the scale-safe k-row reduction.
     */
   def bpeMergeCandidates(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
-    val vocab = docs.select(explode(words(col(text))).as("word"))
+    val vocab = Parallelism.fanOut(docs.select(col(text)), Seq(col(text)))
+      .select(explode(words(col(text))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     val chars = vocab.select(col("freq"), split(col("word"), "").as("__c"))
       .filter(size(col("__c")) >= 2)
@@ -533,7 +546,8 @@ object TextAnalysis {
     */
   def chunkTokens(docs: DataFrame, id: String, text: String,
                   chunkLen: Int = 64, hop: Int = 48): DataFrame =
-    docs.select(col(id).as("doc_id"), words(col(text)).as("__w"))
+    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"), words(col(text)).as("__w"))
       .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("__w"),
         explode(expr(s"sequence(CAST(0 AS BIGINT), greatest((n_tokens - 1) div $hop, CAST(0 AS BIGINT)))"))
@@ -562,7 +576,8 @@ object TextAnalysis {
     */
   def bm25TopTerms(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(id).as("doc_id"), words(col(text)).as("__w"))
+    val base = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"), words(col(text)).as("__w"))
       .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("dl"))
     val terms = base.select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -597,7 +612,8 @@ object TextAnalysis {
     * md5 is engine-identical.
     */
   def topNgramsPerLang(docs: DataFrame, text: String, lang: String, k: Int): DataFrame = {
-    val base = docs.select(col(lang).as("lang"), words(col(text)).as("__w"))
+    val base = Parallelism.fanOut(docs.select(col(lang), col(text)), Seq(col(text)))
+      .select(col(lang).as("lang"), words(col(text)).as("__w"))
       .filter(size(col("__w")) >= 2)
     val grams = base.select(col("lang"),
       explode(transform(sequence(lit(1), size(col("__w")) - 1), i =>
@@ -888,8 +904,9 @@ object TextAnalysis {
     * compares only, so both engines agree exactly.
     */
   def qualityLabel(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id).as("doc_id"),
-      when(langPredCol(col(text)) === "en", 1L).otherwise(-1L).as("y"))
+    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+      .select(col(id).as("doc_id"),
+        when(langPredCol(col(text)) === "en", 1L).otherwise(-1L).as("y"))
 
   /** The distributed BATCH-PERCEPTRON loop (Rosenblatt 1958, batch form):
     * per round, margins m_d = Σ_b f_db·w_b over the cached feature table,
@@ -913,6 +930,11 @@ object TextAnalysis {
     require(rounds >= 1, "perceptron training needs at least one round")
     val spark = feats.sparkSession
     import spark.implicits._
+    // labels are consumed once PER ROUND: uncached, every round re-ran the
+    // whole weak-label corpus scan (regex tokenization + three stopword
+    // filters per row) — rounds× the labeling cost for identical rows.
+    // The (doc_id, y) table is two narrow columns; cache it like feats.
+    val lab = labels.persist()
     var w = Map.empty[Long, Long]
     for (_ <- 1 to rounds) {
       val wDf = w.toSeq.toDF("bucket", "w")
@@ -922,7 +944,7 @@ object TextAnalysis {
       // left join: a zero-token doc has no feature rows, margin 0 — it is
       // always "misclassified" but carries no features, so it cannot move
       // the update on either engine
-      val miss = labels.join(margins, Seq("doc_id"), "left")
+      val miss = lab.join(margins, Seq("doc_id"), "left")
         .filter(col("y") * coalesce(col("m"), lit(0L)) <= 0)
         .select(col("doc_id"), col("y"))
       val delta = feats.join(miss, Seq("doc_id"))
@@ -933,6 +955,7 @@ object TextAnalysis {
         acc.updated(r.getLong(0), acc.getOrElse(r.getLong(0), 0L) + r.getLong(1))
       }
     }
+    lab.unpersist()
     w
   }
 

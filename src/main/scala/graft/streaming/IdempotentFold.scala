@@ -78,6 +78,11 @@ object IdempotentFold {
     }
     s.conf.set("spark.sql.shuffle.partitions",
       shufflePartitions.getOrElse(8).toString)
+    // micro-batch frames: operator-level fan-out is a no-op at production
+    // scale (a real batch arrives as many files) and pure overhead on the
+    // gate's tiny batches — parallelism here is owned by the per-batch
+    // shuffle sizing above / sizeBatchShuffle
+    s.conf.set(graft.operators.Parallelism.EnabledConf, "false")
     s
   }
 
