@@ -117,7 +117,17 @@ object Similarity {
     * scale path (see [[lshTopK]]).
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+    // corpus side fanned out (guide §2.4; no-op at scale): this is the
+    // brute-force O(n²) anchor — a BroadcastNestedLoopJoin whose stream
+    // side otherwise runs inside a single-split source's one scan task
+    // (measured r17: 2.9 s -> 0.9 s on local[32]). The other Similarity
+    // operators were A/B-measured and deliberately NOT fanned out: their
+    // per-row work over the small embedding table is under the per-task
+    // scheduling overhead the extra partitions cost (+6 s net across the
+    // ANN subset when fanned).
+    val withNorm = Parallelism.fanOut(
+        corpus.select(col("vec_id"), col("embedding")), Seq(col("vec_id")))
+      .select(col("vec_id"), col("embedding"),
       sqrt(dotFP(col("embedding"), col("embedding"))).as("nrm"))
     val a = withNorm.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"),
       col("nrm").as("norm_a"))
