@@ -151,7 +151,7 @@ object Curation {
     */
   def tokenBudget(docs: DataFrame, text: String, source: String,
                   budget: Long, maxEpochs: Int): DataFrame = {
-    val counts = Parallelism.fanOut(docs.select(col(source), col(text)), Seq(col(text)))
+    val counts = docs.select(col(source), col(text))
       .groupBy(col(source).as("source"))
       .agg(sum(size(regexp_extract_all(col(text),
         lit(TextAnalysis.TokenPattern), lit(0))).cast("long")).as("n_tokens"))
@@ -185,8 +185,7 @@ object Curation {
   def capPerDomain(docs: DataFrame, id: String, text: String, domain: String,
                    cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = Parallelism.fanOut(
-        docs.select(col(id), col(domain), col(text)), Seq(col(id)))
+    val scored = docs.select(col(id), col(domain), col(text))
       .select(col(id).as("doc_id"), col(domain).as("domain"),
         TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
       .filter(col("quality_score").isNotNull)
@@ -239,8 +238,7 @@ object Curation {
     */
   def capPerDomainAgg(docs: DataFrame, id: String, text: String, domain: String,
                       cap: Int): DataFrame = {
-    val scored = Parallelism.fanOut(
-        docs.select(col(id), col(domain), col(text)), Seq(col(id)))
+    val scored = docs.select(col(id), col(domain), col(text))
       .select(col(id).as("doc_id"), col(domain).as("domain"),
         TextAnalysis.qualityScoreCol(col(text)).as("quality_score"))
       .filter(col("quality_score").isNotNull) // same contract as capPerDomain

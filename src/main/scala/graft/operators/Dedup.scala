@@ -222,11 +222,7 @@ object Dedup {
     * (same value as `sort_array(array_distinct(shingles3(...)))` — asserted
     * in DedupSpec). */
   def withShingles(docs: DataFrame, id: String, text: String): DataFrame =
-    // fanned out BEFORE the shingle expression (guide §2.4; exact no-op when
-    // the source already has ≥cores splits): shingling is the CPU-heavy head
-    // of every LSH/containment pipeline and otherwise runs inside a
-    // single-split source's one scan task
-    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    docs.select(col(id), col(text))
       .select(col(id).as("doc_id"),
         graft.functions.VectorExpressions.shingleSet(col(text), 3).as("sh"))
 
@@ -462,9 +458,7 @@ object Dedup {
   def minhashLshPairsIncremental(docs: DataFrame, id: String, text: String,
                                  isDelta: Column, k: Int = 32, bands: Int = 8,
                                  threshold: Double = 0.6): DataFrame = {
-    val prepared = Parallelism.fanOut(
-      docs.select(col(id), col(text), isDelta.cast("int").as("__delta")),
-      Seq(col(id)))
+    val prepared = docs.select(col(id), col(text), isDelta.cast("int").as("__delta"))
       .select(col(id).as("doc_id"),
         graft.functions.VectorExpressions.shingleSet(col(text), 3).as("sh"),
         col("__delta")).cache()
@@ -669,7 +663,7 @@ object Dedup {
   val SimhashBits = 60
 
   def simhash60(docs: DataFrame, id: String, text: String): DataFrame = {
-    val exploded = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    val exploded = docs.select(col(id), col(text))
       .select(col(id).as("doc_id"), explode(words(col(text))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash60(col("w")))

@@ -244,8 +244,7 @@ object Multimodal {
   def withSyntheticImages(spark: SparkSession, docs: DataFrame, id: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val rdd = Parallelism.fanOut(docs.select(col(id).cast("long")),
-      Seq(col(id))).rdd.mapPartitions { it =>
+    val rdd = docs.select(col(id).cast("long")).rdd.mapPartitions { it =>
       it.map { r => val d = r.getLong(0); Row(d, syntheticPng(d)) }
     }
     spark.createDataFrame(rdd, schema)
@@ -475,8 +474,7 @@ object Multimodal {
   def withSyntheticGifs(spark: SparkSession, docs: DataFrame, id: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val rdd = Parallelism.fanOut(docs.select(col(id).cast("long")),
-      Seq(col(id))).rdd.mapPartitions { it =>
+    val rdd = docs.select(col(id).cast("long")).rdd.mapPartitions { it =>
       it.map { r => val d = r.getLong(0); Row(d, syntheticGif(d)) }
     }
     spark.createDataFrame(rdd, schema)
@@ -603,8 +601,7 @@ object Multimodal {
   def withSyntheticWavs(spark: SparkSession, docs: DataFrame, id: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val rdd = Parallelism.fanOut(docs.select(col(id).cast("long")),
-      Seq(col(id))).rdd.mapPartitions { it =>
+    val rdd = docs.select(col(id).cast("long")).rdd.mapPartitions { it =>
       it.map { r => val d = r.getLong(0); Row(d, syntheticWav(d)) }
     }
     spark.createDataFrame(rdd, schema)
@@ -852,8 +849,7 @@ object Multimodal {
   def withSyntheticAvis(spark: SparkSession, docs: DataFrame, id: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val rdd = Parallelism.fanOut(docs.select(col(id).cast("long")),
-      Seq(col(id))).rdd.mapPartitions { it =>
+    val rdd = docs.select(col(id).cast("long")).rdd.mapPartitions { it =>
       it.map { r => val d = r.getLong(0); Row(d, syntheticAvi(d)) }
     }
     spark.createDataFrame(rdd, schema)

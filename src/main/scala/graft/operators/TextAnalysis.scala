@@ -33,10 +33,7 @@ object TextAnalysis {
     * (chunking, vocab building) groups as it needs to.
     */
   def tokenStream(docs: DataFrame, id: String, text: String): DataFrame =
-    // fanned out before the regex explode (guide §2.4; no-op at scale):
-    // tokenStream is the head of hashFeatures / sparse-cosine / LM-count
-    // pipelines, all otherwise serialized by a single-split source
-    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    docs.select(col(id), col(text))
       .select(col(id).as("doc_id"),
         posexplode(regexp_extract_all(col(text), lit(TokenPattern), lit(0))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("token_idx"),
@@ -47,7 +44,7 @@ object TextAnalysis {
     */
   def tokenCounts(docs: DataFrame, id: String, text: String): DataFrame = {
     val ws = words(col(text))
-    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    docs.select(col(id), col(text))
       .select(col(id).as("doc_id"),
       length(col(text)).cast("long").as("n_chars"),
       size(ws).cast("long").as("n_words"),
@@ -84,7 +81,7 @@ object TextAnalysis {
     val distinctRatio = size(array_distinct(ws)).cast("double") / nWords
     val stopRatio = hitCount(ws, StopwordsEn).cast("double") / nWords
     val meanWordLen = (length(col(text)).cast("double") - (nWords - 1)) / nWords
-    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    docs.select(col(id), col(text))
       .select(col(id).as("doc_id"),
       size(ws).cast("long").as("n_words"),
       detRound(distinctRatio, 4).as("distinct_ratio"),
@@ -112,7 +109,7 @@ object TextAnalysis {
 
   def langId(docs: DataFrame, id: String, text: String): DataFrame = {
     val ws = words(lower(col(text)))
-    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    docs.select(col(id), col(text))
       .select(col(id).as("doc_id"),
       hitCount(ws, StopwordsEn).cast("long").as("score_en"),
       hitCount(ws, StopwordsPt).cast("long").as("score_pt"),
@@ -173,7 +170,7 @@ object TextAnalysis {
     */
   def topTermsByTfRarity(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    val terms = docs.select(col(id), col(text))
       .select(col(id).as("doc_id"), explode(words(col(text))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -190,7 +187,7 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
     // native expression (codegen); null text → 0 like the Python-falsy
     // convention and the oracle's CASE (rollingFingerprint("") is 0 itself)
-    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    docs.select(col(id), col(text))
       .select(col(id).as("doc_id"),
       coalesce(graft.functions.VectorExpressions.rollingFingerprint(col(text), 8), lit(0L))
         .as("fingerprint"))
@@ -248,7 +245,7 @@ object TextAnalysis {
     */
   def vocabCoverage(docs: DataFrame, id: String, text: String,
                     levels: Seq[Double]): DataFrame = {
-    val counts = Parallelism.fanOut(docs.select(col(text)), Seq(col(text)))
+    val counts = docs.select(col(text))
       .select(explode(words(col(text))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val ranked = Surrogate.rankedRunningTotal(counts, col("cnt"), "rank", "cum",
@@ -281,7 +278,7 @@ object TextAnalysis {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, id: String, text: String,
                     flagThreshold: Double = 0.5): DataFrame = {
-    val corpusSh = Parallelism.fanOut(corpus.select(col(id), col(text)), Seq(col(id)))
+    val corpusSh = corpus.select(col(id), col(text))
       .select(col(id).as("doc_id"),
         graft.functions.VectorExpressions.shingleSet(col(text), 3).as("sh"))
     val benchHashes = benchmark
@@ -309,7 +306,7 @@ object TextAnalysis {
     * trap).
     */
   def repetitionScore(docs: DataFrame, id: String, text: String): DataFrame = {
-    val withW = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    val withW = docs.select(col(id), col(text))
       .select(col(id).as("doc_id"), words(col(text)).as("__w"))
     val bigrams = transform(sequence(lit(0), size(col("__w")) - 2), i =>
       concat_ws(" ", element_at(col("__w"), i + 1), element_at(col("__w"), i + 2)))
@@ -338,7 +335,7 @@ object TextAnalysis {
     * + limit, the scale-safe k-row reduction.
     */
   def bpeMergeCandidates(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
-    val vocab = Parallelism.fanOut(docs.select(col(text)), Seq(col(text)))
+    val vocab = docs.select(col(text))
       .select(explode(words(col(text))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     val chars = vocab.select(col("freq"), split(col("word"), "").as("__c"))
@@ -461,7 +458,7 @@ object TextAnalysis {
     val (_, seg) = bpeLoop(docs, text, rounds, ckRoot)
     // word_idx counts ALL split positions (1-based, empties included) and
     // only then drops empty words — position numbering is split-stable
-    val toks = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    val toks = docs.select(col(id), col(text))
       .select(col(id).as("doc_id"), posexplode(words(col(text))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("word_idx"),
         col("col").as("word"))
@@ -546,7 +543,7 @@ object TextAnalysis {
     */
   def chunkTokens(docs: DataFrame, id: String, text: String,
                   chunkLen: Int = 64, hop: Int = 48): DataFrame =
-    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    docs.select(col(id), col(text))
       .select(col(id).as("doc_id"), words(col(text)).as("__w"))
       .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("__w"),
@@ -576,7 +573,7 @@ object TextAnalysis {
     */
   def bm25TopTerms(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    val base = docs.select(col(id), col(text))
       .select(col(id).as("doc_id"), words(col(text)).as("__w"))
       .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("dl"))
     val terms = base.select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
@@ -612,7 +609,7 @@ object TextAnalysis {
     * md5 is engine-identical.
     */
   def topNgramsPerLang(docs: DataFrame, text: String, lang: String, k: Int): DataFrame = {
-    val base = Parallelism.fanOut(docs.select(col(lang), col(text)), Seq(col(text)))
+    val base = docs.select(col(lang), col(text))
       .select(col(lang).as("lang"), words(col(text)).as("__w"))
       .filter(size(col("__w")) >= 2)
     val grams = base.select(col("lang"),
@@ -904,7 +901,7 @@ object TextAnalysis {
     * compares only, so both engines agree exactly.
     */
   def qualityLabel(docs: DataFrame, id: String, text: String): DataFrame =
-    Parallelism.fanOut(docs.select(col(id), col(text)), Seq(col(id)))
+    docs.select(col(id), col(text))
       .select(col(id).as("doc_id"),
         when(langPredCol(col(text)) === "en", 1L).otherwise(-1L).as("y"))
 
