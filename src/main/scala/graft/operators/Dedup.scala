@@ -717,7 +717,10 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           aCol: String, bCol: String, maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    // per-round exchanges sized to the pair+node tables (guide §2 scale-
+    // adaptive partitioning; see Graph.pagerankRun — no-op at scale)
+    Parallelism.withInputSizedShuffle(Seq(pairs, nodes)) {
     val ckRoot = IterState.root(checkpointDir)
     // both directions in ONE pass over the pair lineage: a union of two
     // selects would evaluate the (possibly expensive) pair computation twice
@@ -773,7 +776,7 @@ object Dedup {
         s"connectedComponents did not converge after $maxIter iterations; " +
           "raise maxIter (rounds needed = graph diameter)")
     labels.select(col("id").as(idCol), col("comp").as("cluster_id"))
-  }
+    }
 
   /** C4-style cross-corpus LINE deduplication (Raffel et al. 2020 §2.2
     * "we discarded all but one of any three-sentence span occurring more

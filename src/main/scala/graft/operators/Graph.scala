@@ -219,6 +219,8 @@ object Graph {
            normQuant: Double = 1e9,
            checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, "HITS needs at least one round")
+    // per-half-step exchanges sized to the edge table (see pagerankRun)
+    Parallelism.withInputSizedShuffle(Seq(edges)) {
     val ckRoot = IterState.root(checkpointDir)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().cache()
@@ -281,6 +283,7 @@ object Graph {
       .unionAll(a.select(col("node"), lit("auth").as("kind"), col("a").as("score")))
     e.unpersist()
     out
+    }
   }
 
   /** Resource-Allocation link prediction (Zhou/Lü/Zhang, Eur. Phys. J. B
@@ -398,7 +401,10 @@ object Graph {
     * observable the early-exit spec pins. */
   def pagerankRun(edges: DataFrame, maxIter: Int = 20, tol: Double = 0.0,
                   quantScale: Double = 1e12,
-                  checkpointDir: Option[String] = None): (DataFrame, Int) = {
+                  checkpointDir: Option[String] = None): (DataFrame, Int) =
+    // per-round exchanges sized to the edge table (guide §2 scale-adaptive
+    // partitioning; no-op when bytes/target ≥ the session width)
+    Parallelism.withInputSizedShuffle(Seq(edges)) {
     val ckRoot = IterState.root(checkpointDir)
     val e = edges.cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
@@ -424,7 +430,7 @@ object Graph {
     deg.unpersist()
     nodesDf.unpersist()
     out
-  }
+    }
 
   /** The shared PageRank fixpoint skeleton — everything in
     * [[pagerankRun]]/[[personalizedPagerankRun]] except their rank
@@ -562,7 +568,9 @@ object Graph {
   def personalizedPagerankRun(edges: DataFrame, seeds: DataFrame,
                               maxIter: Int = 20, tol: Double = 0.0,
                               quantScale: Double = 1e12,
-                              checkpointDir: Option[String] = None): (DataFrame, Int) = {
+                              checkpointDir: Option[String] = None): (DataFrame, Int) =
+    // per-round exchanges sized to the edge table (see pagerankRun)
+    Parallelism.withInputSizedShuffle(Seq(edges)) {
     val ckRoot = IterState.root(checkpointDir)
     val e = edges.cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
@@ -603,7 +611,7 @@ object Graph {
     deg.unpersist()
     share.unpersist()
     out
-  }
+    }
 
   /** Label propagation iterated until no label flips AND no new node is
     * labeled (or `maxIter`, which also bounds the 2-cycle oscillation LPA
@@ -616,7 +624,9 @@ object Graph {
     */
   def labelProp(pairs: DataFrame, aCol: String, bCol: String,
                 labels: DataFrame, maxIter: Int = 10,
-                checkpointDir: Option[String] = None): DataFrame = {
+                checkpointDir: Option[String] = None): DataFrame =
+    // per-round exchanges sized to the pair table (see pagerankRun)
+    Parallelism.withInputSizedShuffle(Seq(pairs, labels)) {
     val ckRoot = IterState.root(checkpointDir)
     // both directions in ONE pass over the pair lineage (CC's explode
     // trick), cached once for all rounds
@@ -663,5 +673,5 @@ object Graph {
     }
     dir.unpersist()
     cur
-  }
+    }
 }

@@ -923,7 +923,10 @@ object TextAnalysis {
     * the state never lives in an executor plan).
     */
   private def perceptronLoop(feats: DataFrame, labels: DataFrame,
-                             rounds: Int): Map[Long, Long] = {
+                             rounds: Int): Map[Long, Long] =
+    // per-round exchanges sized to the feature table (guide §2 scale-
+    // adaptive partitioning; see Graph.pagerankRun — no-op at scale)
+    Parallelism.withInputSizedShuffle(Seq(feats, labels)) {
     require(rounds >= 1, "perceptron training needs at least one round")
     val spark = feats.sparkSession
     import spark.implicits._
@@ -954,7 +957,7 @@ object TextAnalysis {
     }
     lab.unpersist()
     w
-  }
+    }
 
   /** TRAIN the hashed-feature quality classifier — the learned counterpart
     * of [[hashLinearScore]] (whose doc notes "a real model would
