@@ -67,8 +67,14 @@ private[graft] object EventsQueries {
     // join IS the exact oracle.
     "q_stream_join" -> ((s, dir) => {
       prep(s)
+      // statePartitions = 2: a stream-stream join opens FOUR state stores
+      // per shuffle partition per side, each paying open/commit I/O every
+      // batch — at 8 partitions that fixed cost (~0.7 s/task, measured r17)
+      // dwarfs this gate's one bounded micro-batch; production feeds size
+      // via spark.graft.stream.statePartitions (wins over this arg)
       streaming.EventsStream.runToCompletion(s, "q_stream_join_sink",
-        org.apache.spark.sql.streaming.OutputMode.Append()) { ss =>
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = 2) { ss =>
         streaming.EventsStream.purchaseViewJoin(
           streaming.EventsStream.readEventsStreamNanos(ss, s"$dir/events*"))
       }.orderBy(col("event_id"), col("vts"))
@@ -78,8 +84,11 @@ private[graft] object EventsQueries {
     // batch left join gated on the final watermark.
     "q_stream_join_outer" -> ((s, dir) => {
       prep(s)
+      // statePartitions = 2: same four-stores-per-partition-per-side
+      // measurement as q_stream_join above
       streaming.EventsStream.runToCompletion(s, "q_stream_join_outer_sink",
-        org.apache.spark.sql.streaming.OutputMode.Append()) { ss =>
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = 2) { ss =>
         streaming.EventsStream.purchaseViewJoinOuter(
           streaming.EventsStream.readEventsStreamNanos(ss, s"$dir/events*"))
       }.orderBy(col("event_id"), col("vts"))

@@ -446,7 +446,12 @@ object EventsStream {
     spark.conf.getAll.foreach { case (k, v) =>
       try s.conf.set(k, v) catch { case _: Exception => () }
     }
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // state width is per-deployment tuning (one state store instance per
+    // shuffle partition per stateful operator, each paying open/commit I/O
+    // every micro-batch): conf override > caller arg, default 8
+    val stateN = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(statePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", stateN.toString)
     val q = build(s).writeStream
       .format("memory").queryName(name)
       .outputMode(outputMode)
